@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Helpers for reading the driver-provided parquet testdata tables
+  * (see TESTDATA.md). Every `SparkEntry.queries` entry receives a
+  * scale-factor directory and reads only via these helpers, so filter
+  * pushdown / column pruning reach the parquet scans unchanged.
+  */
+object Tables {
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame  = apply(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame    = apply(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame  = apply(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame  = apply(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame      = apply(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame    = apply(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame    = apply(spark, sfDir, "region")
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+    * only reads as a raw LongType under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by Verify/Bench/
+    * test sessions). Expose both the exact nanos (`ts_ns`, for
+    * oracle-matched arithmetic — DuckDB's `epoch_ns(ts)`) and a
+    * microsecond TimestampType `ts` for event-time operators
+    * (DuckDB: `make_timestamp(epoch_ns(ts)//1000)`).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = apply(spark, sfDir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts_ns", col("ts"))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000)
+  }
+  def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
+}

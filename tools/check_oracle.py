@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate (NOT part of the
+library): reads Verify's parquet dumps + oracle_sql.json, runs each
+oracle SQL in DuckDB over the same sf directory's parquet tables, and
+compares (columns sorted by name, rows sorted, values hashed).
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize types: ints -> int64, floats -> float64, rest -> str
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64").round(9)
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        else:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_noracle = 0
+    for qdir in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(qdir.rstrip("/"))
+        files = glob.glob(f"{qdir}/*.parquet")
+        if not files:
+            print(f"MISSING-OUTPUT {name}"); n_fail += 1; continue
+        spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        if name not in oracle:
+            print(f"NO-ORACLE      {name} rows={len(spark_df)}"); n_noracle += 1
+            continue
+        try:
+            duck_df = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"ORACLE-ERR     {name}: {e}"); n_fail += 1; continue
+        a, b = canon(spark_df), canon(duck_df)
+        if list(a.columns) != list(b.columns):
+            print(f"SCHEMA-MISMATCH {name}: spark={list(a.columns)} duck={list(b.columns)}")
+            n_fail += 1; continue
+        if len(a) != len(b):
+            print(f"ROWS-MISMATCH  {name}: spark={len(a)} duck={len(b)}")
+            n_fail += 1; continue
+        if not a.equals(b):
+            neq = (a != b) & ~(a.isna() & b.isna())
+            bad_cols = [c for c in a.columns if neq[c].any()]
+            print(f"VALUE-MISMATCH {name}: cols={bad_cols}")
+            for c in bad_cols[:2]:
+                idx = neq[c].idxmax()
+                print(f"   first diff {c}[{idx}]: spark={a[c][idx]!r} duck={b[c][idx]!r}")
+            n_fail += 1; continue
+        print(f"PASS           {name} rows={len(a)}")
+        n_pass += 1
+    print(f"\n== {n_pass} pass, {n_fail} fail, {n_noracle} rows-only ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
