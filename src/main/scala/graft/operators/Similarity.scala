@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.functions.TextFunctions.hash60
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (exact, O(q·n) — the right
+  * answer when the query set is small and broadcastable). Scale path:
+  * random-hyperplane LSH bucketing — deterministic pseudo-random
+  * planes derived from md5, so results are reproducible across
+  * engines and runs — with exact re-ranking inside candidate buckets.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double
+    * precision, summing in index order (matches DuckDB's
+    * list_dot_product over double-cast lists).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Exact top-k neighbors for each query vector (queries broadcast).
+    *
+    * @return (query_id, neighbor_id, sim, rank) — sim rounded to 6
+    *         before ranking so ordering is stable cross-engine; ties
+    *         broken by neighbor id.
+    */
+  def bruteForceTopK(
+      emb: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val n = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val scored = n.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1):
+    * table t, plane p, dimension i → (hash60("t_p_i") mod 2001 - 1000) / 1000.
+    */
+  private def planeComponent(table: Int, p: Int, i: Column): Column =
+    (pmod(hash60(concat(lit(s"${table}_${p}_"), i.cast("string"))), lit(2001)) - 1000)
+      .cast("double") / 1000.0
+
+  /** Sign-bit bucket of a vector under one table's hyperplanes. */
+  def lshBucket(vec: Column, table: Int, nPlanes: Int): Column = {
+    val dims = sequence(lit(0), size(vec) - 1)
+    (0 until nPlanes).map { p =>
+      val dotP = aggregate(dims, lit(0.0),
+        (acc, i) => acc + element_at(vec, i + 1).cast("double") * planeComponent(table, p, i))
+      when(dotP >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Approximate top-k via multi-table hyperplane LSH: `tables`
+    * independent hash tables of `planesPerTable` sign bits each, a
+    * candidate being any vector sharing a (possibly 1-bit-off, when
+    * multiProbe) bucket with the query in any table; exact cosine
+    * re-rank over the candidate union.
+    *
+    * Recall/cost scales with tables × 2^-planesPerTable: more planes →
+    * smaller buckets (cheaper, lower recall), more tables/probes →
+    * higher recall. On strongly clustered embeddings few tables
+    * suffice; near-uniform vectors (worst case) need wide probing.
+    */
+  def lshTopK(
+      emb: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      tables: Int = 8,
+      planesPerTable: Int = 6,
+      multiProbe: Boolean = true): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(
+        col(id), col(vec),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("tbl"), lshBucket(col(vec), t, planesPerTable).as("bucket"))): _*)).as("tb"))
+        .select(col(id), col(vec), col("tb.tbl"), col("tb.bucket"))
+
+    val n = bucketed(
+      emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")), "neighbor_id", "nv")
+    val qBase = bucketed(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv")
+    val probes = if (multiProbe) {
+      val flips = array((-1 until planesPerTable).map {
+        case -1 => col("bucket")
+        case p  => col("bucket").bitwiseXOR(lit(1L << p))
+      }: _*)
+      qBase.withColumn("bucket", explode(flips))
+    } else qBase
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    n.join(broadcast(probes), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** All embedding pairs with cosine >= threshold within a bounded id
+    * range (embedding near-dup detection; exhaustive over the range).
+    */
+  def cosineDupPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+}

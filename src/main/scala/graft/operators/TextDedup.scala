@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Document deduplication operators for the training-data pipeline:
+  * exact (hash groupBy), MinHash+LSH (shingle → signature → band →
+  * bucket join → exact-Jaccard verify), SimHash (banded Hamming join).
+  *
+  * Scale design: no operator ever forms the full O(n²) pair space.
+  *   - exact: one shuffle on the 128-bit content hash;
+  *   - MinHash LSH: candidate pairs come from equi-joins on band
+  *     buckets (shuffle on band key; bucket sizes are tiny for honest
+  *     near-dup thresholds, and a count-based guard can drop
+  *     pathological buckets);
+  *   - SimHash: Hamming ≤ k search via the pigeonhole band trick —
+  *     k+1 bit-blocks, equi-join on (block index, block bits) gives
+  *     100% recall, then the exact bit_count filter verifies.
+  */
+object TextDedup {
+
+  /** Exact dedup on canonicalized content: keeps the smallest id per
+    * fingerprint group. Returns (survivors, removed).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
+    val fp = canonicalFingerprint(col(textCol))
+    val w = Window.partitionBy(fp).orderBy(col(idCol))
+    val ranked = df.withColumn("_fp_rn", row_number().over(w))
+    (ranked.filter(col("_fp_rn") === 1).drop("_fp_rn"),
+      ranked.filter(col("_fp_rn") > 1).drop("_fp_rn"))
+  }
+
+  /** MinHash-LSH near-duplicate pairs.
+    *
+    * @param numHashes signature length (bands * rowsPerBand)
+    * @param bands     LSH bands; a pair is a candidate iff some band of
+    *                  the signature matches exactly
+    * @param threshold verified exact-Jaccard (on the distinct shingle
+    *                  sets) at or above which a candidate is a dup pair
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded
+    *         to 4 — the cross-engine comparison grain
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      shingleN: Int = 2,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val spark = df.sparkSession
+
+    val sh = df.select(
+      col(idCol).as("doc_id"),
+      shingles(tokens(col(textCol)), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .persist()
+
+    // explode into (doc, band, bucket-key); the band key hashes the
+    // band's signature slice so the join key is one fixed-width string
+    val banded = sh.select(
+      col("doc_id"), col("sh"),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          md5(concat_ws("_",
+            (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
+            .as("bkey"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bkey"))
+
+    val a = banded.select(col("band"), col("bkey"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bkey"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val candidates = a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    candidates
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-duplicate pairs at Hamming distance <= maxHamming,
+    * banded for scale: 60 bits split into enough blocks that any pair
+    * within the distance shares at least one full block (pigeonhole),
+    * equi-joined per block, then exactly verified. Recall is 100%;
+    * the block join replaces the O(n²) cross product.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 10,
+      shingleN: Int = 2): DataFrame = {
+    val nBlocks = maxHamming + 1 // pigeonhole guarantee
+    val blockBits = 60.0 / nBlocks
+
+    val sim = df.select(
+      col(idCol).as("doc_id"),
+      simhash60(shingles(tokens(col(textCol)), shingleN)).as("sh"))
+      .persist()
+
+    val blocked = sim.select(
+      col("doc_id"), col("sh"),
+      explode(array((0 until nBlocks).map { blk =>
+        val lo = math.round(blk * blockBits).toInt
+        val hi = math.round((blk + 1) * blockBits).toInt
+        struct(
+          lit(blk).as("blk"),
+          // bits [lo, hi): shift right lo, mask (1 << (hi-lo)) - 1
+          call_function("shiftright", col("sh"), lit(lo))
+            .bitwiseAND(lit((1L << (hi - lo)) - 1)).as("bits"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sh"), col("bb.blk"), col("bb.bits"))
+
+    val a = blocked.select(col("blk"), col("bits"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = blocked.select(col("blk"), col("bits"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Pairwise n-gram Jaccard over a bounded id range (the exhaustive
+    * baseline the LSH paths approximate; callers bound the range —
+    * at scale use minhashLshPairs instead).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 2,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = df.select(
+      col(idCol).as("doc_id"),
+      shingles(tokens(col(textCol)), shingleN).as("sh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

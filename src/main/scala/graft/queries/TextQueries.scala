@@ -1,0 +1,138 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import graft.operators.TextDedup
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: token counting
+  * (whitespace + BPE-ish regex), quality scoring, language-ID
+  * heuristic, content fingerprinting, exact dedup, and exhaustive
+  * n-gram Jaccard (the baseline the LSH operators approximate).
+  *
+  * Every query is hash-matched against DuckDB running the same
+  * deterministic arithmetic (see TextFunctions for the cross-engine
+  * conventions; DuckDB regexp_replace needs the 'g' flag where Spark
+  * is global by default).
+  */
+object TextQueries {
+
+  val all: Seq[Q] = Seq(
+    Q.sql(
+      "text_tokens",
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '\p{L}+|\d+|[^\s\p{L}\d]')) AS BIGINT) AS n_regex_tokens,
+        |  CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_distinct
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(
+        $"doc_id",
+        tokenCount($"text").as("n_tokens"),
+        size(regexTokens($"text")).cast("long").as("n_regex_tokens"),
+        size(array_distinct(tokens($"text"))).cast("long").as("n_distinct"))
+        .orderBy($"doc_id")
+    },
+
+    Q.sql(
+      "text_quality",
+      """SELECT doc_id,
+        |  round(list_sum(list_transform(string_split_regex(trim(text), '\s+'), x -> length(x)))::DOUBLE
+        |        / len(string_split_regex(trim(text), '\s+')), 4) AS avg_word_len,
+        |  round(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        w -> list_contains(['the','a','an','of','to','and','in','is','it','that'], w)))::DOUBLE
+        |        / len(string_split_regex(trim(lower(text)), '\s+')), 4) AS stop_ratio,
+        |  round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+        |        / greatest(length(text), 1), 4) AS punct_ratio
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(
+        $"doc_id",
+        round(avgWordLen($"text"), 4).as("avg_word_len"),
+        round(stopwordRatio($"text"), 4).as("stop_ratio"),
+        round(punctRatio($"text"), 4).as("punct_ratio"))
+        .orderBy($"doc_id")
+    },
+
+    Q.sql(
+      "lang_id", {
+        // occurrence count of a padded marker via the length-diff trick
+        def occ(m: String): String =
+          s"CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' $m ', ' '))) / ${m.length + 1} AS BIGINT)"
+        def score(ms: Seq[String]): String = ms.map(occ).mkString("(", " + ", ")")
+        val scores = LangMarkers.map { case (lang, ms) => lang -> score(ms) }
+        val caseChain = scores.zipWithIndex.foldRight("'und'") { case (((lang, s), i), rest) =>
+          val later = scores.drop(i + 1).map(_._2)
+          val conds = (s"$s > 0" +: later.map(l => s"$s >= $l")).mkString(" AND ")
+          s"CASE WHEN $conds THEN '$lang' ELSE $rest END"
+        }
+        s"""SELECT doc_id, $caseChain AS pred_lang FROM documents ORDER BY doc_id"""
+      }
+    ) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", langId($"text").as("pred_lang"))
+        .orderBy($"doc_id")
+    },
+
+    Q.sql(
+      "doc_fingerprint",
+      """SELECT doc_id, md5(text) AS fp,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS canonical_fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(
+        $"doc_id",
+        fingerprint($"text").as("fp"),
+        canonicalFingerprint($"text").as("canonical_fp"))
+        .orderBy($"doc_id")
+    },
+
+    Q.sql(
+      "exact_dedup_docs",
+      """SELECT doc_id, canonical_fp FROM (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS canonical_fp,
+        |    row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |                       ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val (survivors, _) = TextDedup.exact(Tables.documents(s, d), "doc_id", "text")
+      survivors.select(
+        $"doc_id", canonicalFingerprint($"text").as("canonical_fp"))
+        .orderBy($"doc_id")
+    },
+
+    // exhaustive bigram-shingle Jaccard within a bounded id range —
+    // the exactness baseline for the MinHash/SimHash operators.
+    Q.sql(
+      "ngram_jaccard_pairs",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE doc_id < 200),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS sh
+        |  FROM t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)), 4) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      TextDedup.ngramJaccardPairs(
+        Tables.documents(s, d).filter($"doc_id" < 200), "doc_id", "text",
+        shingleN = 2, threshold = 0.8)
+        .orderBy($"id_a", $"id_b")
+    }
+  )
+}

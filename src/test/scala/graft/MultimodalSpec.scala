@@ -1,0 +1,43 @@
+package graft
+
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "hello world"),
+    (2L, "abcdefghij"),
+    (3L, "")
+  ).toDF("doc_id", "text")
+
+  test("attachPayload: binary payload + typed metadata") {
+    val df = Multimodal.attachPayload(docs, "doc_id", "text")
+    val row = df.filter($"doc_id" === 1).select($"meta.n_bytes", $"meta.sha256").head()
+    assert(row.getLong(0) == 11L)
+    assert(row.getString(1).length == 64) // sha256 hex
+  }
+
+  test("decodeFeatures: deterministic stub features, typed schema, sums to 1") {
+    val df = Multimodal.decodeFeatures(
+      Multimodal.attachPayload(docs, "doc_id", "text"), "doc_id", "payload", dim = 8)
+    assert(df.columns.toSeq == Seq("id", "n_bytes", "features"))
+    val Seq(a, b) = Seq(1, 1).map { _ =>
+      df.filter($"id" === 1).select($"features").as[Array[Float]].head().toSeq
+    }
+    assert(a == b)            // deterministic across runs
+    assert(a.length == 8)
+    assert(math.abs(a.sum - 1.0f) < 1e-5) // normalized histogram
+  }
+
+  test("sampleFrames: byte ranges partition the payload exactly") {
+    val df = Multimodal.sampleFrames(
+      Multimodal.attachPayload(docs.filter($"doc_id" === 2), "doc_id", "text"),
+      "doc_id", "payload", n = 4)
+    val frames = df.select($"frame_idx", $"frame_len", $"frame")
+      .as[(Long, Long, Array[Byte])].collect().sortBy(_._1)
+    assert(frames.map(_._2).toSeq == Seq(2L, 3L, 2L, 3L)) // 10 bytes into 4 frames
+    assert(frames.flatMap(_._3).map(_.toChar).mkString == "abcdefghij")
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  test("windowed counts with watermark aggregate by event-time window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStream.windowedCounts(input.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("win_counts").outputMode("append").start()
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 2, "click", 2.0),
+      Event(3, ts(6), 1, "view", 3.0))
+    query.processAllAvailable()
+    // advance the watermark far enough to close earlier windows
+    input.addData(Event(4, ts(40), 3, "click", 4.0))
+    query.processAllAvailable()
+    val rows = spark.table("win_counts")
+      .select($"window_start", $"event_type", $"cnt", $"total_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    query.stop()
+    assert(rows.contains((ts(0), "click", 2L, 3.0)))
+    assert(rows.contains((ts(5), "view", 1L, 3.0)))
+  }
+
+  test("streaming dedup drops in-watermark duplicates, keeps first") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStream.dedupWithinWatermark(
+      input.toDF(), Seq("user_id", "event_type"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 1, "click", 99.0), // dup key within watermark
+      Event(3, ts(2), 2, "view", 2.0))
+    query.processAllAvailable()
+    val ids = spark.table("dedup_stream").select("event_id").as[Long].collect().toSet
+    query.stop()
+    assert(ids == Set(1L, 3L))
+  }
+
+  test("sessionization emits a summary once the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventStream.sessionize(input.toDS(), gapMinutes = 10, watermark = "0 minutes")
+    val query = sessions.writeStream.format("memory")
+      .queryName("sessions").outputMode("append").start()
+    input.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(3), 7, "view", 2.0))
+    query.processAllAvailable()
+    input.addData(Event(3, ts(5), 7, "click", 4.0))
+    query.processAllAvailable()
+    // nothing emitted yet: watermark (00:05) hasn't passed end+gap (00:15)
+    assert(spark.table("sessions").isEmpty)
+    // an unrelated late-hour event pushes the watermark past the gap
+    input.addData(Event(4, ts(40), 9, "click", 0.0))
+    query.processAllAvailable()
+    val out = spark.table("sessions")
+      .select($"user_id", $"n_events", $"total_value", $"session_start", $"session_end")
+      .as[(Long, Long, Double, Timestamp, Timestamp)].collect().toSet
+    query.stop()
+    assert(out == Set((7L, 3L, 7.0, ts(0), ts(5))))
+  }
+}

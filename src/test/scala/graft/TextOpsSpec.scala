@@ -1,0 +1,98 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.operators.{Similarity, TextDedup}
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("shingles: n-grams, distinct, short-input guard") {
+    val df = Seq("a b c d", "a", "", "x x x").toDF("t")
+      .select(shingles(tokens($"t"), 2).as("sh"))
+    val got = df.as[Seq[String]].collect().toSeq
+    assert(got(0) == Seq("a b", "b c", "c d"))
+    assert(got(1) == Seq.empty)
+    assert(got(3) == Seq("x x")) // distinct collapses repeats
+  }
+
+  test("jaccard of shingle sets") {
+    val df = Seq(("a b c", "a b d")).toDF("x", "y")
+      .select(jaccard(shingles(tokens($"x"), 1), shingles(tokens($"y"), 1)).as("j"))
+    assert(math.abs(df.as[Double].head() - 0.5) < 1e-9) // {a,b} / {a,b,c,d}
+  }
+
+  test("exact dedup keeps smallest id per canonical content") {
+    val df = Seq(
+      (1L, "Hello  World"),
+      (2L, "hello world"),   // same canonical content as 1
+      (3L, "different doc")
+    ).toDF("doc_id", "text")
+    val (survivors, removed) = TextDedup.exact(df, "doc_id", "text")
+    assert(survivors.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(removed.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("minhash LSH finds a planted near-dup and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val nearDup = base.replace("today", "tomorrow")
+    val other = "completely unrelated text about spark catalyst optimizer internals"
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = TextDedup.minhashLshPairs(df, "doc_id", "text",
+      numHashes = 12, bands = 4, shingleN = 2, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("banded simhash equals brute-force hamming filter (pigeonhole recall)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").filter($"doc_id" < 60)
+    val banded = TextDedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10, shingleN = 2)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    val sim = docs.select($"doc_id", simhash60(shingles(tokens($"text"), 2)).as("sh"))
+    val a = sim.select($"doc_id".as("id_a"), $"sh".as("ha"))
+    val b = sim.select($"doc_id".as("id_b"), $"sh".as("hb"))
+    val brute = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .withColumn("hamming", hamming($"ha", $"hb"))
+      .filter($"hamming" <= 10)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(banded == brute)
+  }
+
+  test("cosine matches a hand-computed value") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f))).toDF("a", "b")
+    val got = df.select(Similarity.cosine($"a", $"b").as("c")).as[Double].head()
+    val want = 10.0 / (math.sqrt(14.0) * math.sqrt(14.0))
+    assert(math.abs(got - want) < 1e-12)
+  }
+
+  test("LSH ANN recall vs brute force is usable (multi-probe, sf0.001)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+    // and the approximate result never invents neighbors outside the table
+    assert(approx.forall { case (q, n) => q != n })
+  }
+
+  test("langId is deterministic and prefers the matching marker set") {
+    val df = Seq(
+      "the cat sat on a mat of straw",
+      "el gato y la casa de madera",
+      "der hund und die katze",
+      "nothing matching here!"
+    ).toDF("text").select(langId($"text").as("l"))
+    assert(df.as[String].collect().toSeq == Seq("en", "es", "de", "und"))
+  }
+
+  test("occurrences counts padded word matches") {
+    val df = Seq("the cat the dog then").toDF("t")
+      .select(occurrences(lower($"t"), "the").as("n"))
+    // "then" must not count; overlapping pads resolve left-to-right
+    assert(df.as[Long].head() == 2L)
+  }
+}
