@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.GraftFunctions
 import graft.functions.TextFunctions.hash60
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -38,11 +39,12 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val n = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
     val scored = n.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
+      .withColumn("sim", round(GraftFunctions.cosineFast(col("qv"), col("nv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored
@@ -88,12 +90,15 @@ object Similarity {
       tables: Int = 8,
       planesPerTable: Int = 6,
       multiProbe: Boolean = true): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    // one native pass computes every table's bucket (plane matrix
+    // precomputed; == lshBucket per table), then posexplode to rows
     def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(
         col(id), col(vec),
-        explode(array((0 until tables).map(t =>
-          struct(lit(t).as("tbl"), lshBucket(col(vec), t, planesPerTable).as("bucket"))): _*)).as("tb"))
-        .select(col(id), col(vec), col("tb.tbl"), col("tb.bucket"))
+        posexplode(GraftFunctions.lshBuckets(col(vec), tables, planesPerTable)))
+        .withColumnRenamed("pos", "tbl")
+        .withColumnRenamed("col", "bucket")
 
     val n = bucketed(
       emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")), "neighbor_id", "nv")
@@ -112,7 +117,7 @@ object Similarity {
     n.join(broadcast(probes), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
+      .withColumn("sim", round(GraftFunctions.cosineFast(col("qv"), col("nv")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
@@ -126,11 +131,12 @@ object Similarity {
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
     val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("sim", round(GraftFunctions.cosineFast(col("va"), col("vb")), 6))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }

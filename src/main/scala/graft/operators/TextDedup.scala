@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.GraftFunctions
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -52,13 +53,14 @@ object TextDedup {
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val spark = df.sparkSession
+    GraftFunctions.register(df.sparkSession)
 
     val sh = df.select(
       col(idCol).as("doc_id"),
       shingles(tokens(col(textCol)), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      // native single-pass signature (== TextFunctions.minhashSignature)
+      .withColumn("sig", GraftFunctions.minhashSig(col("sh"), numHashes))
       .persist()
 
     // explode into (doc, band, bucket-key); the band key hashes the
@@ -101,10 +103,12 @@ object TextDedup {
       shingleN: Int = 2): DataFrame = {
     val nBlocks = maxHamming + 1 // pigeonhole guarantee
     val blockBits = 60.0 / nBlocks
+    GraftFunctions.register(df.sparkSession)
 
     val sim = df.select(
       col(idCol).as("doc_id"),
-      simhash60(shingles(tokens(col(textCol)), shingleN)).as("sh"))
+      // native one-md5-per-shingle simhash (== TextFunctions.simhash60)
+      GraftFunctions.simhash60Fast(shingles(tokens(col(textCol)), shingleN)).as("sh"))
       .persist()
 
     val blocked = sim.select(

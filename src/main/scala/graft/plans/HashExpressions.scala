@@ -1,0 +1,207 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import java.security.MessageDigest
+
+/** Native Catalyst expressions for the hash-heavy dedup/similarity
+  * operators. Each computes bit-for-bit the same value as the
+  * composed-builtin formulation in TextFunctions/Similarity (and hence
+  * the DuckDB oracles), but in one pass over the input array with a
+  * reused MessageDigest — no hex-string round-trips (md5 → substring →
+  * conv → cast) and no per-seed re-walk of the array.
+  *
+  * The 60-bit hash convention: first 15 hex chars of md5 == first 8
+  * digest bytes as a big-endian long, unsigned-shifted right 4.
+  *
+  * These are eval-based (CodegenFallback): each call does real work
+  * over a whole array, so the virtual-call overhead codegen would
+  * remove is noise, and falling back keeps the surrounding projection
+  * in whole-stage codegen.
+  */
+object Md5Util {
+  def hash60(md: MessageDigest, bytes: Array[Byte]): Long = {
+    val d = md.digest(bytes)
+    val be = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    be >>> 4
+  }
+
+  def hash60(s: String): Long =
+    hash60(MessageDigest.getInstance("MD5"), s.getBytes("UTF-8"))
+}
+
+/** MinHash signature of a string array: sig[j] = min over elements s of
+  * hash60(md5(s || "#" || j)). Identical to
+  * TextFunctions.minhashSignature / the DuckDB list_min formulation.
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+  @transient private lazy val seedBytes: Array[Array[Byte]] =
+    (0 until numHashes).map(j => s"#$j".getBytes("UTF-8")).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      val sBytes = arr.getUTF8String(i).getBytes
+      var j = 0
+      while (j < numHashes) {
+        md.reset()
+        md.update(sBytes)
+        md.update(seedBytes(j))
+        val h = Md5Util.hash60(md, Array.emptyByteArray)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** 60-bit SimHash of a string array: one md5 per element, +1/-1 bit
+  * votes, packed MSB-first (bit 0 highest). Identical to
+  * TextFunctions.simhash60Composed / the DuckDB list_reduce
+  * formulation.
+  */
+case class SimHash60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash60"
+
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counters = new Array[Int](60)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = Md5Util.hash60(md, arr.getUTF8String(i).getBytes)
+      var b = 0
+      while (b < 60) {
+        if (((h >> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var acc = 0L
+    var b = 0
+    while (b < 60) {
+      acc = acc * 2 + (if (counters(b) > 0) 1L else 0L)
+      b += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+/** Per-table hyperplane LSH buckets of a float vector: buckets[t] =
+  * sum over planes p of (dot(vec, plane(t,p)) >= 0 ? 1<<p : 0), with
+  * plane components (hash60("t_p_i") mod 2001 - 1000)/1000 — the same
+  * deterministic pseudo-random planes as Similarity.lshBucket, all
+  * tables in one pass with the plane matrix precomputed.
+  */
+case class HyperplaneBuckets(child: Expression, tables: Int, planesPerTable: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_buckets"
+
+  // plane matrix, grown on demand to the observed dimensionality
+  @transient private var planeMatrix: Array[Array[Double]] = _
+  @transient private var planeDim: Int = 0
+
+  private def ensurePlanes(dim: Int): Unit = {
+    if (planeMatrix == null) planeMatrix = Array.fill(tables * planesPerTable)(Array.emptyDoubleArray)
+    if (dim > planeDim) {
+      var t = 0
+      while (t < tables) {
+        var p = 0
+        while (p < planesPerTable) {
+          val idx = t * planesPerTable + p
+          val old = planeMatrix(idx)
+          val grown = java.util.Arrays.copyOf(old, dim)
+          var i = old.length
+          while (i < dim) {
+            grown(i) = ((Md5Util.hash60(s"${t}_${p}_$i") % 2001) - 1000).toDouble / 1000.0
+            i += 1
+          }
+          planeMatrix(idx) = grown
+          p += 1
+        }
+        t += 1
+      }
+      planeDim = dim
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData].toFloatArray()
+    ensurePlanes(vec.length)
+    val buckets = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planesPerTable) {
+        val plane = planeMatrix(t * planesPerTable + p)
+        var dot = 0.0
+        var i = 0
+        while (i < vec.length) { dot += vec(i).toDouble * plane(i); i += 1 }
+        if (dot >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      buckets(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(buckets)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+}
+
+/** Cosine similarity of two float arrays in double precision, summing
+  * in index order — identical to Similarity.cosine and DuckDB
+  * list_dot_product over double-cast lists, one fused pass.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toFloatArray()
+    val b = r.asInstanceOf[ArrayData].toFloatArray()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / math.sqrt(na) / math.sqrt(nb))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}

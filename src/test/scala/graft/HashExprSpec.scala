@@ -1,0 +1,89 @@
+package graft
+
+import graft.functions.{GraftFunctions, TextFunctions}
+import graft.functions.TextFunctions.{shingles, tokens}
+import graft.operators.Similarity
+import graft.plans.Md5Util
+import org.apache.spark.sql.functions._
+
+/** The native expressions (graft.plans) must be bit-identical to the
+  * composed-builtin formulations — that equivalence is what carries
+  * the DuckDB oracle guarantee over to the fast path.
+  */
+class HashExprSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(80).cache()
+
+  test("Md5Util.hash60 == conv(substring(md5,1,15),16,10)") {
+    val samples = Seq("", "a", "hello world", "Übergröße 漢字", "x" * 1000)
+    val viaSql = samples.toDF("s")
+      .select(conv(substring(md5($"s"), 1, 15), 16, 10).cast("long").as("h"))
+      .as[Long].collect().toSeq
+    val viaJvm = samples.map(Md5Util.hash60)
+    assert(viaSql == viaJvm)
+  }
+
+  test("MinHashSig == composed minhashSignature on real docs") {
+    val both = docs.select(
+      GraftFunctions.minhashSig(shingles(tokens($"text"), 2), 12).as("fast"),
+      TextFunctions.minhashSignature(shingles(tokens($"text"), 2), 12).as("slow"))
+    assert(both.filter(not($"fast" === $"slow")).count() == 0)
+  }
+
+  test("SimHash60 == composed simhash60 on real docs") {
+    val both = docs.select(
+      GraftFunctions.simhash60Fast(shingles(tokens($"text"), 2)).as("fast"),
+      TextFunctions.simhash60(shingles(tokens($"text"), 2)).as("slow"))
+    assert(both.filter($"fast" =!= $"slow").count() == 0)
+  }
+
+  test("SimHash60 edge cases: empty array, null") {
+    val got = Seq(
+      (1L, Seq.empty[String]),
+      (2L, Seq("only"))
+    ).toDF("id", "arr")
+      .select(GraftFunctions.simhash60Fast($"arr").as("h"))
+      .as[Long].collect().toSeq
+    assert(got.head == 0L) // empty: all counters 0 → no bits set
+    val nullRow = Seq((1L)).toDF("id")
+      .select(GraftFunctions.simhash60Fast(lit(null).cast("array<string>")).as("h"))
+      .select($"h".isNull).as[Boolean].head()
+    assert(nullRow)
+  }
+
+  test("HyperplaneBuckets == per-table composed lshBucket") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(40)
+    val fast = emb.select(
+      $"vec_id", GraftFunctions.lshBuckets($"embedding", 3, 5).as("b"))
+    val slow = emb.select(
+      $"vec_id",
+      array((0 until 3).map(t => Similarity.lshBucket($"embedding", t, 5)): _*).as("b"))
+    val joined = fast.alias("f").join(slow.alias("s"), "vec_id")
+      .filter(not($"f.b" === $"s.b"))
+    assert(joined.count() == 0)
+  }
+
+  test("CosineSim == composed cosine, exactly") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(30)
+    val a = emb.select($"vec_id".as("ia"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("ib"), $"embedding".as("vb"))
+    val pairs = a.crossJoin(b).filter($"ia" < $"ib")
+      .select(
+        GraftFunctions.cosineFast($"va", $"vb").as("fast"),
+        Similarity.cosine($"va", $"vb").as("slow"))
+    // bit-identical: same operations in the same order
+    assert(pairs.filter($"fast" =!= $"slow").count() == 0)
+  }
+
+  test("functions are SQL-callable after registration") {
+    docs.createOrReplaceTempView("hx_docs")
+    val n = spark.sql(
+      """SELECT graft_simhash60(split(trim(text), '\\s+')) AS h FROM hx_docs""")
+      .filter($"h".isNotNull).count()
+    assert(n == 80)
+  }
+}
