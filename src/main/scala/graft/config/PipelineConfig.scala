@@ -38,7 +38,11 @@ final case class EntitySpec(
     settings: Settings,
     fields: Seq[FieldSpec],
     rules: Seq[RuleSpec],
-    projections: Seq[ProjectionSpec])
+    projections: Seq[ProjectionSpec],
+    /** source format: csv (reference parity) | json | parquet */
+    format: String = "csv",
+    /** projection export format: csv (reference parity) | json | parquet */
+    exportFormat: String = "csv")
 
 final case class PipelineConfig(entities: Map[String, Any]) {
 
@@ -102,7 +106,9 @@ final case class PipelineConfig(entities: Map[String, Any]) {
           .getOrElse(Seq.empty)),
       fields = fields,
       rules = customRules,
-      projections = projections)
+      projections = projections,
+      format = details.get("format").map(_.toString).getOrElse("csv"),
+      exportFormat = details.get("export_format").map(_.toString).getOrElse("csv"))
   }
 
   private def asMap(v: Any): Map[String, Any] = v.asInstanceOf[Map[String, Any]]

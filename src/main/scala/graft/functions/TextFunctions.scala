@@ -48,13 +48,18 @@ object TextFunctions {
   def hash60(c: Column, seed: Int): Column =
     hash60(concat(c, lit("#"), lit(seed.toString)))
 
-  /** MinHash signature: array of numHashes minima over the shingle set.
-    * One md5 per (shingle, seed) — for the heavy path see
-    * [[MinHashSignature]] (single-pass custom expression).
+  /** MinHash signature: array of numHashes minima over the shingle
+    * set, one md5 per shingle + k bijective xor-add mixes (see
+    * graft.plans.MinHashSig for the scheme and the fast single-pass
+    * implementation this composed form mirrors).
     */
-  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(j =>
-      array_min(transform(shingleSet, s => hash60(s, j)))): _*)
+  def minhashSignature(shingleSet: Column, numHashes: Int): Column = {
+    import graft.plans.MinHashSig.{mixA, mixB, Mask60}
+    array((0 until numHashes).map { j =>
+      array_min(transform(shingleSet, s =>
+        (hash60(s).bitwiseXOR(lit(mixA(j))) + lit(mixB(j))).bitwiseAND(lit(Mask60))))
+    }: _*)
+  }
 
   /** 60-bit SimHash over a shingle/token set: bit b of the hash votes
     * +1/-1, bit set where the vote sum is positive, packed MSB-first

@@ -1,9 +1,9 @@
 package graft.ingest
 
 import graft.config.EntitySpec
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** CSV source (reference main.py:432 pd.read_csv).
   *
@@ -14,31 +14,52 @@ import org.apache.spark.sql.expressions.Window
   * Row identity: the reference relies on DuckDB ROWID / pandas index
   * (main.py:78,135). Spark has no stable implicit order, so we mint an
   * explicit `_row_id`:
-  *   - `spark_partition_id`/`monotonically_increasing_id` is
-  *     order-consistent with input order for a file-based read
-  *     (partitions are sequential file splits), which is all dedup
-  *     first/last needs at scale — ordering, not density;
-  *   - for the reference's dense 1-based row numbers (error CSVs), a
-  *     window over that order densifies. Dense ids cost a global sort
-  *     of ids only, acceptable at pipeline-input scale; flip
-  *     `dense=false` for ordering-only ids at very large inputs.
+  *   - `dense=false`: `monotonically_increasing_id` — order-consistent
+  *     with input order for a file-based read (partitions are
+  *     sequential file splits) at zero cost; all dedup first/last
+  *     needs is ordering, not density;
+  *   - `dense=true` (default, reference parity — pandas `index + 1`,
+  *     main.py:78): RDD `zipWithIndex`, which is fully distributed
+  *     (one lightweight job to count per-partition sizes, then a
+  *     per-partition offset add) — no single-partition window, no
+  *     global sort, survives a 100× scale-up.
   */
 object CsvIngest {
 
   val RowId = "_row_id"
 
+  /** Format-dispatching source reader (the "universal importer"
+    * surface): csv is the reference's path; json/parquet sources are
+    * normalized to all-string columns so the same lexical validation
+    * pipeline applies regardless of the wire format.
+    */
   def read(spark: SparkSession, spec: EntitySpec, dense: Boolean = true): DataFrame =
-    readPath(spark, spec.source, dense)
+    spec.format match {
+      case "csv" => readPath(spark, spec.source, dense)
+      case "json" | "parquet" =>
+        val raw = spark.read.format(spec.format).load(spec.source)
+        val asStrings = raw.select(raw.columns.map(c => col(c).cast("string").as(c)): _*)
+        if (dense) withDenseRowIds(asStrings)
+        else asStrings.withColumn(RowId, monotonically_increasing_id())
+      case other =>
+        throw new IllegalArgumentException(s"unsupported source format '$other' for entity '${spec.name}'")
+    }
 
   def readPath(spark: SparkSession, path: String, dense: Boolean = true): DataFrame = {
     val raw = spark.read
       .option("header", "true")
       .option("mode", "PERMISSIVE")
       .csv(path)
-      .withColumn(RowId, monotonically_increasing_id())
-    if (dense) {
-      // 1-based dense ids in input order (pandas `index + 1`, main.py:78)
-      raw.withColumn(RowId, row_number().over(Window.orderBy(col(RowId))).cast("long"))
-    } else raw
+    if (dense) withDenseRowIds(raw) else raw.withColumn(RowId, monotonically_increasing_id())
+  }
+
+  /** Append 1-based dense input-order row ids via zipWithIndex. */
+  def withDenseRowIds(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(df.schema.fields :+ StructField(RowId, LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex().map { case (row, idx) =>
+      Row.fromSeq(row.toSeq :+ (idx + 1L))
+    }
+    spark.createDataFrame(rdd, schema)
   }
 }

@@ -123,6 +123,52 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** IVF-style approximate top-k: a deterministic coarse quantizer
+    * (every `centroidStep`-th vector as a centroid — a k-means
+    * codebook drops in without changing the plan shape), vectors
+    * inverted into their nearest-centroid cell, queries probing the
+    * `nProbe` nearest cells with exact cosine re-rank inside.
+    *
+    * Scale shape: build = one scan × C centroids (broadcast), search =
+    * nProbe/C of the data per query — the classic IVF recall/cost dial.
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroidStep: Int = 50,
+      nProbe: Int = 4): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val centroids = emb
+      .filter(pmod(col(idCol), lit(centroidStep)) === 0)
+      .select(col(idCol).as("cell"), col(vecCol).as("cv"))
+
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("cell"))
+      df.crossJoin(broadcast(centroids))
+        .withColumn("csim", GraftFunctions.cosineFast(col(vec), col("cv")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("cv", "csim", "crank")
+    }
+
+    val inverted = assign(
+      emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")), "neighbor_id", "nv", 1)
+    val probed = assign(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv", nProbe)
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    inverted.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(GraftFunctions.cosineFast(col("qv"), col("nv")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
   /** All embedding pairs with cosine >= threshold within a bounded id
     * range (embedding near-dup detection; exhaustive over the range).
     */

@@ -76,14 +76,19 @@ object TextDedup {
       }: _*)).as("bb"))
       .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bkey"))
 
-    val a = banded.select(col("band"), col("bkey"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bkey"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    // candidate pairs on bare ids (distinct over two longs — cheap),
+    // shingle sets joined back only for the surviving pairs
+    val a = banded.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
+    val b = banded.select(col("band"), col("bkey"), col("doc_id").as("id_b"))
     val candidates = a.join(b, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"))
+      .distinct()
 
+    val shOnly = sh.select(col("doc_id"), col("sh"))
     candidates
+      .join(shOnly.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shOnly.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

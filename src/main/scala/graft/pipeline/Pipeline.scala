@@ -96,7 +96,7 @@ object Pipeline {
 
     // 7. exports
     for (p <- projections)
-      Sinks.exportProjection(p.df, p.spec.name, outputDir)
+      Sinks.exportProjection(p.df, p.spec.name, outputDir, format = spec.exportFormat)
 
     val projectionRows = projections.map(p => p.spec.name -> p.df.count()).toMap
 

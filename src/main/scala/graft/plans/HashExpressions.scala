@@ -35,32 +35,40 @@ object Md5Util {
     hash60(MessageDigest.getInstance("MD5"), s.getBytes("UTF-8"))
 }
 
-/** MinHash signature of a string array: sig[j] = min over elements s of
-  * hash60(md5(s || "#" || j)). Identical to
+/** MinHash signature of a string array: one md5 per element (the
+  * expensive part), then k cheap bijective mixes
+  * h_j = ((base XOR A_j) + B_j) & (2^60-1), with A_j = hash60("a#j"),
+  * B_j = hash60("b#j"). Each mix permutes the 60-bit space, which is
+  * all min-statistics need; everything stays below 2^62 so the same
+  * arithmetic runs overflow-free in DuckDB. Identical to
   * TextFunctions.minhashSignature / the DuckDB list_min formulation.
   */
+object MinHashSig {
+  val Mask60: Long = (1L << 60) - 1
+  def mixA(j: Int): Long = Md5Util.hash60(s"a#$j")
+  def mixB(j: Int): Long = Md5Util.hash60(s"b#$j")
+}
+
 case class MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
+  import MinHashSig._
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
 
   @transient private lazy val md = MessageDigest.getInstance("MD5")
-  @transient private lazy val seedBytes: Array[Array[Byte]] =
-    (0 until numHashes).map(j => s"#$j".getBytes("UTF-8")).toArray
+  @transient private lazy val as: Array[Long] = (0 until numHashes).map(mixA).toArray
+  @transient private lazy val bs: Array[Long] = (0 until numHashes).map(mixB).toArray
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < arr.numElements()) {
-      val sBytes = arr.getUTF8String(i).getBytes
+      val base = Md5Util.hash60(md, arr.getUTF8String(i).getBytes)
       var j = 0
       while (j < numHashes) {
-        md.reset()
-        md.update(sBytes)
-        md.update(seedBytes(j))
-        val h = Md5Util.hash60(md, Array.emptyByteArray)
+        val h = ((base ^ as(j)) + bs(j)) & Mask60
         if (h < mins(j)) mins(j) = h
         j += 1
       }

@@ -26,7 +26,10 @@ object DedupQueries {
         |  SELECT doc_id, sh,
         |    list_transform(range(0, 12), j ->
         |      list_min(list_transform(sh, s ->
-        |        CAST(('0x'||substr(md5(s || '#' || j),1,15)) AS BIGINT)))) AS sig
+        |        ((xor(CAST(('0x'||substr(md5(s),1,15)) AS BIGINT),
+        |              CAST(('0x'||substr(md5('a#'||j),1,15)) AS BIGINT))
+        |          + CAST(('0x'||substr(md5('b#'||j),1,15)) AS BIGINT))
+        |         & 1152921504606846975)))) AS sig
         |  FROM sh),
         |bands AS (
         |  SELECT doc_id, sh, b,

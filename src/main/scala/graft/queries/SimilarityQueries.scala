@@ -40,13 +40,24 @@ object SimilarityQueries {
     },
 
     // LSH-bucketed ANN: deterministic hyperplanes, multi-probe;
-    // verified by SimilaritySpec's recall bound vs brute force.
+    // verified by TextOpsSpec's recall bound vs brute force.
     Q.rowsOnly("ann_topk_lsh") { (s, d) =>
       import s.implicits._
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(
         emb, emb.filter($"vec_id" < 5), "vec_id", "embedding",
         k = 3, tables = 8, planesPerTable = 6)
+        .orderBy($"query_id", $"rank")
+    },
+
+    // IVF ANN: deterministic coarse quantizer + nProbe cell search;
+    // verified by TextOpsSpec's recall bound vs brute force.
+    Q.rowsOnly("ann_topk_ivf") { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(
+        emb, emb.filter($"vec_id" < 5), "vec_id", "embedding",
+        k = 3, centroidStep = 50, nProbe = 4)
         .orderBy($"query_id", $"rank")
     }
   )

@@ -20,8 +20,19 @@ import scala.jdk.CollectionConverters._
 object Sinks {
 
   def exportProjection(df: DataFrame, name: String, outputDir: String,
-      singleFile: Boolean = true): String =
-    writeCsv(ordered(df), s"$outputDir/exports", s"$name.csv", singleFile)
+      singleFile: Boolean = true, format: String = "csv"): String = format match {
+    case "csv" =>
+      writeCsv(ordered(df), s"$outputDir/exports", s"$name.csv", singleFile)
+    case "json" =>
+      writeSingle(ordered(df), s"$outputDir/exports", s"$name.json", "json", singleFile)
+    case "parquet" =>
+      // columnar export is inherently sharded; no single-file contortion
+      val target = s"$outputDir/exports/$name.parquet"
+      ordered(df).write.mode("overwrite").parquet(target)
+      target
+    case other =>
+      throw new IllegalArgumentException(s"unsupported export format '$other'")
+  }
 
   /** save_errors parity: an `errors` array column is flattened to a
     * "; "-joined string (main.py:391); rows ordered by the original
@@ -45,15 +56,23 @@ object Sinks {
     else if (df.columns.contains("row")) df.orderBy(col("row"))
     else df
 
-  private def writeCsv(df: DataFrame, dir: String, fileName: String, singleFile: Boolean): String = {
+  private def writeCsv(df: DataFrame, dir: String, fileName: String, singleFile: Boolean): String =
+    writeSingle(df, dir, fileName, "csv", singleFile)
+
+  private def writeSingle(df: DataFrame, dir: String, fileName: String,
+      format: String, singleFile: Boolean): String = {
     Files.createDirectories(Paths.get(dir))
     val target = s"$dir/$fileName"
+    def writer(d: DataFrame) = {
+      val w = d.write.mode("overwrite")
+      if (format == "csv") w.option("header", "true") else w
+    }
     if (!singleFile) {
-      df.write.mode("overwrite").option("header", "true").csv(target)
+      writer(df).format(format).save(target)
       target
     } else {
       val tmp = s"$dir/.tmp_$fileName"
-      df.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+      writer(df.coalesce(1)).format(format).save(tmp)
       val part = Files.list(Paths.get(tmp)).iterator().asScala
         .find(_.getFileName.toString.startsWith("part-"))
         .getOrElse(throw new IllegalStateException(s"no part file written under $tmp"))

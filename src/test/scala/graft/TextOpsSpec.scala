@@ -79,6 +79,18 @@ class TextOpsSpec extends SparkSpec {
     assert(approx.forall { case (q, n) => q != n })
   }
 
+  test("IVF ANN recall vs brute force is usable (sf0.001)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, centroidStep = 10, nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall too low")
+  }
+
   test("langId is deterministic and prefers the matching marker set") {
     val df = Seq(
       "the cat sat on a mat of straw",
