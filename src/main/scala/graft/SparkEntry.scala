@@ -14,8 +14,9 @@ import graft.queries._
 object SparkEntry {
 
   private def allQs: Seq[Q] =
-    RelationalQueries.all ++ PipelineQueries.all ++ TextQueries.all ++
-      DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all
+    RelationalQueries.all ++ PipelineQueries.all ++ AdvancedQueries.all ++
+      TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
+      MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,151 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Advanced relational coverage: exact count-distinct, event-time
+  * bucketing and batch sessionization over the nanosecond `ts` column,
+  * exact percentiles, regex field extraction, and pivot — each with a
+  * value-identical DuckDB oracle.
+  *
+  * Event-time arithmetic uses raw nanoseconds (`ts_ns` here,
+  * `epoch_ns(ts)` in DuckDB) so the comparison is pure integer math —
+  * no timestamp-conversion semantics in the hash path.
+  */
+object AdvancedQueries {
+
+  private val GapNs = 30L * 60 * 1000000000L // 30 min session gap
+
+  val all: Seq[Q] = Seq(
+    Q.sql(
+      "q17_count_distinct",
+      """SELECT c_mktsegment,
+        |  count(DISTINCT c_nationkey) AS n_nations,
+        |  count(*) AS n_customers
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .groupBy($"c_mktsegment")
+        .agg(countDistinct($"c_nationkey").as("n_nations"), count(lit(1)).as("n_customers"))
+        .orderBy($"c_mktsegment")
+    },
+
+    // hourly event-time buckets as pure integer arithmetic on nanos
+    Q.sql(
+      "q18_time_buckets",
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+        |  count(*) AS cnt,
+        |  round(sum(value), 2) AS total
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(expr("ts_ns div 3600000000000").as("hour_bucket"))
+        .agg(count(lit(1)).as("cnt"), round(sum($"value"), 2).as("total"))
+        .orderBy($"hour_bucket")
+    },
+
+    // batch sessionization: session boundary = gap > 30min from the
+    // previous event of the same user (lag), session id = running sum
+    // of boundaries, then per-session rollup. Two stacked windows +
+    // one aggregation — all on the (user_id) shuffle key.
+    Q.sql(
+      "q19_sessionize_batch",
+      s"""SELECT user_id, session_id,
+         |  count(*) AS n_events,
+         |  round(sum(value), 2) AS total_value
+         |FROM (
+         |  SELECT user_id, value,
+         |    CAST(sum(CASE WHEN prev_ns IS NULL OR ns - prev_ns > $GapNs THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY ns, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM (
+         |    SELECT user_id, event_id, value, epoch_ns(ts) AS ns,
+         |      lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_ns
+         |    FROM events) t1) t2
+         |GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts_ns", $"event_id")
+      Tables.events(s, d)
+        .withColumn("prev_ns", lag($"ts_ns", 1).over(byUser))
+        .withColumn("boundary",
+          when($"prev_ns".isNull || $"ts_ns" - $"prev_ns" > GapNs, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum($"boundary").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("total_value"))
+        .orderBy($"user_id", $"session_id")
+    },
+
+    // exact interpolated percentiles (Spark percentile == DuckDB
+    // quantile_cont, both linear interpolation)
+    Q.sql(
+      "q20_percentiles",
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
+        .orderBy($"o_orderpriority")
+    },
+
+    // regex field extraction from the JSON-ish props string
+    Q.sql(
+      "q21_regexp_extract",
+      """SELECT event_type,
+        |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
+        |  count(*) AS cnt
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"event_type")
+        .agg(
+          sum(regexp_extract($"props", "\"k\": (\\d+)", 1).cast("long")).as("k_sum"),
+          count(lit(1)).as("cnt"))
+        .orderBy($"event_type")
+    },
+
+    // pivot: per-user event-type counts as columns (Spark pivot with
+    // pinned values; DuckDB expressed as the equivalent conditional
+    // aggregation — same result relation)
+    Q.sql(
+      "q22_pivot",
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'view') AS view,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'error') AS error
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id")
+        .pivot($"event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy($"user_id")
+    }
+  )
+}
