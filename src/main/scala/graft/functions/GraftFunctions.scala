@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{CosineSim, HyperplaneBuckets, MinHashSig, SimHash60}
+import graft.plans.{CosineSim, Hash60Array, HashedShingles, HyperplaneBuckets, MinHashSig, SimHash60}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -24,6 +24,8 @@ object GraftFunctions {
   }
 
   val functions: Map[String, Seq[Expression] => Expression] = Map(
+    "graft_hash60_array" -> (es => Hash60Array(es(0))),
+    "graft_hashed_shingles" -> (es => HashedShingles(es(0), intArg(es(1), "graft_hashed_shingles"))),
     "graft_minhash_sig" -> (es => MinHashSig(es(0), intArg(es(1), "graft_minhash_sig"))),
     "graft_simhash60" -> (es => SimHash60(es(0))),
     "graft_lsh_buckets" -> (es => HyperplaneBuckets(
@@ -36,13 +38,29 @@ object GraftFunctions {
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
 
-  /** MinHash signature (fast path; == TextFunctions.minhashSignature). */
-  def minhashSig(shingleSet: Column, numHashes: Int): Column =
-    call_function("graft_minhash_sig", shingleSet, lit(numHashes))
+  /** Element-wise 60-bit md5 hash of a string array (fast path;
+    * == TextFunctions.hash60 mapped over the array).
+    */
+  def hash60Array(strings: Column): Column =
+    call_function("graft_hash60_array", strings)
 
-  /** 60-bit SimHash (fast path; == TextFunctions.simhash60). */
-  def simhash60Fast(shingleSet: Column): Column =
-    call_function("graft_simhash60", shingleSet)
+  /** Fused tokenize→shingle→distinct→hash from raw text (fast path;
+    * == hash60Array(shingles(tokens(text), n))).
+    */
+  def hashedShingles(text: Column, n: Int): Column =
+    call_function("graft_hashed_shingles", text, lit(n))
+
+  /** MinHash signature over a PRE-HASHED (hash60Array) shingle set
+    * (fast path; == TextFunctions.minhashSignature).
+    */
+  def minhashSig(hashedShingles: Column, numHashes: Int): Column =
+    call_function("graft_minhash_sig", hashedShingles, lit(numHashes))
+
+  /** 60-bit SimHash over a PRE-HASHED shingle set (fast path;
+    * == TextFunctions.simhash60).
+    */
+  def simhash60Fast(hashedShingles: Column): Column =
+    call_function("graft_simhash60", hashedShingles)
 
   /** All per-table LSH buckets (fast path; element t ==
     * Similarity.lshBucket(vec, t, planesPerTable)).

@@ -48,29 +48,37 @@ object TextFunctions {
   def hash60(c: Column, seed: Int): Column =
     hash60(concat(c, lit("#"), lit(seed.toString)))
 
-  /** MinHash signature: array of numHashes minima over the shingle
-    * set, one md5 per shingle + k bijective xor-add mixes (see
+  /** Element-wise hash60 over a string array — hash shingles ONCE,
+    * then signatures/simhash/Jaccard all work on the long values
+    * (DuckDB: list_transform(xs, s -> hash60 SQL)).
+    */
+  def hash60Array(strings: Column): Column =
+    transform(strings, s => hash60(s))
+
+  /** MinHash signature over a PRE-HASHED (hash60Array) shingle set:
+    * numHashes minima of bijective xor-add mixes (see
     * graft.plans.MinHashSig for the scheme and the fast single-pass
     * implementation this composed form mirrors).
     */
-  def minhashSignature(shingleSet: Column, numHashes: Int): Column = {
+  def minhashSignature(hashedShingles: Column, numHashes: Int): Column = {
     import graft.plans.MinHashSig.{mixA, mixB, Mask60}
     array((0 until numHashes).map { j =>
-      array_min(transform(shingleSet, s =>
-        (hash60(s).bitwiseXOR(lit(mixA(j))) + lit(mixB(j))).bitwiseAND(lit(Mask60))))
+      array_min(transform(hashedShingles, h =>
+        (h.bitwiseXOR(lit(mixA(j))) + lit(mixB(j))).bitwiseAND(lit(Mask60))))
     }: _*)
   }
 
-  /** 60-bit SimHash over a shingle/token set: bit b of the hash votes
-    * +1/-1, bit set where the vote sum is positive, packed MSB-first
-    * (b=0 highest). Matches the DuckDB list_reduce formulation exactly.
+  /** 60-bit SimHash over a PRE-HASHED shingle set: bit b of each hash
+    * votes +1/-1, bit set where the vote sum is positive, packed
+    * MSB-first (b=0 highest). Matches the DuckDB list_reduce
+    * formulation exactly.
     */
-  def simhash60(shingleSet: Column): Column =
+  def simhash60(hashedShingles: Column): Column =
     aggregate(
       transform(sequence(lit(0), lit(59)), b =>
         when(
-          aggregate(shingleSet, lit(0L),
-            (acc, t) => acc + when(shiftright(hash60(t), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)) > 0,
+          aggregate(hashedShingles, lit(0L),
+            (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)) > 0,
           lit(1L)).otherwise(lit(0L))),
       lit(0L),
       (acc, x) => acc * 2 + x)

@@ -55,11 +55,12 @@ object TextDedup {
     val rowsPerBand = numHashes / bands
     GraftFunctions.register(df.sparkSession)
 
+    // shingles are hashed to 60-bit longs ONCE (fused native pass);
+    // signatures, banding, and Jaccard verify all run on long arrays
     val sh = df.select(
       col(idCol).as("doc_id"),
-      shingles(tokens(col(textCol)), shingleN).as("sh"))
+      GraftFunctions.hashedShingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-      // native single-pass signature (== TextFunctions.minhashSignature)
       .withColumn("sig", GraftFunctions.minhashSig(col("sh"), numHashes))
       .persist()
 
@@ -112,8 +113,9 @@ object TextDedup {
 
     val sim = df.select(
       col(idCol).as("doc_id"),
-      // native one-md5-per-shingle simhash (== TextFunctions.simhash60)
-      GraftFunctions.simhash60Fast(shingles(tokens(col(textCol)), shingleN)).as("sh"))
+      // fused shingle-hash, then pure-arithmetic simhash
+      GraftFunctions.simhash60Fast(
+        GraftFunctions.hashedShingles(col(textCol), shingleN)).as("sh"))
       .persist()
 
     val blocked = sim.select(

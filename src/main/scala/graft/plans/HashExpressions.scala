@@ -35,13 +35,87 @@ object Md5Util {
     hash60(MessageDigest.getInstance("MD5"), s.getBytes("UTF-8"))
 }
 
-/** MinHash signature of a string array: one md5 per element (the
-  * expensive part), then k cheap bijective mixes
-  * h_j = ((base XOR A_j) + B_j) & (2^60-1), with A_j = hash60("a#j"),
-  * B_j = hash60("b#j"). Each mix permutes the 60-bit space, which is
-  * all min-statistics need; everything stays below 2^62 so the same
-  * arithmetic runs overflow-free in DuckDB. Identical to
-  * TextFunctions.minhashSignature / the DuckDB list_min formulation.
+/** Element-wise 60-bit md5 hash of a string array — the ONE place the
+  * dedup pipeline touches md5: shingles are hashed once, and every
+  * downstream step (signatures, banding, Jaccard verification) works
+  * on the long values. DuckDB mirror:
+  * list_transform(xs, s -> ('0x'||substr(md5(s),1,15))::BIGINT).
+  */
+case class Hash60Array(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hash60_array"
+
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](arr.numElements())
+    var i = 0
+    while (i < out.length) {
+      out(i) = Md5Util.hash60(md, arr.getUTF8String(i).getBytes)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Hash60Array =
+    copy(child = newChild)
+}
+
+/** Fused tokenize → word-n-gram shingle → distinct → hash60 in one
+  * pass over the raw text: trim, split on \s+, adjacent n-grams joined
+  * with single spaces, first-occurrence-order dedup, md5/60-bit hash
+  * per distinct shingle. Value-identical to
+  * hash60Array(shingles(tokens(text), n)) (and the DuckDB mirror) but
+  * avoids materializing token/shingle string arrays per row — the
+  * interpreted composed chain was the dedup pipeline's hot spot.
+  */
+case class HashedShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hashed_shingles"
+
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString.trim
+    val toks = if (text.isEmpty) Array("") else text.split("\\s+")
+    if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[Long]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var o = 0
+      while (o < n) {
+        if (o > 0) sb.append(' ')
+        sb.append(toks(i + o))
+        o += 1
+      }
+      seen.add(Md5Util.hash60(md, sb.toString.getBytes("UTF-8")))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedShingles =
+    copy(child = newChild)
+}
+
+/** MinHash signature over PRE-HASHED shingles (see Hash60Array):
+  * sig[j] = min over elements h of ((h XOR A_j) + B_j) & (2^60-1),
+  * A_j = hash60("a#j"), B_j = hash60("b#j") — k bijective mixes of the
+  * 60-bit space, which is all min-statistics need, with no hashing at
+  * all in this expression. Everything stays below 2^62 so the same
+  * arithmetic runs overflow-free in DuckDB.
   */
 object MinHashSig {
   val Mask60: Long = (1L << 60) - 1
@@ -56,7 +130,6 @@ case class MinHashSig(child: Expression, numHashes: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
 
-  @transient private lazy val md = MessageDigest.getInstance("MD5")
   @transient private lazy val as: Array[Long] = (0 until numHashes).map(mixA).toArray
   @transient private lazy val bs: Array[Long] = (0 until numHashes).map(mixB).toArray
 
@@ -65,7 +138,7 @@ case class MinHashSig(child: Expression, numHashes: Int)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < arr.numElements()) {
-      val base = Md5Util.hash60(md, arr.getUTF8String(i).getBytes)
+      val base = arr.getLong(i)
       var j = 0
       while (j < numHashes) {
         val h = ((base ^ as(j)) + bs(j)) & Mask60
@@ -81,10 +154,10 @@ case class MinHashSig(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
-/** 60-bit SimHash of a string array: one md5 per element, +1/-1 bit
-  * votes, packed MSB-first (bit 0 highest). Identical to
-  * TextFunctions.simhash60Composed / the DuckDB list_reduce
-  * formulation.
+/** 60-bit SimHash over PRE-HASHED shingles (see Hash60Array): +1/-1
+  * bit votes from each hash value, packed MSB-first (bit 0 highest).
+  * Identical to TextFunctions.simhash60 / the DuckDB list_reduce
+  * formulation over the hashed list.
   */
 case class SimHash60(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -92,14 +165,12 @@ case class SimHash60(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash60"
 
-  @transient private lazy val md = MessageDigest.getInstance("MD5")
-
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val counters = new Array[Int](60)
     var i = 0
     while (i < arr.numElements()) {
-      val h = Md5Util.hash60(md, arr.getUTF8String(i).getBytes)
+      val h = arr.getLong(i)
       var b = 0
       while (b < 60) {
         if (((h >> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1

@@ -20,14 +20,15 @@ object DedupQueries {
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
         |sh AS (
         |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS sh
+        |    list_distinct(list_transform(
+        |      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]),
+        |      s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT))) AS sh
         |  FROM tok WHERE len(w) >= 2),
         |sig AS (
         |  SELECT doc_id, sh,
         |    list_transform(range(0, 12), j ->
-        |      list_min(list_transform(sh, s ->
-        |        ((xor(CAST(('0x'||substr(md5(s),1,15)) AS BIGINT),
-        |              CAST(('0x'||substr(md5('a#'||j),1,15)) AS BIGINT))
+        |      list_min(list_transform(sh, h ->
+        |        ((xor(h, CAST(('0x'||substr(md5('a#'||j),1,15)) AS BIGINT))
         |          + CAST(('0x'||substr(md5('b#'||j),1,15)) AS BIGINT))
         |         & 1152921504606846975)))) AS sig
         |  FROM sh),
@@ -62,15 +63,16 @@ object DedupQueries {
         |  FROM documents WHERE doc_id < 200),
         |sh AS (
         |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+        |    list_distinct(list_transform(
+        |      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]),
+        |      s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT))) AS g
         |  FROM tok),
         |sim AS (
         |  SELECT doc_id,
         |    list_reduce(
         |      list_transform(range(0, 60), b ->
-        |        CASE WHEN list_sum(list_transform(g, t ->
-        |          CASE WHEN (CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) >> b) & 1 = 1
-        |               THEN 1 ELSE -1 END)) > 0
+        |        CASE WHEN list_sum(list_transform(g, h ->
+        |          CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
         |        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
         |      (acc, x) -> acc * 2 + x) AS sh
         |  FROM sh)

@@ -27,17 +27,34 @@ class HashExprSpec extends SparkSpec {
     assert(viaSql == viaJvm)
   }
 
-  test("MinHashSig == composed minhashSignature on real docs") {
+  test("HashedShingles == hash60Array(shingles(tokens(text))) incl. edge cases") {
+    val edge = Seq("", " ", "one", "a b", "a  b   c", "x " * 200).toDF("text")
+    val both = docs.select($"text").union(edge).select(
+      GraftFunctions.hashedShingles($"text", 2).as("fused"),
+      GraftFunctions.hash60Array(shingles(tokens($"text"), 2)).as("composed"))
+    assert(both.filter(not($"fused" === $"composed")).count() == 0)
+  }
+
+  test("Hash60Array == composed element-wise hash60") {
     val both = docs.select(
-      GraftFunctions.minhashSig(shingles(tokens($"text"), 2), 12).as("fast"),
-      TextFunctions.minhashSignature(shingles(tokens($"text"), 2), 12).as("slow"))
+      GraftFunctions.hash60Array(shingles(tokens($"text"), 2)).as("fast"),
+      TextFunctions.hash60Array(shingles(tokens($"text"), 2)).as("slow"))
+    assert(both.filter(not($"fast" === $"slow")).count() == 0)
+  }
+
+  test("MinHashSig == composed minhashSignature on real docs") {
+    val hashed = GraftFunctions.hash60Array(shingles(tokens($"text"), 2))
+    val both = docs.select(
+      GraftFunctions.minhashSig(hashed, 12).as("fast"),
+      TextFunctions.minhashSignature(hashed, 12).as("slow"))
     assert(both.filter(not($"fast" === $"slow")).count() == 0)
   }
 
   test("SimHash60 == composed simhash60 on real docs") {
+    val hashed = GraftFunctions.hash60Array(shingles(tokens($"text"), 2))
     val both = docs.select(
-      GraftFunctions.simhash60Fast(shingles(tokens($"text"), 2)).as("fast"),
-      TextFunctions.simhash60(shingles(tokens($"text"), 2)).as("slow"))
+      GraftFunctions.simhash60Fast(hashed).as("fast"),
+      TextFunctions.simhash60(hashed).as("slow"))
     assert(both.filter($"fast" =!= $"slow").count() == 0)
   }
 
@@ -46,11 +63,11 @@ class HashExprSpec extends SparkSpec {
       (1L, Seq.empty[String]),
       (2L, Seq("only"))
     ).toDF("id", "arr")
-      .select(GraftFunctions.simhash60Fast($"arr").as("h"))
+      .select(GraftFunctions.simhash60Fast(GraftFunctions.hash60Array($"arr")).as("h"))
       .as[Long].collect().toSeq
     assert(got.head == 0L) // empty: all counters 0 → no bits set
     val nullRow = Seq((1L)).toDF("id")
-      .select(GraftFunctions.simhash60Fast(lit(null).cast("array<string>")).as("h"))
+      .select(GraftFunctions.simhash60Fast(lit(null).cast("array<bigint>")).as("h"))
       .select($"h".isNull).as[Boolean].head()
     assert(nullRow)
   }
@@ -82,7 +99,7 @@ class HashExprSpec extends SparkSpec {
   test("functions are SQL-callable after registration") {
     docs.createOrReplaceTempView("hx_docs")
     val n = spark.sql(
-      """SELECT graft_simhash60(split(trim(text), '\\s+')) AS h FROM hx_docs""")
+      """SELECT graft_simhash60(graft_hash60_array(split(trim(text), '\\s+'))) AS h FROM hx_docs""")
       .filter($"h".isNotNull).count()
     assert(n == 80)
   }

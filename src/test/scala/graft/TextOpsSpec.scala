@@ -49,7 +49,8 @@ class TextOpsSpec extends SparkSpec {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").filter($"doc_id" < 60)
     val banded = TextDedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10, shingleN = 2)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
-    val sim = docs.select($"doc_id", simhash60(shingles(tokens($"text"), 2)).as("sh"))
+    val sim = docs.select($"doc_id",
+      simhash60(hash60Array(shingles(tokens($"text"), 2))).as("sh"))
     val a = sim.select($"doc_id".as("id_a"), $"sh".as("ha"))
     val b = sim.select($"doc_id".as("id_b"), $"sh".as("hb"))
     val brute = a.crossJoin(b).filter($"id_a" < $"id_b")
