@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{CosineSim, Hash60Array, HashedShingles, HyperplaneBuckets, MinHashSig, SimHash60}
+import graft.plans.{CosineSim, Hash60Array, HashedShingles, HyperplaneBuckets, MinHashSig, SimHash60, WinnowFingerprints}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -30,7 +30,9 @@ object GraftFunctions {
     "graft_simhash60" -> (es => SimHash60(es(0))),
     "graft_lsh_buckets" -> (es => HyperplaneBuckets(
       es(0), intArg(es(1), "graft_lsh_buckets"), intArg(es(2), "graft_lsh_buckets"))),
-    "graft_cosine" -> (es => CosineSim(es(0), es(1))))
+    "graft_cosine" -> (es => CosineSim(es(0), es(1))),
+    "graft_winnow_fp" -> (es => WinnowFingerprints(
+      es(0), intArg(es(1), "graft_winnow_fp"), intArg(es(2), "graft_winnow_fp"))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>
@@ -71,4 +73,10 @@ object GraftFunctions {
   /** Fused cosine similarity (== Similarity.cosine). */
   def cosineFast(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
+
+  /** Winnowing fingerprints: distinct window-minima of char-k-gram
+    * hashes (sorted ascending).
+    */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    call_function("graft_winnow_fp", text, lit(k), lit(w))
 }

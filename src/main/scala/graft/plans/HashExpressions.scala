@@ -257,6 +257,59 @@ case class HyperplaneBuckets(child: Expression, tables: Int, planesPerTable: Int
     copy(child = newChild)
 }
 
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+  * hash60 of every char k-gram, minimum per sliding window of w
+  * consecutive k-gram hashes, distinct survivors. The guarantees are
+  * positional — any shared substring of length >= k+w-1 contributes a
+  * shared fingerprint — which makes the distinct set a compact
+  * containment/overlap sketch. DuckDB mirror uses list slicing +
+  * list_min over the same hash60 values. Texts shorter than k yield
+  * an empty set.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1 && w >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_fp"
+
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val n = text.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hashes(i) = Md5Util.hash60(md, text.substring(i, i + k).getBytes("UTF-8"))
+      i += 1
+    }
+    // strictly full windows (texts with fewer than w k-grams yield an
+    // empty set) — mirrors the oracle's range(1, n-w+2)
+    val windows = n - w + 1
+    if (windows <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    var s = 0
+    while (s < windows) {
+      var m = Long.MaxValue
+      var j = s
+      val end = s + w
+      while (j < end) { if (hashes(j) < m) m = hashes(j); j += 1 }
+      seen.add(m)
+      s += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 /** Cosine similarity of two float arrays in double precision, summing
   * in index order — identical to Similarity.cosine and DuckDB
   * list_dot_product over double-cast lists, one fused pass.

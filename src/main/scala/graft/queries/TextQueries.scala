@@ -111,6 +111,43 @@ object TextQueries {
         .orderBy($"doc_id")
     },
 
+    // winnowing fingerprints (char 8-grams, window 4): per-doc summary
+    // of the distinct window-minima sketch — the rolling-fingerprint
+    // containment/overlap primitive.
+    Q.sql(
+      "doc_winnow_fp",
+      """WITH kg AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text) - 8 + 2), i ->
+        |      CAST(('0x'||substr(md5(substr(text, i, 8)),1,15)) AS BIGINT)) AS h
+        |  FROM documents WHERE length(text) >= 8),
+        |win AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(h) - 4 + 2), i ->
+        |      list_min(h[i:i+3]))) AS fps
+        |  FROM kg)
+        |SELECT doc_id,
+        |  CAST(len(fps) AS BIGINT) AS n_fps,
+        |  list_min(fps) AS min_fp,
+        |  list_max(fps) AS max_fp
+        |FROM win
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d)
+        .filter(length($"text") >= 8)
+        .select(
+          $"doc_id",
+          graft.functions.GraftFunctions.winnowFingerprints($"text", 8, 4).as("fps"))
+        .select(
+          $"doc_id",
+          size($"fps").cast("long").as("n_fps"),
+          array_min($"fps").as("min_fp"),
+          array_max($"fps").as("max_fp"))
+        .orderBy($"doc_id")
+    },
+
     // exhaustive bigram-shingle Jaccard within a bounded id range —
     // the exactness baseline for the MinHash/SimHash operators.
     Q.sql(
