@@ -129,10 +129,15 @@ object PipelineConfig {
     PipelineConfig(transformations)
   }
 
-  /** Recursively convert snakeyaml's java collections to immutable Scala. */
+  /** Recursively convert snakeyaml's java collections to immutable
+    * Scala, preserving YAML insertion order (ListMap): field
+    * declaration order is semantic — it fixes the streaming source's
+    * positional schema and the per-field error message order.
+    */
   private def toScala(v: Any): Any = v match {
     case m: java.util.Map[_, _] =>
-      m.asScala.map { case (k, value) => k.toString -> toScala(value) }.toMap
+      scala.collection.immutable.ListMap(
+        m.asScala.toSeq.map { case (k, value) => k.toString -> toScala(value) }: _*)
     case l: java.util.List[_] => l.asScala.map(toScala).toSeq
     case other => other
   }

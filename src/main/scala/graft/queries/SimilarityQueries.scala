@@ -50,9 +50,57 @@ object SimilarityQueries {
         .orderBy($"query_id", $"rank")
     },
 
-    // IVF ANN: deterministic coarse quantizer + nProbe cell search;
-    // verified by TextOpsSpec's recall bound vs brute force.
-    Q.rowsOnly("ann_topk_ivf") { (s, d) =>
+    // the LSH transform itself, oracle-matched: per-table sign-bit
+    // buckets under the deterministic md5-derived hyperplanes — the
+    // double-precision dots are computed in identical index order.
+    Q.sql(
+      "ann_lsh_buckets",
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id < 100)
+        |SELECT vec_id, t AS tbl,
+        |  CAST(list_sum(list_transform(range(0, 6), p ->
+        |    CASE WHEN list_sum(list_transform(range(0, len(v)), i ->
+        |      v[i+1] * ((CAST(('0x'||substr(md5(t||'_'||p||'_'||i),1,15)) AS BIGINT) % 2001 - 1000)/1000.0))) >= 0
+        |    THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+        |FROM e, (SELECT CAST(range AS BIGINT) AS t FROM range(8)) tt
+        |ORDER BY vec_id, tbl""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      Tables.embeddings(s, d).filter($"vec_id" < 100)
+        .select($"vec_id",
+          posexplode(graft.functions.GraftFunctions.lshBuckets($"embedding", 8, 6)))
+        .select($"vec_id", $"pos".cast("long").as("tbl"), $"col".as("bucket"))
+        .orderBy($"vec_id", $"tbl")
+    },
+
+    // IVF ANN, oracle-matched end-to-end: deterministic coarse
+    // quantizer (every 50th vector), nearest-cell inversion, 4-cell
+    // probe, exact re-rank.
+    Q.sql(
+      "ann_topk_ivf",
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |asgn AS (
+        |  SELECT n.vec_id, n.v, c.cell,
+        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |      list_dot_product(n.v, c.cv)/sqrt(list_dot_product(n.v, n.v))/sqrt(list_dot_product(c.cv, c.cv)) DESC,
+        |      c.cell) AS crank
+        |  FROM e n, c),
+        |inv AS (SELECT vec_id AS neighbor_id, v AS nv, cell FROM asgn WHERE crank = 1),
+        |probed AS (SELECT vec_id AS query_id, v AS qv, cell FROM asgn WHERE crank <= 4 AND vec_id < 5)
+        |SELECT query_id, neighbor_id, sim, rank FROM (
+        |  SELECT p.query_id, i.neighbor_id,
+        |    round(list_dot_product(p.qv, i.nv)/sqrt(list_dot_product(p.qv, p.qv))/sqrt(list_dot_product(i.nv, i.nv)), 6) AS sim,
+        |    row_number() OVER (PARTITION BY p.query_id ORDER BY
+        |      round(list_dot_product(p.qv, i.nv)/sqrt(list_dot_product(p.qv, p.qv))/sqrt(list_dot_product(i.nv, i.nv)), 6) DESC,
+        |      i.neighbor_id) AS rank
+        |  FROM probed p JOIN inv i ON p.cell = i.cell AND p.query_id <> i.neighbor_id) t
+        |WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin
+    ) { (s, d) =>
       import s.implicits._
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(

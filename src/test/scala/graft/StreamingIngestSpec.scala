@@ -1,0 +1,61 @@
+package graft
+
+import graft.config.PipelineConfig
+import graft.sinks.BucketedSink
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.functions._
+
+class StreamingIngestSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("file-source streaming ingest validates and dedups arriving CSVs") {
+    val dir = tmpDir("stream-ingest")
+    val srcDir = s"$dir/incoming"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val (cfgPath, _) = Fixtures.materialize(dir)
+    val spec = PipelineConfig.load(cfgPath).entity("employees").copy(source = srcDir)
+
+    val query = StreamingIngest.start(spark, spec, s"$dir/out", s"$dir/ckpt")
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$srcDir/batch1.csv"),
+        """company_id,employee_id,first_name,last_name,email,gender,birthday_on,country
+          |1,1,Ada,Smith,ada@example.com,female,1980-03-01,ES
+          |1,1,Ada,Smith,ada2@example.com,female,1980-03-01,ES
+          |1,2,Bad,Row,not-an-email,male,1985-07-15,ES""".stripMargin)
+      query.processAllAvailable()
+      val stage = spark.read.parquet(s"$dir/out/stage")
+      // dup on (employee_id, company_id) resolved keep-last; bad email rejected
+      assert(stage.count() == 1)
+      assert(stage.select("email").as[String].head() == "ada2@example.com")
+      val errors = spark.read.parquet(s"$dir/out/errors")
+      assert(errors.count() == 1)
+
+      // a second file arrives: processed incrementally as its own batch
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$srcDir/batch2.csv"),
+        """company_id,employee_id,first_name,last_name,email,gender,birthday_on,country
+          |1,3,Cai,Brown,cai@example.com,male,1990-12-31,FR""".stripMargin)
+      query.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/out/stage").count() == 2)
+    } finally query.stop()
+  }
+
+  test("bucketed tables join without exchanges") {
+    // warehouse dir is a static conf — the default (./spark-warehouse) serves
+    val facts = (1L to 1000L).map(i => (i % 50, i.toDouble)).toDF("k", "v")
+    val dims = (0L until 50L).map(i => (i, s"dim$i")).toDF("k", "name")
+    BucketedSink.writeBucketed(facts, "b_facts", Seq("k"), 8, sortCols = Seq("k"))
+    BucketedSink.writeBucketed(dims, "b_dims", Seq("k"), 8, sortCols = Seq("k"))
+    try {
+      assert(BucketedSink.joinIsShuffleFree(spark, "b_facts", "b_dims", Seq("k")))
+      // and the join is still correct
+      val n = spark.table("b_facts").join(spark.table("b_dims"), Seq("k")).count()
+      assert(n == 1000)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_facts")
+      spark.sql("DROP TABLE IF EXISTS b_dims")
+    }
+  }
+}
