@@ -71,6 +71,18 @@ object Multimodal {
     }.toDF()
   }
 
+  /** STUB resize: normalize payloads to a fixed byte budget —
+    * truncate long payloads, zero-pad short ones (a real image resize
+    * is a codec call on the same column; the fixed-output-size shape
+    * and null/empty handling are the real part). Pure expressions.
+    */
+  def resizePayload(df: DataFrame, payloadCol: String, targetBytes: Int): DataFrame =
+    df.withColumn(s"${payloadCol}_resized",
+      when(col(payloadCol).isNull, lit(null).cast("binary"))
+        .otherwise(expr(
+          s"concat(substring($payloadCol, 1, $targetBytes), " +
+            s"repeat(cast(x'00' as binary), greatest($targetBytes - length($payloadCol), 0)))")))
+
   /** Frame sampling: split the payload into `n` even byte-range
     * "frames" (a video decoder would seek keyframes; the chunk
     * arithmetic and explode-to-rows shape is the real part). Pure

@@ -124,6 +124,31 @@ object AdvancedQueries {
         .orderBy($"event_type")
     },
 
+    // as-of join: each purchase matched to the user's most recent
+    // prior (or simultaneous) click — oracle is DuckDB's native ASOF
+    // LEFT JOIN; Spark side is the composed union-window form
+    // (AsOfJoin), one shuffle on user_id.
+    Q.sql(
+      "q23_asof_join",
+      """SELECT l.event_id, l.user_id, r.event_id AS click_id, r.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts
+        |ORDER BY l.event_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts_ns")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts_ns",
+          $"event_id".as("click_id"), $"value".as("click_value"))
+      graft.operators.AsOfJoin.asofJoin(
+        purchases, clicks, Seq("user_id"), "ts_ns", Seq("click_id", "click_value"))
+        .select($"event_id", $"user_id", $"click_id", $"click_value")
+        .orderBy($"event_id")
+    },
+
     // pivot: per-user event-type counts as columns (Spark pivot with
     // pinned values; DuckDB expressed as the equivalent conditional
     // aggregation — same result relation)

@@ -31,6 +31,16 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(a.sum - 1.0f) < 1e-5) // normalized histogram
   }
 
+  test("resizePayload: truncates long, zero-pads short, keeps null") {
+    val df = Multimodal.resizePayload(
+      Multimodal.attachPayload(docs, "doc_id", "text"), "payload", targetBytes = 6)
+    val got = df.select($"doc_id", $"payload_resized")
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(new String(got(1L)) == "hello ")                  // truncated to 6
+    assert(got(3L).length == 6 && got(3L).forall(_ == 0))    // empty → all-zero pad
+    assert(got(2L).length == 6)
+  }
+
   test("sampleFrames: byte ranges partition the payload exactly") {
     val df = Multimodal.sampleFrames(
       Multimodal.attachPayload(docs.filter($"doc_id" === 2), "doc_id", "text"),
