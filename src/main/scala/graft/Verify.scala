@@ -18,6 +18,13 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // start from a clean slate: a leftover dump from a renamed or
+    // removed query must not survive into this round's compare
+    val outPath = Paths.get(outDir)
+    if (Files.exists(outPath)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(outPath).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

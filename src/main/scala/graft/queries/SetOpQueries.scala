@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Set operations, grouping sets, window frames, and date arithmetic —
+  * rounding out the relational surface user projections can reach
+  * (SURVEY.md §2.6-§2.8 categories marked available-via-spark.sql).
+  */
+object SetOpQueries {
+
+  val all: Seq[Q] = Seq(
+    // INTERSECT: nations that have both customers and suppliers
+    Q.sql(
+      "q24_intersect",
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d).select($"c_nationkey".as("nationkey"))
+        .intersect(Tables.supplier(s, d).select($"s_nationkey".as("nationkey")))
+        .orderBy($"nationkey")
+    },
+
+    // EXCEPT: nations with customers but no suppliers
+    Q.sql(
+      "q25_except",
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d).select($"c_nationkey".as("nationkey"))
+        .except(Tables.supplier(s, d).select($"s_nationkey".as("nationkey")))
+        .orderBy($"nationkey")
+    },
+
+    // GROUPING SETS: two independent 1-d rollups + grand total in one
+    // pass (NULL grouping slots coalesced to 'ALL' on both sides)
+    Q.sql(
+      "q26_grouping_sets",
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |  coalesce(l_linestatus, 'ALL') AS lstatus,
+        |  count(*) AS cnt,
+        |  round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rflag, lstatus""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq($"l_returnflag"), Seq($"l_linestatus"), Seq.empty),
+          $"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum($"l_extendedprice"), 2).as("total"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("rflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("lstatus"),
+          $"cnt", $"total")
+        .orderBy($"rflag", $"lstatus")
+    },
+
+    // window frame: trailing 3-order moving sum per customer. A moving
+    // AVERAGE would divide by 3, parking values on .xx5 rounding
+    // boundaries where DuckDB's incremental frame aggregation differs
+    // from Spark's in the last float bits — the sum has no systematic
+    // boundary and rounds identically.
+    Q.sql(
+      "q27_moving_sum",
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS sum3
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+      Tables.orders(s, d)
+        .select($"o_custkey", $"o_orderkey",
+          round(sum($"o_totalprice").over(w), 2).as("sum3"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
+    // date arithmetic: +interval, diff-to-date, end-of-month
+    Q.sql(
+      "q28_date_arith",
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS days_to_eoy,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .select(
+          $"o_orderkey",
+          date_add(to_date($"o_orderdate"), 30).as("due_date"),
+          datediff(lit("1998-12-31").cast("date"), to_date($"o_orderdate")).cast("long").as("days_to_eoy"),
+          last_day(to_date($"o_orderdate")).as("month_end"))
+        .orderBy($"o_orderkey")
+    }
+  )
+}
