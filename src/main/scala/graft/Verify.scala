@@ -26,13 +26,24 @@ object Verify {
       Files.walk(outPath).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // run queries on a small thread pool: Spark schedules concurrent
+    // jobs fine, and overlapping the per-query fixed costs (planning,
+    // AQE stage turnaround) cuts the gate's wall-clock ~4x. Failures
+    // stay per-query, like the sequential loop.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            catch { case e: Throwable =>
+              System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            }
+        })
       }
-    }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
