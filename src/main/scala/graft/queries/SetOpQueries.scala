@@ -88,6 +88,71 @@ object SetOpQueries {
         .orderBy($"o_custkey", $"o_orderkey")
     },
 
+    // fuzzy matching: edit-distance pairs over a bounded id range —
+    // the record-linkage primitive (both engines implement classic
+    // Levenshtein). At scale the pair space would be blocked first
+    // (e.g., by minhash bands or a length/prefix key), like the
+    // near-dup operators.
+    Q.sql(
+      "q29_levenshtein",
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        |WHERE a.c_custkey < 100 AND b.c_custkey < 100
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val c = Tables.customer(s, d).filter($"c_custkey" < 100)
+      val a = c.select($"c_custkey".as("id_a"), $"c_name".as("name_a"))
+      val b = c.select($"c_custkey".as("id_b"), $"c_name".as("name_b"))
+      a.crossJoin(b)
+        .filter($"id_a" < $"id_b")
+        .withColumn("dist", levenshtein($"name_a", $"name_b").cast("long"))
+        .filter($"dist" <= 1)
+        .select($"id_a", $"id_b", $"dist")
+        .orderBy($"id_a", $"id_b")
+    },
+
+    // ordered string aggregation (deterministic collect): Spark
+    // sort_array(collect_list) + array_join == DuckDB string_agg with
+    // ORDER BY. Raw collect_list would be partition-order-dependent.
+    Q.sql(
+      "q30_string_agg",
+      """SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY event_type) AS types
+        |FROM (SELECT DISTINCT user_id, event_type FROM events) t
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"user_id", $"event_type").distinct()
+        .groupBy($"user_id")
+        .agg(array_join(sort_array(collect_list($"event_type")), ",").as("types"))
+        .orderBy($"user_id")
+    },
+
+    // statistical aggregates: sample stddev + Pearson correlation
+    Q.sql(
+      "q31_stats",
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_extendedprice), 2) AS price_sd,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(stddev_samp($"l_extendedprice"), 2).as("price_sd"),
+          round(corr($"l_quantity", $"l_extendedprice"), 4).as("qty_price_corr"))
+        .orderBy($"l_returnflag")
+    },
+
     // date arithmetic: +interval, diff-to-date, end-of-month
     Q.sql(
       "q28_date_arith",
