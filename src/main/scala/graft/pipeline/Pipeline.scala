@@ -43,7 +43,20 @@ object Pipeline {
       schemaErrors: DataFrame,
       duplicates: Option[DataFrame],
       ruleIssues: Seq[CustomRules.RuleIssue],
-      projections: Seq[Projections.ProjectionResult])
+      projections: Seq[Projections.ProjectionResult]) {
+
+    /** Release every DataFrame this run cached (stage barriers, table
+      * projections) — call when done consuming the result in a
+      * long-lived session; a run-and-exit CLI doesn't need to.
+      */
+    def unpersist(): Unit = {
+      stage.foreach(_.unpersist())
+      schemaErrors.unpersist()
+      duplicates.foreach(_.unpersist())
+      projections.foreach(_.df.unpersist())
+      ()
+    }
+  }
 
   def run(
       spark: SparkSession,

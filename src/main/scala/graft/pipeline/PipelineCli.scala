@@ -52,26 +52,32 @@ object PipelineCli {
 
     try {
       val result = Pipeline.run(spark, PipelineConfig.load(config), entityName, outputDir, asOf)
-      val s = result.summary
-      println("\nProcessing Summary:")
-      println(s"Total rows processed: ${s.totalRows}")
-      println(s"Total valid rows inserted into raw table: ${s.validRows}")
-      println(s"Total rows with schema validation errors: ${s.schemaErrorRows}")
-      println(s"Total rows with custom validation errors: ${s.customInvalidRows}")
-      println(s"Total duplicate rows removed: ${s.duplicateRowsRemoved}")
-      if (s.stoppedAtSchemaErrors)
-        println("Schema validation errors found; stopped before load (custom_validation_mode=stop).")
-      else {
-        println("\nProjection Summary:")
-        for (p <- result.projections)
-          println(s"  ${p.spec.name} (${p.spec.projType}): ${s.projectionRows(p.spec.name)} rows")
-      }
+      try {
+        report(result)
+      } finally result.unpersist()
     } catch {
       case ke: NoSuchElementException => println(s"Configuration Error: ${ke.getMessage}")
       case ve: ValidationStopException => println(s"Validation Error: ${ve.getMessage}")
       case fe: java.nio.file.NoSuchFileException => println(s"File Error: ${fe.getMessage}")
     } finally {
       spark.stop()
+    }
+  }
+
+  private def report(result: Pipeline.PipelineResult): Unit = {
+    val s = result.summary
+    println("\nProcessing Summary:")
+    println(s"Total rows processed: ${s.totalRows}")
+    println(s"Total valid rows inserted into raw table: ${s.validRows}")
+    println(s"Total rows with schema validation errors: ${s.schemaErrorRows}")
+    println(s"Total rows with custom validation errors: ${s.customInvalidRows}")
+    println(s"Total duplicate rows removed: ${s.duplicateRowsRemoved}")
+    if (s.stoppedAtSchemaErrors)
+      println("Schema validation errors found; stopped before load (custom_validation_mode=stop).")
+    else {
+      println("\nProjection Summary:")
+      for (p <- result.projections)
+        println(s"  ${p.spec.name} (${p.spec.projType}): ${s.projectionRows(p.spec.name)} rows")
     }
   }
 }
