@@ -107,6 +107,9 @@ object TextDedup {
       textCol: String,
       maxHamming: Int = 10,
       shingleN: Int = 2): DataFrame = {
+    // 60-bit hashes: beyond 59 the pigeonhole blocks degenerate to
+    // zero-width (full cross join); reject rather than degrade
+    require(maxHamming >= 0 && maxHamming < 60, s"maxHamming must be in [0,60), got $maxHamming")
     val nBlocks = maxHamming + 1 // pigeonhole guarantee
     val blockBits = 60.0 / nBlocks
     GraftFunctions.register(df.sparkSession)

@@ -95,8 +95,12 @@ object SchemaValidator {
     val msgs: Seq[Column] = fields.flatMap(fieldChecks).map {
       case (failPred, msg) => when(failPred, lit(msg))
     }
-    val flagged = withDeclared.withColumn(
-      ErrorsCol, filter(array(msgs: _*), m => m.isNotNull))
+    // no declared checks → zero-arg array() would be array<null>; pin
+    // the empty-errors type explicitly so the split still works
+    val errorsExpr =
+      if (msgs.isEmpty) array().cast("array<string>")
+      else filter(array(msgs: _*), m => m.isNotNull)
+    val flagged = withDeclared.withColumn(ErrorsCol, errorsExpr)
 
     val errors = flagged
       .filter(size(col(ErrorsCol)) > 0)

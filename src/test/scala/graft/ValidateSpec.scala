@@ -65,6 +65,13 @@ class ValidateSpec extends SparkSpec {
     assert(vr.valid.count() == 1) // default rescued the required null
   }
 
+  test("empty field list validates everything (typed empty-errors array)") {
+    import spark.implicits._
+    val df = Seq(("x", "y")).toDF("a", "b")
+    val vr = SchemaValidator.validate(df.withColumn("_row_id", lit(1L)), Seq.empty)
+    assert(vr.valid.count() == 1 && vr.errors.count() == 0)
+  }
+
   test("fields absent from the CSV validate as null; extra columns pass through") {
     import spark.implicits._
     val fields = Seq(FieldSpec("missing", "int", required = true))
