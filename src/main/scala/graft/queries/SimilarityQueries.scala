@@ -39,9 +39,40 @@ object SimilarityQueries {
         .orderBy($"query_id", $"rank")
     },
 
-    // LSH-bucketed ANN: deterministic hyperplanes, multi-probe;
-    // verified by TextOpsSpec's recall bound vs brute force.
-    Q.rowsOnly("ann_topk_lsh") { (s, d) =>
+    // LSH-bucketed ANN, oracle-matched end-to-end: the full multi-table
+    // multiprobe pipeline (bucketing, 1-bit-flip probes, candidate
+    // union, exact re-rank) replayed in DuckDB SQL; additionally bound
+    // by TextOpsSpec's recall check vs brute force.
+    Q.sql(
+      "ann_topk_lsh",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |buck AS (
+        |  SELECT vec_id, v, t,
+        |    CAST(list_sum(list_transform(range(0, 6), p ->
+        |      CASE WHEN list_sum(list_transform(range(0, len(v)), i ->
+        |        v[i+1] * ((CAST(('0x'||substr(md5(t||'_'||p||'_'||i),1,15)) AS BIGINT) % 2001 - 1000)/1000.0))) >= 0
+        |      THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+        |  FROM e, (SELECT CAST(range AS BIGINT) AS t FROM range(8)) tt),
+        |probes AS (
+        |  SELECT b.vec_id AS query_id, b.v AS qv, b.t,
+        |    CASE WHEN f.f = -1 THEN b.bucket ELSE xor(b.bucket, (CAST(1 AS BIGINT) << f.f)) END AS bucket
+        |  FROM buck b, (SELECT CAST(range AS BIGINT) AS f FROM range(-1, 6)) f
+        |  WHERE b.vec_id < 5),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, n.vec_id AS neighbor_id
+        |  FROM probes p JOIN buck n ON p.t = n.t AND p.bucket = n.bucket
+        |  WHERE p.query_id <> n.vec_id),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    round(list_dot_product(q.v, n.v)/sqrt(list_dot_product(q.v, q.v))/sqrt(list_dot_product(n.v, n.v)), 6) AS sim
+        |  FROM cand c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.neighbor_id)
+        |SELECT query_id, neighbor_id, sim, rank FROM (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin
+    ) { (s, d) =>
       import s.implicits._
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(
