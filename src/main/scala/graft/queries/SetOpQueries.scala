@@ -153,6 +153,65 @@ object SetOpQueries {
         .orderBy($"l_returnflag")
     },
 
+    // ranking window suite: ntile / percent_rank / cume_dist over a
+    // total (tie-free) ordering
+    Q.sql(
+      "q32_rank_suite",
+      """SELECT event_id,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+      Tables.events(s, d)
+        .select($"event_id",
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy($"event_id")
+    },
+
+    // JSON field extraction (Spark get_json_object == DuckDB
+    // json_extract_string for scalar paths)
+    Q.sql(
+      "q33_json_extract",
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |ORDER BY event_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id",
+          get_json_object($"props", "$.k").cast("long").as("k"))
+        .orderBy($"event_id")
+    },
+
+    // string suite 2: reverse / translate / repeat / left-pad
+    Q.sql(
+      "q34_string_suite",
+      """SELECT p_partkey,
+        |  reverse(p_brand) AS rev_brand,
+        |  translate(p_type, 'AEIOU', 'aeiou') AS lowered_vowels,
+        |  repeat(substr(p_brand, 1, 2), 2) AS rep2,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded_size
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Tables.part(s, d)
+        .select($"p_partkey",
+          reverse($"p_brand").as("rev_brand"),
+          translate($"p_type", "AEIOU", "aeiou").as("lowered_vowels"),
+          repeat(substring($"p_brand", 1, 2), 2).as("rep2"),
+          lpad($"p_size".cast("string"), 4, "0").as("padded_size"))
+        .orderBy($"p_partkey")
+    },
+
     // date arithmetic: +interval, diff-to-date, end-of-month
     Q.sql(
       "q28_date_arith",
