@@ -106,6 +106,34 @@ object SimilarityQueries {
         .orderBy($"vec_id", $"tbl")
     },
 
+    // array/nested-type element statistics over the embedding column —
+    // the array-column manipulation primitive (sizes, element min/max,
+    // in-order mean, L2 norm), all on the double-cast lists
+    Q.sql(
+      "q35_array_stats",
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS el_min,
+        |  round(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS el_max,
+        |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) / len(embedding), 6) AS el_mean,
+        |  round(sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |                              list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6) AS l2
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val dbl = transform($"embedding", x => x.cast("double"))
+      def sumEl(c: org.apache.spark.sql.Column) = aggregate(c, lit(0.0), (a, x) => a + x)
+      Tables.embeddings(s, d)
+        .select($"vec_id",
+          size($"embedding").cast("long").as("dim"),
+          round(array_min(dbl), 6).as("el_min"),
+          round(array_max(dbl), 6).as("el_max"),
+          round(sumEl(dbl) / size($"embedding"), 6).as("el_mean"),
+          round(sqrt(sumEl(zip_with(dbl, dbl, (a, b) => a * b))), 6).as("l2"))
+        .orderBy($"vec_id")
+    },
+
     // IVF ANN, oracle-matched end-to-end: deterministic coarse
     // quantizer (every 50th vector), nearest-cell inversion, 4-cell
     // probe, exact re-rank.
