@@ -29,7 +29,14 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
-  final case class DedupResult(survivors: DataFrame, removed: DataFrame)
+  /** @param cached intermediate frames this run persisted (multi-pass
+    *        folds) — callers release them once survivors/removed are
+    *        fully consumed
+    */
+  final case class DedupResult(
+      survivors: DataFrame,
+      removed: DataFrame,
+      cached: Seq[DataFrame] = Seq.empty)
 
   val RnCol = "rn"
 
@@ -43,18 +50,22 @@ object Dedup {
     val multiPass = uniqueComposite.size > 1
     var current = df
     val captures = Seq.newBuilder[DataFrame]
+    val cached = Seq.newBuilder[DataFrame]
     for (keys <- uniqueComposite) {
       val step = one(current, keys, resolution, orderCol)
       captures += step.removed
       current = step.survivors
-      if (multiPass) current = current.persist(StorageLevel.MEMORY_AND_DISK)
+      if (multiPass) {
+        current = current.persist(StorageLevel.MEMORY_AND_DISK)
+        cached += current
+      }
     }
     val removed = captures.result() match {
       case Seq()     => emptyLike(df)
       case Seq(only) => only
       case many      => many.reduce(_.unionByName(_, allowMissingColumns = true))
     }
-    DedupResult(current, removed)
+    DedupResult(current, removed, cached.result())
   }
 
   private def one(df: DataFrame, keys: Seq[String], resolution: String, orderCol: String): DedupResult =

@@ -31,17 +31,23 @@ object AsOfJoin {
       keys: Seq[String],
       timeCol: String,
       rightValueCols: Seq[String]): DataFrame = {
+    // carry the right row as ONE struct so the forward-fill is atomic:
+    // per-column fills would mix values from different right rows when
+    // a newer right row holds null in some value column (ASOF matches
+    // the newest row wholesale, nulls included)
+    val payload = "_asof_payload"
     val l = left.withColumn(Tag, lit(1))
     val r = right
-      .select((keys :+ timeCol).map(col) ++ rightValueCols.map(col): _*)
+      .select((keys :+ timeCol).map(col) :+
+        struct(rightValueCols.map(col): _*).as(payload): _*)
       .withColumn(Tag, lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(timeCol), col(Tag))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightValueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col(Tag) === 1).drop(Tag)
+    val filled = unioned.withColumn(payload, last(col(payload), ignoreNulls = true).over(w))
+    rightValueCols.foldLeft(filled) { (df, c) =>
+      df.withColumn(c, col(s"$payload.$c"))
+    }.filter(col(Tag) === 1).drop(Tag, payload)
   }
 }

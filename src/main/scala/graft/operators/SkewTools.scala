@@ -49,6 +49,10 @@ object SkewTools {
       saltBuckets: Int,
       joinType: String = "inner"): DataFrame = {
     require(saltBuckets >= 1)
+    // right/full outer would emit one null-extended row per dim
+    // REPLICA (saltBuckets copies of each unmatched dim row)
+    require(Seq("inner", "left", "left_outer", "left_semi", "left_anti").contains(joinType),
+      s"saltedJoin supports fact-preserving join types only, got '$joinType'")
     val saltedFact = fact.withColumn("_salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
     val replicatedDim = dim.withColumn("_salt",

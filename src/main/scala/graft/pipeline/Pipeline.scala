@@ -43,17 +43,21 @@ object Pipeline {
       schemaErrors: DataFrame,
       duplicates: Option[DataFrame],
       ruleIssues: Seq[CustomRules.RuleIssue],
-      projections: Seq[Projections.ProjectionResult]) {
+      projections: Seq[Projections.ProjectionResult],
+      /** intermediates persisted by multi-key dedup / multi-rule runs */
+      intermediateCaches: Seq[DataFrame] = Seq.empty) {
 
     /** Release every DataFrame this run cached (stage barriers, table
-      * projections) — call when done consuming the result in a
-      * long-lived session; a run-and-exit CLI doesn't need to.
+      * projections, fold intermediates) — call when done consuming the
+      * result in a long-lived session; a run-and-exit CLI doesn't
+      * strictly need to.
       */
     def unpersist(): Unit = {
       stage.foreach(_.unpersist())
       schemaErrors.unpersist()
       duplicates.foreach(_.unpersist())
       projections.foreach(_.df.unpersist())
+      intermediateCaches.foreach(_.unpersist())
       ()
     }
   }
@@ -122,6 +126,7 @@ object Pipeline {
         duplicateRowsRemoved = duplicatesRemoved,
         projectionRows = projectionRows,
         stoppedAtSchemaErrors = false),
-      Some(stage), schemaErrors, Some(duplicates), rr.issues, projections)
+      Some(stage), schemaErrors, Some(duplicates), rr.issues, projections,
+      intermediateCaches = dd.cached ++ rr.cached)
   }
 }

@@ -44,17 +44,19 @@ object Md5Util {
 case class Hash60Array(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // null elements map to null, like the composed transform+md5 form
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "graft_hash60_array"
 
   @transient private lazy val md = MessageDigest.getInstance("MD5")
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val out = new Array[Long](arr.numElements())
+    val out = new Array[Any](arr.numElements())
     var i = 0
     while (i < out.length) {
-      out(i) = Md5Util.hash60(md, arr.getUTF8String(i).getBytes)
+      val s = arr.getUTF8String(i)
+      out(i) = if (s == null) null else java.lang.Long.valueOf(Md5Util.hash60(md, s.getBytes))
       i += 1
     }
     new GenericArrayData(out)
@@ -276,13 +278,16 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   @transient private lazy val md = MessageDigest.getInstance("MD5")
 
   override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val n = text.length - k + 1
+    // window over CODEPOINTS, not UTF-16 units — DuckDB's substr is
+    // per-character, and splitting surrogate pairs would desync every
+    // k-gram after the first non-BMP character
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cps.length - k + 1
     if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
     val hashes = new Array[Long](n)
     var i = 0
     while (i < n) {
-      hashes(i) = Md5Util.hash60(md, text.substring(i, i + k).getBytes("UTF-8"))
+      hashes(i) = Md5Util.hash60(md, new String(cps, i, k).getBytes("UTF-8"))
       i += 1
     }
     // strictly full windows (texts with fewer than w k-grams yield an
@@ -323,10 +328,13 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData].toFloatArray()
     val b = r.asInstanceOf[ArrayData].toFloatArray()
+    // mismatched dimensionality is corrupt input — surface it as null
+    // (matching the composed zip_with form) instead of silently
+    // scoring a truncated prefix
+    if (a.length != b.length) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
+    while (i < a.length) {
       val x = a(i).toDouble; val y = b(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1

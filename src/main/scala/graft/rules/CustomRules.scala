@@ -54,7 +54,11 @@ object CustomRules {
   final case class RulesResult(
       survivors: DataFrame,
       issues: Seq[RuleIssue],
-      totalInvalidRows: Long)
+      totalInvalidRows: Long,
+      /** intermediate frames persisted by multi-rule runs — callers
+        * release once survivors/issues are fully consumed
+        */
+      cached: Seq[DataFrame] = Seq.empty)
 
   /** Sequential rule application with stop/skip modes
     * (main.py:177-194): `stop` raises on the first failing rule;
@@ -69,12 +73,16 @@ object CustomRules {
     var current = df
     var total = 0L
     val issues = Seq.newBuilder[RuleIssue]
+    val cached = Seq.newBuilder[DataFrame]
     for (spec <- rules) {
       registry.get(spec.validation) match {
         case None => () // unknown rule names are ignored, like the if-chain
         case Some(rule) =>
           val fail = rule.failPredicate(spec.field, spec.params, asOf)
-          if (rules.size > 1) current = current.persist(StorageLevel.MEMORY_AND_DISK)
+          if (rules.size > 1) {
+            current = current.persist(StorageLevel.MEMORY_AND_DISK)
+            cached += current
+          }
           val invalid = current.filter(fail)
           val n = invalid.count()
           total += n
@@ -88,6 +96,6 @@ object CustomRules {
           }
       }
     }
-    RulesResult(current, issues.result(), total)
+    RulesResult(current, issues.result(), total, cached.result())
   }
 }

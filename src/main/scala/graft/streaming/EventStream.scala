@@ -68,22 +68,35 @@ object EventStream {
             state.remove()
             Iterator(out)
           } else {
-            val batch = incoming.toSeq
+            val batch = incoming.toSeq.sortBy(_.ts.getTime)
             if (batch.isEmpty) Iterator.empty
             else {
-              val prev = state.getOption
-              val start = prev.map(_.session_start)
-                .getOrElse(batch.map(_.ts).min(Ordering.by((t: java.sql.Timestamp) => t.getTime)))
-              val end = (prev.map(_.session_end).toSeq ++ batch.map(_.ts))
-                .max(Ordering.by((t: java.sql.Timestamp) => t.getTime))
-              val updated = SessionSummary(
-                userId,
-                prev.map(_.n_events).getOrElse(0L) + batch.size,
-                prev.map(_.total_value).getOrElse(0.0) + batch.map(_.value).sum,
-                start, end)
-              state.update(updated)
-              state.setTimeoutTimestamp(end.getTime + gapMinutes * 60000L)
-              Iterator.empty
+              // fold events through the open session, CLOSING it (and
+              // emitting) whenever the next event starts more than the
+              // gap after the last — observed gaps end sessions just
+              // like the batch operator; the event-time timeout only
+              // covers the final open session
+              val gapMs = gapMinutes * 60000L
+              val completed = Seq.newBuilder[SessionSummary]
+              var open = state.getOption
+              for (e <- batch) {
+                open match {
+                  case Some(s) if e.ts.getTime - s.session_end.getTime > gapMs =>
+                    completed += s
+                    open = Some(SessionSummary(userId, 1L, e.value, e.ts, e.ts))
+                  case Some(s) =>
+                    open = Some(s.copy(
+                      n_events = s.n_events + 1,
+                      total_value = s.total_value + e.value,
+                      session_end = e.ts))
+                  case None =>
+                    open = Some(SessionSummary(userId, 1L, e.value, e.ts, e.ts))
+                }
+              }
+              val last = open.get
+              state.update(last)
+              state.setTimeoutTimestamp(last.session_end.getTime + gapMs)
+              completed.result().iterator
             }
           }
       }

@@ -119,10 +119,13 @@ object SchemaValidator {
           when(col(f.name).isNull, lit(null).cast(BooleanType))
             .otherwise(col(f.name).rlike("(?i)^(true|1)$")))
       else if (target == LongType)
-        // via double: IntPattern admits a trailing ".0", which an
-        // ANSI string→bigint cast rejects
+        // direct bigint cast first (lossless for any 64-bit value);
+        // the double path only for the ".0"-suffixed spellings
+        // IntPattern admits, which the ANSI string→bigint cast rejects
         df.withColumn(f.name,
-          expr(s"try_cast(`${f.name}` AS DOUBLE)").cast(LongType))
+          coalesce(
+            expr(s"try_cast(`${f.name}` AS BIGINT)"),
+            expr(s"try_cast(`${f.name}` AS DOUBLE)").cast(LongType)))
       else df.withColumn(f.name, expr(s"try_cast(`${f.name}` AS DOUBLE)"))
     }
     ValidationResult(typed, errors, fields)

@@ -27,6 +27,18 @@ class AsOfJoinSpec extends SparkSpec {
       4L -> Some("r450"), 5L -> None))
   }
 
+  test("null right values come from the matched row, not an older one (atomic fill)") {
+    val left = Seq((1L, 1L, 600L)).toDF("id", "k", "t")
+    val right = Seq(
+      (1L, 300L, Some(7.0), "A"),
+      (1L, 500L, None: Option[Double], "B") // newest match carries a null value
+    ).toDF("k", "t", "rv", "rid")
+    val got = AsOfJoin.asofJoin(left, right, Seq("k"), "t", Seq("rv", "rid"))
+      .select($"id", $"rv", $"rid").as[(Long, Option[Double], String)].head()
+    // ASOF semantics: the whole newest row (B) wins — rv is null, not 7.0
+    assert(got == ((1L, None, "B")))
+  }
+
   test("later right rows fill later left rows only (state advances per key)") {
     val left = Seq((1L, 1L, 100L), (2L, 1L, 200L), (3L, 1L, 300L)).toDF("id", "k", "t")
     val right = Seq((1L, 150L, 1.5), (1L, 250L, 2.5)).toDF("k", "t", "rv")

@@ -49,6 +49,25 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1L, 3L))
   }
 
+  test("sessionization splits on observed gaps within the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventStream.sessionize(input.toDS(), gapMinutes = 10, watermark = "0 minutes")
+    val query = sessions.writeStream.format("memory")
+      .queryName("sessions_split").outputMode("append").start()
+    // two bursts 25 min apart (> 10 min gap) arriving together
+    input.addData(
+      Event(1, ts(0), 7, "click", 1.0), Event(2, ts(2), 7, "view", 2.0),
+      Event(3, ts(27), 7, "click", 4.0))
+    query.processAllAvailable()
+    // first session closes immediately on the observed gap
+    val emitted = spark.table("sessions_split")
+      .select($"user_id", $"n_events", $"total_value", $"session_start", $"session_end")
+      .as[(Long, Long, Double, Timestamp, Timestamp)].collect().toSet
+    query.stop()
+    assert(emitted == Set((7L, 2L, 3.0, ts(0), ts(2))))
+  }
+
   test("sessionization emits a summary once the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
