@@ -18,16 +18,21 @@ object Bench {
     // per JVM regardless of data size, which would otherwise dominate
     // the timings. The timed runs below measure steady-state.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    // noop sink materializes every row of the full projection — unlike
+    // count(), which lets Catalyst prune unreferenced columns and elide
+    // final sorts, under-measuring relative to what Verify writes.
+    def execute(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit =
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try execute(fn, warmDir) catch { case _: Throwable => () }
       }
     // a failing query must not masquerade as a (fast) timing: it gets
     // -1 in the per-query map, is excluded from the total, and is
     // listed under "failed"
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      val ok = try { execute(fn, sfDir); true } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false

@@ -1,0 +1,26 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Precondition for the exhaustive O(n²) baseline operators
+  * (`TextDedup.ngramJaccardPairs`, `Similarity.cosineDupPairs`): a
+  * forgotten bound on a 100 TB input is a cluster-killer, so the
+  * cross-join paths refuse inputs larger than an explicit `maxRows`.
+  *
+  * The check is a limit-probe — `limit(maxRows + 1).count()` — which
+  * scans at most maxRows+1 rows regardless of input size (Spark's
+  * CollectLimit short-circuits), so the guard itself stays cheap at
+  * scale.
+  */
+private[operators] object ExhaustiveGuard {
+
+  def requireBounded(df: DataFrame, maxRows: Long, op: String): Unit = {
+    require(maxRows > 0 && maxRows < Int.MaxValue, s"$op: maxRows must be in (0, 2^31)")
+    val probe = df.limit(maxRows.toInt + 1).count()
+    if (probe > maxRows)
+      throw new IllegalArgumentException(
+        s"$op is an exhaustive O(n^2) baseline and its input exceeds maxRows=$maxRows; " +
+          "pre-filter the input to a bounded id range, raise maxRows deliberately, or " +
+          "use the bucketed scale path (minhashLshPairs / simhashPairs / lshTopK) instead")
+  }
+}

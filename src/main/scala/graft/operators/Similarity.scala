@@ -171,12 +171,15 @@ object Similarity {
 
   /** All embedding pairs with cosine >= threshold within a bounded id
     * range (embedding near-dup detection; exhaustive over the range).
+    * Refuses inputs over `maxRows` — see [[ExhaustiveGuard]].
     */
   def cosineDupPairs(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxRows: Long = 10000): DataFrame = {
+    ExhaustiveGuard.requireBounded(emb, maxRows, "cosineDupPairs")
     GraftFunctions.register(emb.sparkSession)
     val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))

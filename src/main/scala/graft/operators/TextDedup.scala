@@ -145,15 +145,17 @@ object TextDedup {
   }
 
   /** Pairwise n-gram Jaccard over a bounded id range (the exhaustive
-    * baseline the LSH paths approximate; callers bound the range —
-    * at scale use minhashLshPairs instead).
+    * baseline the LSH paths approximate; at scale use minhashLshPairs
+    * instead). Refuses inputs over `maxRows` — see [[ExhaustiveGuard]].
     */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleN: Int = 2,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      maxRows: Long = 10000): DataFrame = {
+    ExhaustiveGuard.requireBounded(df, maxRows, "ngramJaccardPairs")
     val sh = df.select(
       col(idCol).as("doc_id"),
       shingles(tokens(col(textCol)), shingleN).as("sh"))

@@ -80,17 +80,19 @@ object Pipeline {
     val schemaErrorCount = schemaErrors.count()
     Sinks.saveErrors(schemaErrors, "schema_validation", entityName, outputDir)
 
-    if (schemaErrorCount > 0 && spec.settings.customValidationMode == "stop") {
-      val total = input.count()
-      return PipelineResult(
-        PipelineSummary(total, total - schemaErrorCount, schemaErrorCount, 0, 0, Map.empty,
-          stoppedAtSchemaErrors = true),
-        None, schemaErrors, None, Seq.empty, Seq.empty)
-    }
-
-    // 3. raw table (materialization barrier, main.py:90-95)
+    // 3. raw table (materialization barrier, main.py:90-95) — persisted
+    // before the stop gate so the gate's totals come from the already
+    // computed valid/error frames instead of a second source scan.
     val raw = vr.valid.persist(StorageLevel.MEMORY_AND_DISK)
     val validRows = raw.count()
+
+    if (schemaErrorCount > 0 && spec.settings.customValidationMode == "stop") {
+      return PipelineResult(
+        PipelineSummary(validRows + schemaErrorCount, validRows, schemaErrorCount, 0, 0,
+          Map.empty, stoppedAtSchemaErrors = true),
+        None, schemaErrors, None, Seq.empty, Seq.empty,
+        intermediateCaches = Seq(raw))
+    }
 
     // 4. dedup raw → stage (main.py:97-159)
     val dd = Dedup(raw, spec.settings.uniqueComposite, spec.settings.duplicateResolution)

@@ -45,14 +45,42 @@ object MultimodalQueries {
         .orderBy($"doc_id", $"frame_idx")
     },
 
-    // per-partition stub decode (mapPartitions path) — rows-only;
-    // determinism + shape asserted in MultimodalSpec.
-    Q.rowsOnly("multimodal_decode") { (s, d) =>
+    // per-partition stub decode (mapPartitions path). The stub feature
+    // vector is a normalized byte histogram, so its integer counts are
+    // recoverable (round(feature * n_bytes)) and fully expressible in
+    // SQL over the utf8 bytes — posexplode to scalar BIGINT columns so
+    // the driver compare can sort + hash them.
+    Q.sql(
+      "multimodal_decode",
+      """WITH b AS (
+        |  SELECT doc_id AS id, hex(encode(text)) AS h,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents
+        |),
+        |bytes AS (
+        |  SELECT id AS bid, unnest(range(1, n_bytes + 1)) AS i, h FROM b
+        |),
+        |counts AS (
+        |  SELECT bid, (('0x' || substr(h, CAST(2*i - 1 AS BIGINT), 2))::BIGINT % 8) AS bucket,
+        |         COUNT(*) AS cnt
+        |  FROM bytes GROUP BY 1, 2
+        |)
+        |SELECT b.id, b.n_bytes, f.feature_idx, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS byte_count
+        |FROM b
+        |CROSS JOIN (SELECT CAST(range AS BIGINT) AS feature_idx FROM range(8)) f
+        |LEFT JOIN counts c ON c.bid = b.id AND c.bucket = f.feature_idx
+        |ORDER BY id, feature_idx""".stripMargin
+    ) { (s, d) =>
       import s.implicits._
       Multimodal.decodeFeatures(
         Multimodal.attachPayload(Tables.documents(s, d), "doc_id", "text"),
         "doc_id", "payload", dim = 8)
-        .orderBy($"id")
+        .select($"id", $"n_bytes", posexplode($"features"))
+        .select(
+          $"id", $"n_bytes",
+          $"pos".cast("long").as("feature_idx"),
+          round($"col".cast("double") * $"n_bytes").cast("long").as("byte_count"))
+        .orderBy($"id", $"feature_idx")
     }
   )
 }

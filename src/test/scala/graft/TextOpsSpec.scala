@@ -108,4 +108,21 @@ class TextOpsSpec extends SparkSpec {
     // "then" must not count; overlapping pads resolve left-to-right
     assert(df.as[Long].head() == 2L)
   }
+
+  test("exhaustive pair baselines refuse inputs over maxRows") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001") // 500 docs
+    val ex1 = intercept[IllegalArgumentException] {
+      TextDedup.ngramJaccardPairs(docs, "doc_id", "text", maxRows = 100)
+    }
+    assert(ex1.getMessage.contains("exhaustive"))
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.cosineDupPairs(emb, "vec_id", "embedding", threshold = 0.9, maxRows = 100)
+    }
+    assert(ex2.getMessage.contains("exhaustive"))
+    // a bounded input passes the guard and still computes
+    val ok = TextDedup.ngramJaccardPairs(
+      docs.filter($"doc_id" < 20), "doc_id", "text", maxRows = 100)
+    assert(ok.columns.contains("jaccard"))
+  }
 }
