@@ -140,10 +140,63 @@ object Similarity {
       k: Int,
       centroidStep: Int = 50,
       nProbe: Int = 4): DataFrame = {
-    GraftFunctions.register(emb.sparkSession)
     val centroids = emb
       .filter(pmod(col(idCol), lit(centroidStep)) === 0)
       .select(col(idCol).as("cell"), col(vecCol).as("cv"))
+    ivfSearch(emb, queries, idCol, vecCol, k, centroids, nProbe)
+  }
+
+  /** Train a k-means codebook over the embedding column with Spark ML
+    * (seeded → deterministic) and return it in the `(cell, cv)` shape
+    * [[ivfSearch]] consumes. On real clustered embeddings this beats
+    * the stride quantizer's recall at equal nProbe; training is one
+    * distributed pass per iteration and the k centroid vectors are
+    * driver-resident only momentarily before re-broadcast.
+    */
+  def kmeansCodebook(
+      emb: DataFrame,
+      vecCol: String,
+      numCentroids: Int,
+      seed: Long = 42L,
+      maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val feat = emb.select(
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans()
+      .setK(numCentroids).setSeed(seed).setMaxIter(maxIter)
+      .fit(feat)
+    model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }
+      .toDF("cell", "cv")
+  }
+
+  /** IVF top-k against a trained codebook (e.g. [[kmeansCodebook]]). */
+  def ivfTopKCodebook(
+      emb: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: DataFrame,
+      nProbe: Int = 4): DataFrame =
+    ivfSearch(emb, queries, idCol, vecCol, k, centroids, nProbe)
+
+  /** Shared IVF search: invert vectors into nearest-centroid cells,
+    * probe the query's `nProbe` nearest cells, exact re-rank inside.
+    * `centroids` must have columns (cell: long, cv: array<float>).
+    */
+  private def ivfSearch(
+      emb: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: DataFrame,
+      nProbe: Int): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
 
     def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("cell"))

@@ -41,8 +41,27 @@ object StreamingIngest {
       .option("header", "true")
       .schema(schema)
       .csv(spec.source)
+    startFromSource(stream, spec, outDir, checkpoint)
+  }
 
-    stream.writeStream
+  /** Run the validate + dedup ingest over ANY streaming source — a
+    * Kafka topic (`readStream.format("kafka")` + a value-parsing
+    * select), a rate source, a socket — whose columns carry the
+    * entity's fields as strings. The file-watching [[start]] is just
+    * this with a CSV directory source; a log-bus deployment swaps the
+    * source expression and nothing downstream changes.
+    */
+  def startFromSource(
+      source: DataFrame,
+      spec: EntitySpec,
+      outDir: String,
+      checkpoint: String): StreamingQuery = {
+    require(source.isStreaming, "startFromSource needs a streaming DataFrame (readStream)")
+    val missing = spec.fields.map(_.name).filterNot(source.columns.contains)
+    require(missing.isEmpty,
+      s"streaming source is missing entity fields: ${missing.mkString(", ")}")
+
+    source.writeStream
       .queryName(s"graft-ingest-${spec.name}")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(0))

@@ -75,4 +75,39 @@ class DedupSpec extends SparkSpec {
         s"idempotence (seed=$seed res=$res)")
     }
   }
+
+  // SURVEY §7.4(1): file-aware row identity must make keep-first/last
+  // over a multi-file ingest pick the same rows as the single-file read
+  test("file-aware _row_id: multi-file read matches single-file dedup") {
+    import graft.ingest.CsvIngest
+    import java.nio.file.{Files, Paths}
+    val lines = Fixtures.employeesCsv.split("\n").toSeq
+    val header = lines.head
+    val rows = lines.tail
+    val singleDir = tmpDir("rowid-single")
+    Files.write(Paths.get(singleDir, "part-00000.csv"),
+      (header +: rows).mkString("\n").getBytes)
+    val multiDir = tmpDir("rowid-multi")
+    val chunks = Seq(rows.slice(0, 5), rows.slice(5, 10), rows.slice(10, rows.size))
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      Files.write(Paths.get(multiDir, f"part-$i%05d.csv"),
+        (header +: chunk).mkString("\n").getBytes)
+    }
+
+    val single = CsvIngest.readPath(spark, singleDir, dense = true)
+    val multi = CsvIngest.readPathFileAware(spark, multiDir)
+    // identical (row content, _row_id) assignments regardless of layout
+    val cols = single.columns.sorted.map(col)
+    assert(multi.columns.sorted.toSeq == single.columns.sorted.toSeq)
+    assert(multi.select(cols: _*).collect().toSet ==
+      single.select(cols: _*).collect().toSet)
+
+    // keep-first and keep-last pick the same physical rows either way
+    for (res <- Seq("first", "last")) {
+      def picks(df: org.apache.spark.sql.DataFrame) =
+        Dedup(df, Seq(Seq("employee_id", "company_id")), res)
+          .survivors.select("employee_id", "email").as[(String, String)].collect().toSet
+      assert(picks(multi) == picks(single), s"resolution=$res")
+    }
+  }
 }
