@@ -15,8 +15,8 @@ object SparkEntry {
 
   private def allQs: Seq[Q] =
     RelationalQueries.all ++ PipelineQueries.all ++ AdvancedQueries.all ++
-      SetOpQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ MultimodalQueries.all
+      SetOpQueries.all ++ WindowStatsQueries.all ++ TextQueries.all ++
+      DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-2 analytic widening: event-sequence navigation (lag/lead),
+  * non-equi broadcast range joins, regression aggregates, window-frame
+  * value navigation (first/last/nth), and boolean/conditional
+  * aggregates — each hash-matched against a DuckDB oracle.
+  *
+  * Scale notes: the window queries shuffle once on their partition key
+  * and nothing else; the band join broadcasts a 5-row dimension into a
+  * nested-loop join (the right plan for tiny non-equi dims — no
+  * shuffle of the fact side at any scale).
+  */
+object WindowStatsQueries {
+
+  val all: Seq[Q] = Seq(
+    // per-user event sequencing: gap to previous/next event + value
+    // delta, integer MICROsecond arithmetic (DuckDB truncates parquet
+    // nanos to micros on read, so micros is the exact shared grain;
+    // nulls at partition edges pinned to 0 so the cross-engine hash
+    // sees identical scalars)
+    Q.sql(
+      "q36_lag_lead",
+      """SELECT event_id,
+        |  COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w, 0) AS prev_gap_us,
+        |  COALESCE(lead(epoch_us(ts)) OVER w - epoch_us(ts), 0) AS next_gap_us,
+        |  round(COALESCE(value - lag(value) OVER w, 0), 2) AS value_delta
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY event_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      Tables.events(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .select(
+          $"event_id",
+          coalesce($"ts_us" - lag($"ts_us", 1).over(w), lit(0L)).as("prev_gap_us"),
+          coalesce(lead($"ts_us", 1).over(w) - $"ts_us", lit(0L)).as("next_gap_us"),
+          round(coalesce($"value" - lag($"value", 1).over(w), lit(0.0)), 2).as("value_delta"))
+        .orderBy($"event_id")
+    },
+
+    // non-equi range join: customers bucketed into balance bands via a
+    // broadcast 5-row dimension (BroadcastNestedLoopJoin — the fact
+    // side streams through unshuffled)
+    Q.sql(
+      "q37_band_range_join",
+      """WITH bands(lo, hi, band) AS (VALUES
+        |  (-1000.0, 0.0, 'neg'), (0.0, 2500.0, 'low'), (2500.0, 5000.0, 'mid'),
+        |  (5000.0, 7500.0, 'high'), (7500.0, 10000.0, 'top'))
+        |SELECT band, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer JOIN bands ON c_acctbal >= lo AND c_acctbal < hi
+        |GROUP BY band
+        |ORDER BY band""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val bands = Seq(
+        (-1000.0, 0.0, "neg"), (0.0, 2500.0, "low"), (2500.0, 5000.0, "mid"),
+        (5000.0, 7500.0, "high"), (7500.0, 10000.0, "top")).toDF("lo", "hi", "band")
+      Tables.customer(s, d)
+        .join(broadcast(bands), $"c_acctbal" >= $"lo" && $"c_acctbal" < $"hi")
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n_cust"), round(sum($"c_acctbal"), 2).as("total_bal"))
+        .orderBy($"band")
+    },
+
+    // linear-regression aggregates (slope/intercept/r²/count) of price
+    // vs quantity per return flag — single hash aggregate, no shuffle
+    // beyond the group-by
+    Q.sql(
+      "q38_regr_suite",
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(regr_slope($"l_extendedprice", $"l_quantity"), 4).as("slope"),
+          round(regr_intercept($"l_extendedprice", $"l_quantity"), 2).as("icept"),
+          round(regr_r2($"l_extendedprice", $"l_quantity"), 6).as("r2"),
+          regr_count($"l_extendedprice", $"l_quantity").cast("long").as("n"))
+        .orderBy($"l_returnflag")
+    },
+
+    // window-frame value navigation: first/last/2nd order price per
+    // customer over the full-partition frame, tie-free ordering
+    Q.sql(
+      "q39_first_last_nth",
+      """SELECT o_orderkey,
+        |  round(first_value(o_totalprice) OVER w, 2) AS first_price,
+        |  round(last_value(o_totalprice) OVER w, 2) AS last_price,
+        |  round(COALESCE(nth_value(o_totalprice, 2) OVER w, 0), 2) AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d).select(
+        $"o_orderkey",
+        round(first($"o_totalprice").over(w), 2).as("first_price"),
+        round(last($"o_totalprice").over(w), 2).as("last_price"),
+        round(coalesce(nth_value($"o_totalprice", 2).over(w), lit(0.0)), 2).as("second_price"))
+        .orderBy($"o_orderkey")
+    },
+
+    // boolean + conditional aggregates per order priority
+    Q.sql(
+      "q40_bool_aggs",
+      """SELECT o_orderpriority,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bool_or(o_orderstatus = 'F') AS any_f,
+        |  CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT) AS n_big
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_orderpriority")
+        .agg(
+          bool_and($"o_totalprice" > 1000).as("all_over_1k"),
+          bool_or($"o_orderstatus" === "F").as("any_f"),
+          count_if($"o_totalprice" > 150000).as("n_big"))
+        .orderBy($"o_orderpriority")
+    }
+  )
+}
