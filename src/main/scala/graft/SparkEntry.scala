@@ -16,7 +16,8 @@ object SparkEntry {
   private def allQs: Seq[Q] =
     RelationalQueries.all ++ PipelineQueries.all ++ AdvancedQueries.all ++
       SetOpQueries.all ++ WindowStatsQueries.all ++ TextQueries.all ++
-      DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all
+      DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
+      CurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.functions.TextFunctions.{hash60, tokens}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators: deterministic dataset splitting,
+  * per-source quota capping, fixed-size token chunking (sequence
+  * packing prep), and vocabulary extraction.
+  *
+  * All are hash- or window-based — no sampling RNG, so results are
+  * reproducible across runs, engines, and cluster layouts (the
+  * property a 100 TB curation pipeline needs: re-running assignment
+  * must not reshuffle documents between train and test).
+  *
+  * Scale shapes: split assignment and chunking are narrow (no
+  * shuffle); quota shuffles once on the group key; vocab does one
+  * partial-then-final count aggregation then a global top-k
+  * (TakeOrdered — no full sort).
+  */
+object Curation {
+
+  /** Deterministic train/val/test assignment: md5-derived bucket of
+    * the id in [0,100), `< trainPct` → train, `< trainPct+valPct` →
+    * val, else test. Stable under any re-partitioning or re-run.
+    */
+  def assignSplit(
+      df: DataFrame,
+      idCol: String,
+      trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    df.withColumn("bucket", pmod(hash60(col(idCol).cast("string")), lit(100)))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .drop("bucket")
+  }
+
+  /** Cap rows per group (e.g. max N documents per source domain),
+    * keeping the lowest `idCol` values — the standard over-represented-
+    * domain guard in pretraining mixes.
+    */
+  def groupQuota(df: DataFrame, groupCol: String, idCol: String, quota: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    df.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= quota)
+  }
+
+  /** Split each document into fixed-size token chunks (the shape
+    * sequence-packing pipelines feed to tokenizer sharding): emits one
+    * row per (doc, chunk) with the chunk's token count and a 60-bit
+    * content hash for downstream exact-dedup of chunks.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String, chunkSize: Int): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    val nChunks = greatest(
+      expr(s"(size(toks) + ${chunkSize - 1}) div $chunkSize").cast("long"), lit(1L))
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), nChunks - 1)))
+      .withColumn("chunk", slice(col("toks"), col("chunk_idx") * chunkSize + 1, lit(chunkSize)))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        size(col("chunk")).cast("long").as("chunk_len"),
+        hash60(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+  }
+
+  /** Global token vocabulary: top-k lowercased whitespace tokens by
+    * frequency (ties broken by token) — the counting shape of vocab /
+    * BPE-seed extraction.
+    */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(k)
+}

@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** Training-data curation over `documents`: deterministic dataset
+  * splitting, source quotas, token chunking, vocabulary — each fully
+  * replayed in DuckDB SQL (md5-based hash60 convention; tokens =
+  * whitespace split of trimmed text, as in TextQueries).
+  */
+object CurationQueries {
+
+  val all: Seq[Q] = Seq(
+    // md5-bucket train/val/test assignment — stable across runs,
+    // engines, partitionings
+    Q.sql(
+      "q41_hash_split",
+      """SELECT doc_id,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Curation.assignSplit(Tables.documents(s, d), "doc_id")
+        .select($"doc_id", $"split")
+        .orderBy($"doc_id")
+    },
+
+    // per-source document quota (keep lowest 50 ids per source)
+    Q.sql(
+      "q42_source_quota",
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, rn FROM r WHERE rn <= 50
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Curation.groupQuota(Tables.documents(s, d), "source", "doc_id", quota = 50)
+        .select($"doc_id", $"source", $"rn")
+        .orderBy($"doc_id")
+    },
+
+    // fixed 32-token chunks with content hash (sequence packing prep)
+    Q.sql(
+      "q43_chunk_tokens",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |c AS (
+        |  SELECT doc_id, w,
+        |    unnest(range(greatest((len(w) + 31) // 32, 1))) AS chunk_idx
+        |  FROM t)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(len(w[chunk_idx*32+1 : chunk_idx*32+32]) AS BIGINT) AS chunk_len,
+        |  ('0x' || substr(md5(array_to_string(w[chunk_idx*32+1 : chunk_idx*32+32], ' ')), 1, 15))::BIGINT AS chunk_hash
+        |FROM c
+        |ORDER BY doc_id, chunk_idx""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Curation.chunkTokens(Tables.documents(s, d), "doc_id", "text", chunkSize = 32)
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+
+    // global top-100 vocabulary by frequency (ties: token asc)
+    Q.sql(
+      "q44_vocab_topk",
+      """SELECT token, CAST(count(*) AS BIGINT) AS freq
+        |FROM (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents)
+        |GROUP BY token
+        |ORDER BY freq DESC, token
+        |LIMIT 100""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Curation.vocabTopK(Tables.documents(s, d), "text", k = 100)
+        .orderBy($"freq".desc, $"token")
+    }
+  )
+}
