@@ -66,6 +66,32 @@ object CurationQueries {
         .orderBy($"doc_id", $"chunk_idx")
     },
 
+    // PII-ish redaction (emails, long digit runs): the 60-bit hash of
+    // the redacted text proves byte-identical replacement cross-engine
+    Q.sql(
+      "q45_redact",
+      """SELECT doc_id,
+        |  CAST(length(r) AS BIGINT) AS redacted_len,
+        |  ('0x' || substr(md5(r), 1, 15))::BIGINT AS redacted_hash
+        |FROM (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\d{6,}', '<NUM>', 'g') AS r
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      import graft.functions.TextFunctions
+      Tables.documents(s, d)
+        .select($"doc_id", TextFunctions.redact($"text").as("r"))
+        .select(
+          $"doc_id",
+          length($"r").cast("long").as("redacted_len"),
+          TextFunctions.hash60($"r").as("redacted_hash"))
+        .orderBy($"doc_id")
+    },
+
     // global top-100 vocabulary by frequency (ties: token asc)
     Q.sql(
       "q44_vocab_topk",

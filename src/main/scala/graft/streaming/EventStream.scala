@@ -47,6 +47,34 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Watermarked stream-stream interval join: each left event is
+    * matched to right events with the same `key` whose timestamp falls
+    * in [left.ts, left.ts + within] — the click→conversion attribution
+    * shape. Watermarks on BOTH sides plus the time-range predicate let
+    * Spark bound the join state (expired rows are dropped once the
+    * watermark passes left.ts + within), so state stays finite on an
+    * infinite stream.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      within: String = "15 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $within"))
+      .select(
+        col(s"l.$key").as(key),
+        col("l.event_id").as("left_id"),
+        col("r.event_id").as("right_id"),
+        col("l.ts").as("left_ts"),
+        col("r.ts").as("right_ts"))
+  }
+
   /** Gap-based sessionization with explicit state: a session closes
     * (and emits one summary row) once the event-time watermark passes
     * session_end + gap. Event-time timeouts keep this deterministic —

@@ -33,6 +33,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((ts(5), "view", 1L, 3.0)))
   }
 
+  test("stream-stream interval join matches within the time bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val query = EventStream.intervalJoin(
+      clicks.toDF(), buys.toDF(), "user_id", within = "15 minutes")
+      .writeStream.format("memory").queryName("ijoin").outputMode("append").start()
+    clicks.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(0), 2, "click", 1.0))
+    buys.addData(
+      Event(10, ts(5), 1, "buy", 9.0),  // user 1: within 15 min → match
+      Event(11, ts(30), 2, "buy", 9.0), // user 2: 30 min later → no match
+      Event(12, ts(3), 3, "buy", 9.0))  // user 3: no click at all
+    query.processAllAvailable()
+    // advance both watermarks so expired state is provably droppable
+    clicks.addData(Event(5, ts(55), 9, "click", 0.0))
+    buys.addData(Event(15, ts(55), 9, "buy", 0.0))
+    query.processAllAvailable()
+    val got = spark.table("ijoin")
+      .select($"user_id", $"left_id", $"right_id").as[(Long, Long, Long)]
+      .collect().toSet
+    query.stop()
+    assert(got.contains((1L, 1L, 10L)))
+    assert(!got.exists(r => r._1 == 2L && r._3 == 11L))
+    assert(!got.exists(_._1 == 3L))
+  }
+
   test("streaming dedup drops in-watermark duplicates, keeps first") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

@@ -133,6 +133,12 @@ class TextOpsSpec extends SparkSpec {
     assert(df.as[Long].head() == 2L)
   }
 
+  test("redact replaces every email and long digit run, keeps short numbers") {
+    val df = Seq("mail a@b.com and c.d+x@e.org id 1234567 short 123").toDF("t")
+      .select(redact($"t").as("r"))
+    assert(df.as[String].head() == "mail <EMAIL> and <EMAIL> id <NUM> short 123")
+  }
+
   test("exhaustive pair baselines refuse inputs over maxRows") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001") // 500 docs
     val ex1 = intercept[IllegalArgumentException] {
