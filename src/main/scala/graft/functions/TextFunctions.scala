@@ -41,6 +41,9 @@ object TextFunctions {
   }
 
   /** 60-bit md5-derived hash of a string column. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Redact PII-ish spans for training-data cleaning: email addresses,
     * then long digit runs (ids/phones) — both global replaces (DuckDB
     * replay needs the 'g' flag; Spark is global by default).
@@ -49,9 +52,6 @@ object TextFunctions {
     regexp_replace(
       regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
       "\\d{6,}", "<NUM>")
-
-  def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Seeded variant: h_j(s) = hash60(s || '#' || j). */
   def hash60(c: Column, seed: Int): Column =

@@ -8,9 +8,10 @@ import org.apache.spark.sql.DataFrame
   * cross-join paths refuse inputs larger than an explicit `maxRows`.
   *
   * The check is a limit-probe — `limit(maxRows + 1).count()` — which
-  * scans at most maxRows+1 rows regardless of input size (Spark's
-  * CollectLimit short-circuits), so the guard itself stays cheap at
-  * scale.
+  * reads at most maxRows+1 rows PER SCAN PARTITION (LocalLimit under
+  * the count aggregate), so the probe's cost is bounded by
+  * partitions × maxRows rather than by the input's row count — cheap
+  * relative to the O(n²) join it guards, though not constant.
   */
 private[operators] object ExhaustiveGuard {
 
