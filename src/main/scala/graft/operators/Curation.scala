@@ -69,6 +69,36 @@ object Curation {
         hash60(concat_ws(" ", col("chunk"))).as("chunk_hash"))
   }
 
+  /** Per-group sampling weights that reshape the observed group mix
+    * into a target mix: weight(g) = target_frac(g) / observed_frac(g)
+    * (so sampling each row with probability ∝ its group weight yields
+    * the target mixture). Groups absent from `targets` weigh 0. The
+    * group table is tiny — one row per group — so the fraction windows
+    * are driver-free and effectively free.
+    */
+  def mixtureWeights(df: DataFrame, groupCol: String, targets: Map[String, Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy()
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("observed_frac", col("n_docs") / sum(col("n_docs")).over(w))
+    val t = targets.toSeq.toDF(groupCol, "target_frac")
+    counts.join(broadcast(t), Seq(groupCol), "left")
+      .withColumn("weight",
+        round(coalesce(col("target_frac"), lit(0.0)) / col("observed_frac"), 6))
+      .select(col(groupCol), col("n_docs"), col("weight"))
+  }
+
+  /** Uniform-target special case: weight(g) = N / (G · n_g). */
+  def uniformMixtureWeights(df: DataFrame, groupCol: String): DataFrame = {
+    val w = Window.partitionBy()
+    df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+      .select(
+        col(groupCol), col("n_docs"),
+        round(sum(col("n_docs")).over(w).cast("double") /
+          (count(lit(1)).over(w) * col("n_docs")), 6).as("weight"))
+  }
+
   /** Global token vocabulary: top-k lowercased whitespace tokens by
     * frequency (ties broken by token) — the counting shape of vocab /
     * BPE-seed extraction.

@@ -92,6 +92,22 @@ object CurationQueries {
         .orderBy($"doc_id")
     },
 
+    // uniform mixture reweighting: per-source sampling weight that
+    // flattens the observed source mix (weight = N / (G * n_g))
+    Q.sql(
+      "q47_mixture_weights",
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source)
+        |SELECT source, n_docs,
+        |  round((SELECT count(*) FROM documents)::DOUBLE
+        |        / ((SELECT count(*) FROM c) * n_docs), 6) AS weight
+        |FROM c
+        |ORDER BY source""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Curation.uniformMixtureWeights(Tables.documents(s, d), "source")
+        .orderBy($"source")
+    },
+
     // global top-100 vocabulary by frequency (ties: token asc)
     Q.sql(
       "q44_vocab_topk",

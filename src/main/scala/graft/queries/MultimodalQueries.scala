@@ -45,6 +45,30 @@ object MultimodalQueries {
         .orderBy($"doc_id", $"frame_idx")
     },
 
+    // resize-to-byte-budget (truncate + zero-pad): DuckDB 1.0 can't
+    // slice/hash blobs, so both engines compare in hex space — Spark
+    // hashes hex(resized payload), DuckDB replays the truncate+pad on
+    // the hex string (2 chars/byte, '0'-pad == 0x00-pad)
+    Q.sql(
+      "q46_resize",
+      """SELECT doc_id,
+        |  CAST(64 AS BIGINT) AS resized_len,
+        |  ('0x' || substr(md5(rpad(substr(hex(encode(text)), 1, 128), 128, '0')), 1, 15))::BIGINT AS resized_hash
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      import graft.functions.TextFunctions
+      Multimodal.resizePayload(
+        Multimodal.attachPayload(Tables.documents(s, d), "doc_id", "text"),
+        "payload", targetBytes = 64)
+        .select(
+          $"doc_id",
+          length($"payload_resized").cast("long").as("resized_len"),
+          TextFunctions.hash60(hex($"payload_resized")).as("resized_hash"))
+        .orderBy($"doc_id")
+    },
+
     // per-partition stub decode (mapPartitions path). The stub feature
     // vector is a normalized byte histogram, so its integer counts are
     // recoverable (round(feature * n_bytes)) and fully expressible in

@@ -51,6 +51,24 @@ object Sinks {
     }
   }
 
+  /** Hive-style partitioned dataset sink (the training-shard layout:
+    * `dir/col=value/part-*.parquet`). Rows are repartitioned on the
+    * partition columns first so each output partition is written by
+    * the tasks that own its rows — no small-file explosion from every
+    * task touching every partition — and partition pruning works for
+    * downstream readers that filter on the layout columns.
+    */
+  def writePartitioned(df: DataFrame, dir: String, partitionCols: Seq[String],
+      format: String = "parquet"): String = {
+    require(partitionCols.nonEmpty, "writePartitioned needs at least one partition column")
+    df.repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .format(format)
+      .save(dir)
+    dir
+  }
+
   private def ordered(df: DataFrame): DataFrame =
     if (df.columns.contains(RowId)) df.orderBy(col(RowId))
     else if (df.columns.contains("row")) df.orderBy(col("row"))

@@ -56,6 +56,35 @@ class CurationSpec extends SparkSpec {
     assert(nonFinalShort.count() == 0)
   }
 
+  test("mixture weights flatten the source mix; absent targets weigh 0") {
+    val uni = Curation.uniformMixtureWeights(docs, "source")
+    // weight * n_docs is the same for every group (= N/G)
+    val products = uni.select(($"weight" * $"n_docs").as("p")).as[Double].collect()
+    assert(products.forall(p => math.abs(p - products.head) < 0.01), products.toSeq.toString)
+    // explicit-target form: one source up-weighted, unknown source → 0
+    val aSource = docs.select("source").as[String].head()
+    val tw = Curation.mixtureWeights(docs, "source", Map(aSource -> 1.0))
+    val wFor = tw.filter($"source" === aSource).select("weight").as[Double].head()
+    assert(wFor > 1.0) // its observed frac < 1, target 1 → up-weight
+    assert(tw.filter($"source" =!= aSource).filter($"weight" =!= 0.0).count() == 0)
+  }
+
+  test("writePartitioned lays out hive-style dirs and prunes on read") {
+    import graft.sinks.Sinks
+    val dir = tmpDir("part-sink") + "/byspit"
+    val assigned = Curation.assignSplit(docs, "doc_id")
+    Sinks.writePartitioned(assigned, dir, Seq("split"))
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("split=test", "split=train", "split=val"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    // partition pruning: a split filter reads only that directory
+    val plan = back.filter($"split" === "train").queryExecution.executedPlan.toString
+    assert(!plan.contains("split=test"))
+    assert(back.filter($"split" === "train").count() ==
+      assigned.filter($"split" === "train").count())
+  }
+
   test("vocabTopK returns k most frequent tokens, deterministically") {
     val v = Curation.vocabTopK(docs, "text", k = 20).collect()
     assert(v.length == 20)
