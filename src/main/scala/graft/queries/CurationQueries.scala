@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.operators.Curation
+import graft.operators.{Curation, DataProfiler}
 import org.apache.spark.sql.functions._
 
 /** Training-data curation over `documents`: deterministic dataset
@@ -106,6 +106,25 @@ object CurationQueries {
       import s.implicits._
       Curation.uniformMixtureWeights(Tables.documents(s, d), "source")
         .orderBy($"source")
+    },
+
+    // one-scan schema-driven profile of orders (nulls + exact distinct
+    // per column); the oracle recomputes per column — Spark's single
+    // multi-aggregate pass is the scale-correct formulation
+    Q.sql(
+      "q48_profile_orders", {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        cols.map(c =>
+          s"""SELECT '$c' AS column_name,
+             |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+             |FROM orders""".stripMargin)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+      }
+    ) { (s, d) =>
+      import s.implicits._
+      DataProfiler.profile(Tables.orders(s, d)).orderBy($"column_name")
     },
 
     // global top-100 vocabulary by frequency (ties: token asc)

@@ -85,6 +85,21 @@ class CurationSpec extends SparkSpec {
       assigned.filter($"split" === "train").count())
   }
 
+  test("DataProfiler: correct null/distinct counts from a single scan") {
+    import graft.operators.DataProfiler
+    val df = Seq((Option(1), Option("a")), (None, Option("a")), (Option(2), None))
+      .toDF("x", "y")
+    val p = DataProfiler.profile(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(p("x") == ((1L, 2L)) && p("y") == ((1L, 1L)))
+    // subset selection
+    assert(DataProfiler.profile(df, Seq("x")).count() == 1)
+    // the whole profile of a parquet table is one scan, not one per column
+    val plan = DataProfiler.profile(Tables.orders(spark, "/root/testdata/sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1, "profile must scan once")
+  }
+
   test("vocabTopK returns k most frequent tokens, deterministically") {
     val v = Curation.vocabTopK(docs, "text", k = 20).collect()
     assert(v.length == 20)
