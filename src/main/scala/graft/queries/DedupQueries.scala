@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.operators.{Similarity, TextDedup}
+import graft.operators.{DupGraph, Similarity, TextDedup}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection at the operator level: MinHash+LSH over
@@ -109,6 +109,35 @@ object DedupQueries {
         Tables.embeddings(s, d).filter($"vec_id" < 300), "vec_id", "embedding",
         threshold = 0.40)
         .orderBy($"id_a", $"id_b")
+    },
+
+    // near-dup pairs → clusters: connected components by iterative
+    // min-label propagation (Spark) vs a recursive-CTE transitive
+    // closure (DuckDB) — one canonical id per dup family
+    Q.sql(
+      "dup_components",
+      """WITH RECURSIVE
+        |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        |      FROM embeddings WHERE vec_id < 300),
+        |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+        |      FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |      WHERE round(list_dot_product(a.vv, b.vv)
+        |            / sqrt(list_dot_product(a.vv, a.vv))
+        |            / sqrt(list_dot_product(b.vv, b.vv)), 6) >= 0.40),
+        |edges AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+        |walk AS (
+        |  SELECT a AS node, a AS label FROM edges
+        |  UNION
+        |  SELECT e2.a AS node, w.label AS label FROM edges e2 JOIN walk w ON w.node = e2.b
+        |)
+        |SELECT node, CAST(min(label) AS BIGINT) AS component
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val pairs = Similarity.cosineDupPairs(
+        Tables.embeddings(s, d).filter($"vec_id" < 300), "vec_id", "embedding",
+        threshold = 0.40)
+      DupGraph.connectedComponents(pairs).orderBy($"node")
     }
   )
 }

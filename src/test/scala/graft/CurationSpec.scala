@@ -100,6 +100,20 @@ class CurationSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(plan).size == 1, "profile must scan once")
   }
 
+  test("connectedComponents: chains merge, disjoint stay apart, layout-invariant") {
+    import graft.operators.DupGraph
+    // chain 1-2-3-4 (diameter 3, needs >1 iteration) + separate pair 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = DupGraph.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(cc) == Seq(1L, 1L, 1L, 1L))
+    assert(Seq(10L, 11L).map(cc) == Seq(10L, 10L))
+    // repartitioned edges give identical components
+    val cc2 = DupGraph.connectedComponents(edges.repartition(5))
+      .as[(Long, Long)].collect().toMap
+    assert(cc2 == cc)
+  }
+
   test("vocabTopK returns k most frequent tokens, deterministically") {
     val v = Curation.vocabTopK(docs, "text", k = 20).collect()
     assert(v.length == 20)
