@@ -118,6 +118,39 @@ object WindowStatsQueries {
         .orderBy($"o_orderkey")
     },
 
+    // winsorization (outlier clipping to in-group [p05, p95]): group
+    // quantiles computed once on a tiny aggregate, broadcast back,
+    // clip + re-aggregate — two passes over the fact, zero fact-side
+    // shuffles beyond the group-bys
+    Q.sql(
+      "q49_winsorize",
+      """WITH q AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag,
+        |  CAST(count(*) FILTER (WHERE l_extendedprice < lo) AS BIGINT) AS n_low,
+        |  CAST(count(*) FILTER (WHERE l_extendedprice > hi) AS BIGINT) AS n_high,
+        |  round(sum(least(greatest(l_extendedprice, lo), hi)), 2) AS clipped_sum
+        |FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val q = li.groupBy($"l_returnflag").agg(
+        expr("percentile(l_extendedprice, 0.05)").as("lo"),
+        expr("percentile(l_extendedprice, 0.95)").as("hi"))
+      li.join(broadcast(q), "l_returnflag")
+        .groupBy($"l_returnflag")
+        .agg(
+          count_if($"l_extendedprice" < $"lo").as("n_low"),
+          count_if($"l_extendedprice" > $"hi").as("n_high"),
+          round(sum(least(greatest($"l_extendedprice", $"lo"), $"hi")), 2).as("clipped_sum"))
+        .orderBy($"l_returnflag")
+    },
+
     // boolean + conditional aggregates per order priority
     Q.sql(
       "q40_bool_aggs",
