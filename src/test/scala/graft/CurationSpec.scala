@@ -114,6 +114,27 @@ class CurationSpec extends SparkSpec {
     assert(cc2 == cc)
   }
 
+  test("incremental dedup: ledger drops cross-batch dups, re-runs are no-ops") {
+    import graft.operators.IncrementalDedup
+    val ledger = tmpDir("inc-ledger") + "/fp"
+    val b1 = Seq((1L, "Hello  World"), (2L, "doc two"), (3L, "hello world"))
+      .toDF("doc_id", "text") // 3 == canonical dup of 1
+    val s1 = IncrementalDedup.ingestBatch(b1, "doc_id", "text", ledger)
+    assert(s1.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+
+    // batch 2: one cross-batch dup (of doc 2), one genuinely new doc
+    val b2 = Seq((10L, "DOC TWO"), (11L, "fresh content"))
+      .toDF("doc_id", "text")
+    val s2 = IncrementalDedup.ingestBatch(b2, "doc_id", "text", ledger)
+    assert(s2.select("doc_id").as[Long].collect().toSeq == Seq(11L))
+    // result is stable when consumed again (lineage severed from ledger)
+    assert(s2.count() == 1)
+
+    // re-running the same batch admits nothing
+    val s3 = IncrementalDedup.ingestBatch(b2, "doc_id", "text", ledger)
+    assert(s3.count() == 0)
+  }
+
   test("vocabTopK returns k most frequent tokens, deterministically") {
     val v = Curation.vocabTopK(docs, "text", k = 20).collect()
     assert(v.length == 20)
