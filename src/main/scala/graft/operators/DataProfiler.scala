@@ -17,14 +17,19 @@ object DataProfiler {
   def profile(df: DataFrame, cols: Seq[String] = Seq.empty): DataFrame = {
     val targets = if (cols.nonEmpty) cols else df.columns.toSeq
     require(targets.nonEmpty, "profile needs at least one column")
-    val aggs = targets.flatMap { c =>
+    // internal aliases are INDEXED, and source refs backtick-escaped,
+    // so imported column names with spaces/dots/quotes profile cleanly
+    def quoted(c: String) = s"`${c.replace("`", "``")}`"
+    val aggs = targets.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
-        countDistinct(col(c)).as(s"dist_$c"))
+        sum(when(col(quoted(c)).isNull, 1L).otherwise(0L)).as(s"nulls_$i"),
+        countDistinct(col(quoted(c))).as(s"dist_$i"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = targets
-      .map(c => s"'$c', CAST(nulls_$c AS BIGINT), CAST(dist_$c AS BIGINT)")
+    val stackArgs = targets.zipWithIndex
+      .map { case (c, i) =>
+        s"'${c.replace("'", "''")}', CAST(nulls_$i AS BIGINT), CAST(dist_$i AS BIGINT)"
+      }
       .mkString(", ")
     row.selectExpr(
       s"stack(${targets.length}, $stackArgs) AS (column_name, n_nulls, n_distinct)")

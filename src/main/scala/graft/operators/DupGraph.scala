@@ -71,6 +71,10 @@ object DupGraph {
       iter += batch
     }
     symSelf.unpersist()
-    labels.select(col("node"), col("label").as("component"))
+    // hand back a lineage-severed copy and release the loop's cache —
+    // otherwise every call leaks one node-sized persisted frame
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
+    out.select(col("node"), col("label").as("component"))
   }
 }

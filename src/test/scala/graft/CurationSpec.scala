@@ -94,6 +94,11 @@ class CurationSpec extends SparkSpec {
     assert(p("x") == ((1L, 2L)) && p("y") == ((1L, 1L)))
     // subset selection
     assert(DataProfiler.profile(df, Seq("x")).count() == 1)
+    // imported-data column names (spaces, dots, quotes) profile cleanly
+    val odd = df.withColumnRenamed("x", "order date").withColumnRenamed("y", "a.b's")
+    val oddP = DataProfiler.profile(odd).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(oddP == Map("order date" -> 1L, "a.b's" -> 1L))
     // the whole profile of a parquet table is one scan, not one per column
     val plan = DataProfiler.profile(Tables.orders(spark, "/root/testdata/sf0.001"))
       .queryExecution.executedPlan.toString
@@ -116,22 +121,23 @@ class CurationSpec extends SparkSpec {
 
   test("incremental dedup: ledger drops cross-batch dups, re-runs are no-ops") {
     import graft.operators.IncrementalDedup
-    val ledger = tmpDir("inc-ledger") + "/fp"
+    val base = tmpDir("inc-ledger")
+    val ledger = s"$base/fp"
     val b1 = Seq((1L, "Hello  World"), (2L, "doc two"), (3L, "hello world"))
       .toDF("doc_id", "text") // 3 == canonical dup of 1
-    val s1 = IncrementalDedup.ingestBatch(b1, "doc_id", "text", ledger)
+    val s1 = IncrementalDedup.ingestBatch(b1, "doc_id", "text", ledger, s"$base/out1")
     assert(s1.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
 
     // batch 2: one cross-batch dup (of doc 2), one genuinely new doc
     val b2 = Seq((10L, "DOC TWO"), (11L, "fresh content"))
       .toDF("doc_id", "text")
-    val s2 = IncrementalDedup.ingestBatch(b2, "doc_id", "text", ledger)
+    val s2 = IncrementalDedup.ingestBatch(b2, "doc_id", "text", ledger, s"$base/out2")
     assert(s2.select("doc_id").as[Long].collect().toSeq == Seq(11L))
-    // result is stable when consumed again (lineage severed from ledger)
-    assert(s2.count() == 1)
+    // durable: the output dir holds the survivors independently
+    assert(spark.read.parquet(s"$base/out2").count() == 1)
 
-    // re-running the same batch admits nothing
-    val s3 = IncrementalDedup.ingestBatch(b2, "doc_id", "text", ledger)
+    // re-running an already-ledgered batch admits nothing
+    val s3 = IncrementalDedup.ingestBatch(b2, "doc_id", "text", ledger, s"$base/out2b")
     assert(s3.count() == 0)
   }
 
