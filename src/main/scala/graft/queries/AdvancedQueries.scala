@@ -97,11 +97,13 @@ object AdvancedQueries {
         |ORDER BY o_orderpriority""".stripMargin
     ) { (s, d) =>
       import s.implicits._
-      Tables.orders(s, d)
-        .groupBy($"o_orderpriority")
-        .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
-          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
+      // distributed exact percentiles (sort window + single agg), bit-
+      // identical to the built-in `percentile` per QuantilesSpec but
+      // without its collect-the-group-into-one-reducer memory shape
+      graft.operators.Quantiles.groupPercentiles(
+        Tables.orders(s, d), "o_orderpriority", "o_totalprice",
+        Seq("p50" -> 0.5, "p90" -> 0.9))
+        .select($"o_orderpriority", round($"p50", 2).as("p50"), round($"p90", 2).as("p90"))
         .orderBy($"o_orderpriority")
     },
 

@@ -139,9 +139,11 @@ object WindowStatsQueries {
     ) { (s, d) =>
       import s.implicits._
       val li = Tables.lineitem(s, d)
-      val q = li.groupBy($"l_returnflag").agg(
-        expr("percentile(l_extendedprice, 0.05)").as("lo"),
-        expr("percentile(l_extendedprice, 0.95)").as("hi"))
+      // distributed exact percentiles (sort window + single agg) — NOT
+      // the built-in `percentile`, which collects each group into one
+      // reducer's memory; QuantilesSpec proves them bit-identical
+      val q = graft.operators.Quantiles.groupPercentiles(
+        li, "l_returnflag", "l_extendedprice", Seq("lo" -> 0.05, "hi" -> 0.95))
       li.join(broadcast(q), "l_returnflag")
         .groupBy($"l_returnflag")
         .agg(

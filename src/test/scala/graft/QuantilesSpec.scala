@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.Quantiles
+import org.apache.spark.sql.functions._
+
+class QuantilesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("distributed group percentiles == built-in percentile, bit-exact") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val builtin = li.groupBy($"l_returnflag").agg(
+      expr("percentile(l_extendedprice, 0.05)").as("lo"),
+      expr("percentile(l_extendedprice, 0.5)").as("mid"),
+      expr("percentile(l_extendedprice, 0.95)").as("hi"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val dist = Quantiles.groupPercentiles(li, "l_returnflag", "l_extendedprice",
+      Seq("lo" -> 0.05, "mid" -> 0.5, "hi" -> 0.95))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(dist == builtin) // exact double equality, no rounding
+  }
+
+  test("edge cases: single row, duplicates, nulls ignored, p=0/1") {
+    val df = Seq(
+      ("a", Some(5.0)),
+      ("b", Some(1.0)), ("b", Some(1.0)), ("b", Some(3.0)), ("b", None)
+    ).toDF("g", "v")
+    val got = Quantiles.groupPercentiles(df, "g", "v",
+      Seq("p0" -> 0.0, "p50" -> 0.5, "p100" -> 1.0))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("a") == ((5.0, 5.0, 5.0)))
+    assert(got("b") == ((1.0, 1.0, 3.0))) // null excluded: values 1,1,3
+    val builtin = df.groupBy($"g").agg(expr("percentile(v, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(builtin("b") == got("b")._2)
+  }
+}
