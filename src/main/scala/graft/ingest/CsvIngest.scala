@@ -34,8 +34,10 @@ object CsvIngest {
     * normalized to all-string columns so the same lexical validation
     * pipeline applies regardless of the wire format.
     */
-  def read(spark: SparkSession, spec: EntitySpec, dense: Boolean = true): DataFrame =
+  def read(spark: SparkSession, spec: EntitySpec, dense: Boolean = true,
+      fileAware: Boolean = false): DataFrame =
     spec.format match {
+      case "csv" if fileAware => readPathFileAware(spark, spec.source)
       case "csv" => readPath(spark, spec.source, dense)
       case "json" | "parquet" =>
         val raw = spark.read.format(spec.format).load(spec.source)
