@@ -153,6 +153,40 @@ object WindowStatsQueries {
         .orderBy($"l_returnflag")
     },
 
+    // ordered conversion funnel (view → click → purchase): first
+    // occurrence per stage per user via conditional min, stage
+    // ordering checked in one pass — a single group-by over events,
+    // no joins, no re-scans per stage
+    Q.sql(
+      "q50_funnel",
+      """WITH t AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+        |  FROM events GROUP BY user_id)
+        |SELECT
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(count(t_view) AS BIGINT) AS n_view,
+        |  CAST(count(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT) AS n_view_click,
+        |  CAST(count(CASE WHEN t_buy > t_click AND t_click > t_view THEN 1 END) AS BIGINT) AS n_full
+        |FROM t""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .groupBy($"user_id")
+        .agg(
+          min(when($"event_type" === "view", $"ts_us")).as("t_view"),
+          min(when($"event_type" === "click", $"ts_us")).as("t_click"),
+          min(when($"event_type" === "purchase", $"ts_us")).as("t_buy"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          count($"t_view").as("n_view"),
+          count(when($"t_click" > $"t_view", 1)).as("n_view_click"),
+          count(when($"t_buy" > $"t_click" && $"t_click" > $"t_view", 1)).as("n_full"))
+    },
+
     // boolean + conditional aggregates per order priority
     Q.sql(
       "q40_bool_aggs",

@@ -55,18 +55,25 @@ object EventStream {
     * watermark passes left.ts + within), so state stays finite on an
     * infinite stream.
     */
+  /** `joinType` "inner" emits matches only; "left_outer" also emits
+    * each unmatched left event (null right columns) once the watermark
+    * proves no match can still arrive — the "clicks that never
+    * converted" stream.
+    */
   def intervalJoin(
       left: DataFrame,
       right: DataFrame,
       key: String,
       within: String = "15 minutes",
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermark).alias("l")
     val r = right.withWatermark("ts", watermark).alias("r")
     l.join(r,
       col(s"l.$key") === col(s"r.$key") &&
         col("r.ts") >= col("l.ts") &&
-        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $within"))
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $within"),
+      joinType)
       .select(
         col(s"l.$key").as(key),
         col("l.event_id").as("left_id"),

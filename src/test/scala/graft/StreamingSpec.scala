@@ -61,6 +61,33 @@ class StreamingSpec extends SparkSpec {
     assert(!got.exists(_._1 == 3L))
   }
 
+  test("left-outer interval join emits unconverted lefts after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val query = EventStream.intervalJoin(
+      clicks.toDF(), buys.toDF(), "user_id",
+      within = "15 minutes", joinType = "left_outer")
+      .writeStream.format("memory").queryName("loj").outputMode("append").start()
+    clicks.addData(
+      Event(1, ts(0), 1, "click", 1.0),  // converts
+      Event(2, ts(0), 2, "click", 1.0))  // never converts
+    buys.addData(Event(10, ts(5), 1, "buy", 9.0))
+    query.processAllAvailable()
+    // push both watermarks far past left.ts + within so the unmatched
+    // left row is provably final and must be emitted with nulls
+    clicks.addData(Event(5, ts(59), 9, "click", 0.0))
+    buys.addData(Event(15, ts(59), 9, "buy", 0.0))
+    query.processAllAvailable()
+    val got = spark.table("loj")
+      .select($"user_id", $"left_id", $"right_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+    query.stop()
+    assert(got.contains((1L, 1L, 10L)))
+    assert(got.contains((2L, 2L, -1L)), s"unmatched left missing: $got")
+  }
+
   test("streaming dedup drops in-watermark duplicates, keeps first") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
