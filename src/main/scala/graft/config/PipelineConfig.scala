@@ -30,7 +30,10 @@ final case class RuleSpec(
 final case class Settings(
     duplicateResolution: String, // first | last | exclude_all
     customValidationMode: String, // stop | skip
-    uniqueComposite: Seq[Seq[String]] = Seq.empty)
+    uniqueComposite: Seq[Seq[String]] = Seq.empty,
+    /** extension (not in reference config): multi-file layout-independent
+      * `_row_id` assignment — see CsvIngest.readPathFileAware */
+    fileAware: Boolean = false)
 
 final case class EntitySpec(
     name: String,
@@ -103,7 +106,8 @@ final case class PipelineConfig(entities: Map[String, Any]) {
         customValidationMode = settingsMap.get("custom_validation_mode").map(_.toString).getOrElse("stop"),
         uniqueComposite = settingsMap.get("unique_composite")
           .map(_.asInstanceOf[Seq[Any]].map(_.asInstanceOf[Seq[Any]].map(_.toString)))
-          .getOrElse(Seq.empty)),
+          .getOrElse(Seq.empty),
+        fileAware = settingsMap.get("file_aware").exists(_.toString.toBoolean)),
       fields = fields,
       rules = customRules,
       projections = projections,

@@ -74,7 +74,7 @@ object Pipeline {
     val spec: EntitySpec = sourceOverride.fold(spec0)(src => spec0.copy(source = src))
 
     // 1. ingest + 2. schema validation
-    val input = CsvIngest.read(spark, spec)
+    val input = CsvIngest.read(spark, spec, fileAware = spec.settings.fileAware)
     val vr = SchemaValidator.validate(input, spec.fields)
     val schemaErrors = vr.errors.persist(StorageLevel.MEMORY_AND_DISK)
     val schemaErrorCount = schemaErrors.count()

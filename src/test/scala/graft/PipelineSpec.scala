@@ -85,6 +85,30 @@ class PipelineSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/output/errors/employees_schema_validation_errors.csv")))
   }
 
+  test("file_aware setting: multi-file source runs the full pipeline identically") {
+    import java.nio.file.{Files, Paths}
+    val dir = tmpDir("pipeline-fileaware")
+    val (cfgPath, _) = Fixtures.materialize(dir)
+    // split the fixture CSV into two ordered part files
+    val lines = Fixtures.employeesCsv.split("\n").toSeq
+    val srcDir = s"$dir/multisrc"
+    Files.createDirectories(Paths.get(srcDir))
+    Files.write(Paths.get(srcDir, "part-00000.csv"),
+      (lines.head +: lines.tail.take(7)).mkString("\n").getBytes)
+    Files.write(Paths.get(srcDir, "part-00001.csv"),
+      (lines.head +: lines.tail.drop(7)).mkString("\n").getBytes)
+    val yaml = new String(Files.readAllBytes(Paths.get(cfgPath)), "UTF-8")
+      .replace("settings:", "settings:\n      file_aware: true")
+    Files.writeString(Paths.get(cfgPath), yaml)
+    val cfg = PipelineConfig.load(cfgPath)
+    assert(cfg.entity("employees").settings.fileAware)
+    val r = Pipeline.run(spark, cfg, "employees", s"$dir/out",
+      asOf = LocalDate.parse("2026-01-01"), sourceOverride = Some(srcDir))
+    // same summary as the single-file fixture run
+    assert(r.summary.totalRows == 14 && r.summary.validRows == 12)
+    assert(r.summary.duplicateRowsRemoved == 2)
+  }
+
   test("alias referencing unknown field skips that projection only") {
     val dir = tmpDir("pipeline-alias")
     val (cfgPath, _) = Fixtures.materialize(dir)
