@@ -153,6 +153,29 @@ object WindowStatsQueries {
         .orderBy($"l_returnflag")
     },
 
+    // bitwise aggregate family + scalar bit arithmetic
+    Q.sql(
+      "q51_bitwise",
+      """SELECT l_returnflag,
+        |  CAST(bit_and(l_linenumber) AS BIGINT) AS ba,
+        |  CAST(bit_or(l_linenumber) AS BIGINT) AS bo,
+        |  CAST(bit_xor(l_linenumber) AS BIGINT) AS bx,
+        |  CAST(sum(l_orderkey & 255) AS BIGINT) AS masked_sum
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          bit_and($"l_linenumber").cast("long").as("ba"),
+          bit_or($"l_linenumber").cast("long").as("bo"),
+          bit_xor($"l_linenumber").cast("long").as("bx"),
+          sum($"l_orderkey".bitwiseAND(255)).cast("long").as("masked_sum"))
+        .orderBy($"l_returnflag")
+    },
+
     // ordered conversion funnel (view → click → purchase): first
     // occurrence per stage per user via conditional min, stage
     // ordering checked in one pass — a single group-by over events,
