@@ -34,10 +34,19 @@ object CsvIngest {
     * normalized to all-string columns so the same lexical validation
     * pipeline applies regardless of the wire format.
     */
+  /** `fileAware=true` (csv only) mints layout-independent multi-file
+    * ids via [[readPathFileAware]] — `dense` is implied there (file
+    * order × in-file offset IS dense). Unsupported format+fileAware
+    * combinations throw rather than silently handing back
+    * layout-dependent ids the caller asked to avoid.
+    */
   def read(spark: SparkSession, spec: EntitySpec, dense: Boolean = true,
       fileAware: Boolean = false): DataFrame =
     spec.format match {
       case "csv" if fileAware => readPathFileAware(spark, spec.source)
+      case other if fileAware =>
+        throw new IllegalArgumentException(
+          s"file_aware row ids are only supported for csv sources (entity '${spec.name}' has format '$other')")
       case "csv" => readPath(spark, spec.source, dense)
       case "json" | "parquet" =>
         val raw = spark.read.format(spec.format).load(spec.source)

@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
 object Quantiles {
 
   /** One row per group; one output column per requested (name, p).
-    * Nulls in `valCol` are ignored, matching `percentile` semantics.
+    * Nulls in `valCol` are ignored, matching `percentile` semantics —
+    * including an all-null group, which keeps its output row with
+    * null percentiles (nulls sort last and `_n` counts non-nulls, so
+    * no rank ever matches and the interpolation nulls out).
     */
   def groupPercentiles(
       df: DataFrame,
@@ -29,13 +32,12 @@ object Quantiles {
       ps: Seq[(String, Double)]): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 },
       "percentiles must be in [0, 1]")
-    val sortW = Window.partitionBy(col(groupCol)).orderBy(col("_v"))
+    val sortW = Window.partitionBy(col(groupCol)).orderBy(col("_v").asc_nulls_last)
     val cntW = Window.partitionBy(col(groupCol))
     val ranked = df
-      .filter(col(valCol).isNotNull)
       .select(col(groupCol), col(valCol).cast("double").as("_v"))
       .withColumn("_rn", row_number().over(sortW).cast("long"))
-      .withColumn("_n", count(lit(1)).over(cntW))
+      .withColumn("_n", count(col("_v")).over(cntW))
     val aggs = ps.flatMap { case (name, p) =>
       val pos = lit(p) * (col("_n") - 1).cast("double")
       val loIdx = floor(pos).cast("long") + 1 // 0-based pos → 1-based rank

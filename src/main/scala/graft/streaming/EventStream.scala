@@ -54,8 +54,8 @@ object EventStream {
     * Spark bound the join state (expired rows are dropped once the
     * watermark passes left.ts + within), so state stays finite on an
     * infinite stream.
-    */
-  /** `joinType` "inner" emits matches only; "left_outer" also emits
+    *
+    * `joinType` "inner" emits matches only; "left_outer" also emits
     * each unmatched left event (null right columns) once the watermark
     * proves no match can still arrive — the "clicks that never
     * converted" stream.

@@ -107,6 +107,13 @@ class PipelineSpec extends SparkSpec {
     // same summary as the single-file fixture run
     assert(r.summary.totalRows == 14 && r.summary.validRows == 12)
     assert(r.summary.duplicateRowsRemoved == 2)
+
+    // file_aware with a non-csv format is rejected, not silently ignored
+    val badSpec = cfg.entity("employees").copy(format = "parquet")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ingest.CsvIngest.read(spark, badSpec, fileAware = true)
+    }
+    assert(ex.getMessage.contains("only supported for csv"))
   }
 
   test("alias referencing unknown field skips that projection only") {

@@ -29,17 +29,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
-  test("fact-table scans prune columns (no SELECT * of lineitem)") {
-    // lineitem has 11 columns; every query touching it must read fewer
-    val wide = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-      val reads = "ReadSchema: struct<([^>]*)>".r
-        .findAllMatchIn(plan)
-        .filter(_ => plan.contains("lineitem.parquet"))
-        .map(_.group(1).count(_ == ',') + 1)
-        .toSeq
-      if (reads.exists(_ >= 11)) Some(name) else None
-    }
-    assert(wide.isEmpty, s"queries scanning all lineitem columns: $wide")
+  test("lineitem scans prune columns (no SELECT * of the fact table)") {
+    // plan strings truncate metadata at maxMetadataStringLength (100);
+    // raise it so the full ReadSchema is visible to the regex below
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try {
+      val schemaRe = "ReadSchema: struct<([^>]*)>".r
+      val wide = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        // count columns only on the LINEITEM scan's own line — other
+        // tables' scans in the same plan must not be attributed to it
+        val lineitemReads = plan.linesIterator
+          .filter(_.contains("lineitem.parquet"))
+          .flatMap(l => schemaRe.findFirstMatchIn(l))
+          .map(m => m.group(1).count(_ == ',') + 1)
+          .toSeq
+        if (lineitemReads.exists(_ >= 11)) Some(name) else None
+      }
+      assert(wide.isEmpty, s"queries scanning all lineitem columns: $wide")
+      // the guard must actually see schemas: q01 reads lineitem, so at
+      // least one un-truncated lineitem ReadSchema must have matched
+      val q01Plan = SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(q01Plan.linesIterator.exists(l =>
+        l.contains("lineitem.parquet") && schemaRe.findFirstMatchIn(l).isDefined),
+        "self-check failed: lineitem ReadSchema not visible to the audit")
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
   }
 }

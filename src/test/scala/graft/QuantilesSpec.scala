@@ -34,4 +34,11 @@ class QuantilesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(builtin("b") == got("b")._2)
   }
+
+  test("all-null group keeps its row with null percentiles, like builtin") {
+    val df = Seq(("a", Some(1.0)), ("c", None), ("c", None)).toDF("g", "v")
+    val got = Quantiles.groupPercentiles(df, "g", "v", Seq("p50" -> 0.5)).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == Map("a" -> Some(1.0), "c" -> None))
+  }
 }
