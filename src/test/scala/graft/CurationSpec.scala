@@ -141,6 +141,32 @@ class CurationSpec extends SparkSpec {
     assert(s3.count() == 0)
   }
 
+  test("connectedComponents equals union-find on seeded random graphs") {
+    import graft.operators.DupGraph
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      // sparse graphs (30 nodes, 25 edges) produce long chains — this
+      // exercises the multi-batch convergence loop, not just diameter-1
+      val edges = List.fill(25)((rnd.nextLong(30), rnd.nextLong(30)))
+        .filter(e => e._1 != e._2)
+      val got = DupGraph.connectedComponents(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+
+      // local union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- edges) parent(find(a)) = find(b)
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes
+        .groupBy(find)
+        .flatMap { case (_, members) => members.map(_ -> members.min) }
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("vocabTopK returns k most frequent tokens, deterministically") {
     val v = Curation.vocabTopK(docs, "text", k = 20).collect()
     assert(v.length == 20)
