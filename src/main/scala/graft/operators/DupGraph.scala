@@ -77,4 +77,22 @@ object DupGraph {
     labels.unpersist()
     out.select(col("node"), col("label").as("component"))
   }
+
+  /** End-to-end near-dedup: given the corpus and its near-dup PAIRS
+    * (from any dedup family), keep exactly one canonical row per
+    * duplicate cluster — the component's min id — plus every row in no
+    * pair at all. Returns (survivors, removed).
+    */
+  def nearDedupSurvivors(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b"): (DataFrame, DataFrame) = {
+    val nonCanonical = connectedComponents(pairs, idA, idB)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").cast("long").as(idCol))
+    (df.join(nonCanonical, Seq(idCol), "left_anti"),
+      df.join(nonCanonical, Seq(idCol), "left_semi"))
+  }
 }

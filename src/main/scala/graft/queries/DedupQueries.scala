@@ -138,6 +138,36 @@ object DedupQueries {
         Tables.embeddings(s, d).filter($"vec_id" < 300), "vec_id", "embedding",
         threshold = 0.40)
       DupGraph.connectedComponents(pairs).orderBy($"node")
+    },
+
+    // clusters → canonical survivors: one row per dup family (its min
+    // id) plus everything unpaired — the complete near-dedup output
+    Q.sql(
+      "near_dedup_survivors",
+      """WITH RECURSIVE
+        |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        |      FROM embeddings WHERE vec_id < 300),
+        |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+        |      FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |      WHERE round(list_dot_product(a.vv, b.vv)
+        |            / sqrt(list_dot_product(a.vv, a.vv))
+        |            / sqrt(list_dot_product(b.vv, b.vv)), 6) >= 0.40),
+        |edges AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+        |walk AS (
+        |  SELECT a AS node, a AS label FROM edges
+        |  UNION
+        |  SELECT e2.a AS node, w.label AS label FROM edges e2 JOIN walk w ON w.node = e2.b
+        |)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id < 300 AND vec_id NOT IN (
+        |  SELECT node FROM walk GROUP BY node HAVING min(label) <> node)
+        |ORDER BY vec_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d).filter($"vec_id" < 300)
+      val pairs = Similarity.cosineDupPairs(emb, "vec_id", "embedding", threshold = 0.40)
+      val (survivors, _) = DupGraph.nearDedupSurvivors(emb, "vec_id", pairs)
+      survivors.select($"vec_id").orderBy($"vec_id")
     }
   )
 }

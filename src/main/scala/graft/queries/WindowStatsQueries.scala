@@ -153,6 +153,41 @@ object WindowStatsQueries {
         .orderBy($"l_returnflag")
     },
 
+    // time-series resampling: densify each user's hourly series over
+    // their [min, max] span, zero-filling gap buckets — grid generated
+    // from the tiny per-user span table (explode of sequence), never
+    // from the fact side
+    Q.sql(
+      "q52_resample",
+      """WITH b AS (
+        |  SELECT user_id AS uid, epoch_us(ts) // 3600000000 AS hb, count(*) AS cnt,
+        |         round(sum(value), 2) AS total
+        |  FROM events WHERE user_id < 10 GROUP BY 1, 2),
+        |span AS (
+        |  SELECT uid, min(hb) AS lo, max(hb) AS hi FROM b GROUP BY uid),
+        |grid AS (
+        |  SELECT uid, unnest(range(lo, hi + 1)) AS hb FROM span)
+        |SELECT g.uid AS user_id, g.hb AS hour_bucket,
+        |  CAST(COALESCE(b.cnt, 0) AS BIGINT) AS cnt,
+        |  COALESCE(b.total, 0.0) AS total
+        |FROM grid g LEFT JOIN b ON b.uid = g.uid AND b.hb = g.hb
+        |ORDER BY user_id, hour_bucket""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val b = Tables.events(s, d).filter($"user_id" < 10)
+        .withColumn("hour_bucket", expr("(ts_ns div 1000) div 3600000000"))
+        .groupBy($"user_id", $"hour_bucket")
+        .agg(count(lit(1)).as("cnt"), round(sum($"value"), 2).as("total"))
+      val grid = b.groupBy($"user_id")
+        .agg(min($"hour_bucket").as("lo"), max($"hour_bucket").as("hi"))
+        .select($"user_id", explode(sequence($"lo", $"hi")).as("hour_bucket"))
+      grid.join(b, Seq("user_id", "hour_bucket"), "left")
+        .select($"user_id", $"hour_bucket",
+          coalesce($"cnt", lit(0L)).as("cnt"),
+          coalesce($"total", lit(0.0)).as("total"))
+        .orderBy($"user_id", $"hour_bucket")
+    },
+
     // bitwise aggregate family + scalar bit arithmetic
     Q.sql(
       "q51_bitwise",

@@ -141,6 +141,15 @@ class CurationSpec extends SparkSpec {
     assert(s3.count() == 0)
   }
 
+  test("nearDedupSurvivors keeps one canonical row per cluster + unpaired rows") {
+    import graft.operators.DupGraph
+    val corpus = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b") // cluster {1,2,3}; 4 unpaired
+    val (survivors, removed) = DupGraph.nearDedupSurvivors(corpus, "id", pairs)
+    assert(survivors.as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    assert(removed.as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+  }
+
   test("connectedComponents equals union-find on seeded random graphs") {
     import graft.operators.DupGraph
     for (seed <- 1 to 3) {
