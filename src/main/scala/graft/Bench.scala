@@ -39,12 +39,26 @@ object Bench {
       }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = f"$v%.2f"
+    // The harness that captures this output keeps only the last ~2000
+    // characters; a full per-query map for 80+ queries no longer fits
+    // (BENCH_r02 came back unparsed). The summary line carries the top
+    // slowest queries; the complete map goes to BENCH_DETAIL.json.
+    val topQs = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(40)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val detail =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}"""
+    try {
+      val out = java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json")
+      java.nio.file.Files.write(out, detail.getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$topQs,"failed":$failed,"n_queries":${results.size},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -48,8 +48,16 @@ object DupGraph {
     // BATCH propagation rounds lazily — `batch` chained joins run as
     // ONE Spark job, then a single action materializes the batch and
     // tests convergence. Near-dup clusters have tiny diameters, so
-    // most inputs finish in two actions; the persist between batches
+    // most inputs finish in one batch; the persist between batches
     // keeps lineage flat for high-diameter graphs.
+    //
+    // Convergence test = edge consistency: no edge may span two
+    // labels. Unlike comparing against the batch-start labels (which
+    // needs one extra all-quiet batch to notice), consistency holds
+    // the moment propagation completes — a diameter-≤4 graph finishes
+    // in a single batch — and it certifies the RESULT, not just the
+    // fixpoint: labels only decrease and stay within their component,
+    // so one label per component must be that component's min id.
     val batch = 4
     var iter = 0
     var converged = false
@@ -62,15 +70,22 @@ object DupGraph {
           .agg(min("label").as("label"))
       }
       val persisted = next.persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = persisted
-        .join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).limit(1).count()
+      persisted.count() // materialize once; the check below scans the cache twice
+      val inconsistent = symSelf.filter(col("src") =!= col("dst"))
+        .join(persisted.withColumnRenamed("node", "src").withColumnRenamed("label", "l_src"), "src")
+        .join(persisted.withColumnRenamed("node", "dst").withColumnRenamed("label", "l_dst"), "dst")
+        .filter(col("l_src") =!= col("l_dst")).limit(1).count()
       labels.unpersist()
       labels = persisted
-      converged = changed == 0
+      converged = inconsistent == 0
       iter += batch
     }
     symSelf.unpersist()
+    // A silent partial result would hand wrong clusters to dedup —
+    // fail loudly instead when the diameter exceeds the iteration cap.
+    require(converged,
+      s"connectedComponents did not converge within $maxIter iterations " +
+        "(graph diameter exceeds the cap); raise maxIter")
     // hand back a lineage-severed copy and release the loop's cache —
     // otherwise every call leaks one node-sized persisted frame
     val out = labels.localCheckpoint(true)

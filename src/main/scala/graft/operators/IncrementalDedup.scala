@@ -17,20 +17,33 @@ import org.apache.spark.sql.functions._
   * within-batch window. The ledger stores only (fingerprint) — bytes
   * per document, not the document.
   *
-  * Failure semantics — the ordering is the contract: survivors are
-  * committed to `outputDir` BEFORE their fingerprints reach the
-  * ledger, so a crash between the two re-admits (and overwrites) one
-  * batch's output on retry, never silently drops it. Ledger-committed
-  * hashes are never lost; re-running an already-ledgered batch
-  * produces zero survivors.
+  * Failure semantics — a two-marker commit protocol per batch
+  * (markers are `_`-prefixed files in the ledger directory, keyed by
+  * the batch's output path, so parquet readers ignore them):
+  *
+  *   write output → out-marker → ledger append → ledger-marker
+  *
+  * Once the out-marker exists the batch's output directory is never
+  * rewritten, so a retry after the ledger append committed can NOT
+  * clobber the already-published survivors with an empty overwrite.
+  * A crash between the append and the ledger-marker re-appends on
+  * retry — duplicate fingerprints in the ledger are harmless to the
+  * anti-join. A crash before the out-marker recomputes from scratch
+  * (the ledger does not yet hold the batch's hashes), overwriting the
+  * partial output with identical content. Every window is either a
+  * clean recompute or an idempotent replay; committed output is never
+  * dropped or emptied.
   */
 object IncrementalDedup {
 
   /** Process one batch: anti-join the ledger, dedup within the batch,
-    * write survivors to `outputDir` (overwrite — retries are
-    * idempotent per batch directory), then append fingerprints to the
-    * ledger. Returns the durably written survivors (read back, so the
-    * result no longer depends on the ledger state).
+    * write survivors to `outputDir`, then append their fingerprints to
+    * the ledger. Retries are idempotent per batch directory (see the
+    * commit protocol above); re-running a fully committed batch is a
+    * read-only no-op returning the published survivors. The durable
+    * output carries only the caller's columns — the internal `_fp`
+    * fingerprint is recomputed from the written rows for the ledger
+    * append, never persisted to `outputDir`.
     */
   def ingestBatch(
       batch: DataFrame,
@@ -39,27 +52,65 @@ object IncrementalDedup {
       ledgerPath: String,
       outputDir: String): DataFrame = {
     val spark = batch.sparkSession
-    val hashed = batch.withColumn("_fp", canonicalFingerprint(col(textCol)))
+    val batchId = graft.plans.Md5Util.hex(outputDir).take(16)
+    val outMarker = s"_commit_${batchId}_out"
+    val ledgerMarker = s"_commit_${batchId}_ledger"
 
-    val unseen =
-      if (ledgerExists(spark, ledgerPath))
-        hashed.join(spark.read.parquet(ledgerPath), Seq("_fp"), "left_anti")
-      else hashed
+    def writtenFingerprints(written: DataFrame) =
+      written.select(canonicalFingerprint(col(textCol)).as("_fp"))
 
-    // within-batch exact dedup: keep the smallest id per fingerprint
-    val w = Window.partitionBy(col("_fp")).orderBy(col(idCol))
-    val survivors = unseen
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+    if (markerExists(spark, ledgerPath, ledgerMarker)) {
+      // fully committed: read-only replay
+      spark.read.parquet(outputDir)
+    } else if (markerExists(spark, ledgerPath, outMarker)) {
+      // output durable but the ledger append may not have committed:
+      // re-append from the written rows (duplicates are harmless to
+      // the anti-join), then seal. Never touches outputDir.
+      val written = spark.read.parquet(outputDir)
+      writtenFingerprints(written).write.mode("append").parquet(ledgerPath)
+      writeMarker(spark, ledgerPath, ledgerMarker)
+      written
+    } else {
+      val hashed = batch.withColumn("_fp", canonicalFingerprint(col(textCol)))
+      val unseen =
+        if (ledgerExists(spark, ledgerPath))
+          hashed.join(spark.read.parquet(ledgerPath), Seq("_fp"), "left_anti")
+        else hashed
 
-    // 1. durable output first …
-    survivors.write.mode("overwrite").parquet(outputDir)
-    val written = spark.read.parquet(outputDir)
-    // 2. … ledger append second — and from the WRITTEN data, so the
-    // appended hashes exactly match what the output directory holds
-    written.select(col("_fp")).write.mode("append").parquet(ledgerPath)
-    written.drop("_fp")
+      // within-batch exact dedup: keep the smallest id per fingerprint
+      val w = Window.partitionBy(col("_fp")).orderBy(col(idCol))
+      val survivors = unseen
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .drop("_rn", "_fp")
+
+      // 1. durable output first (caller columns only) …
+      survivors.write.mode("overwrite").parquet(outputDir)
+      writeMarker(spark, ledgerPath, outMarker)
+      // 2. … ledger append second — fingerprints recomputed from the
+      // WRITTEN data, so the appended hashes exactly match what the
+      // output directory holds
+      val written = spark.read.parquet(outputDir)
+      writtenFingerprints(written).write.mode("append").parquet(ledgerPath)
+      writeMarker(spark, ledgerPath, ledgerMarker)
+      written
+    }
+  }
+
+  private def fs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def markerExists(spark: SparkSession, ledgerPath: String, name: String): Boolean = {
+    val (f, p) = fs(spark, ledgerPath)
+    f.exists(new org.apache.hadoop.fs.Path(p, name))
+  }
+
+  private def writeMarker(spark: SparkSession, ledgerPath: String, name: String): Unit = {
+    val (f, p) = fs(spark, ledgerPath)
+    f.mkdirs(p)
+    f.create(new org.apache.hadoop.fs.Path(p, name), true).close()
   }
 
   /** True only if the ledger holds committed data files (not just job

@@ -33,6 +33,13 @@ object Md5Util {
 
   def hash60(s: String): Long =
     hash60(MessageDigest.getInstance("MD5"), s.getBytes("UTF-8"))
+
+  /** Full md5 digest as lowercase hex — stable key material (e.g. the
+    * per-batch commit markers in [[graft.operators.IncrementalDedup]]).
+    */
+  def hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
 }
 
 /** Element-wise 60-bit md5 hash of a string array — the ONE place the

@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality operators for training-data curation, beyond the
+  * per-doc ratios in TextQueries: repetition scoring (the Gopher-style
+  * "fraction of duplicated n-grams" filters), benchmark-contamination
+  * detection (n-gram overlap against a held-out set), TF-IDF salient
+  * terms, and character-entropy scoring.
+  *
+  * Scale shapes: everything is explode → hash-aggregate on
+  * (doc, gram) — one shuffle keyed by content, partial aggregation
+  * map-side. Contamination joins the corpus against the benchmark
+  * shingle set via BROADCAST (benchmark suites are MBs; the corpus is
+  * the 100 TB side and is never shuffled for the probe).
+  */
+object QualityQueries {
+
+  /** Non-distinct word n-grams (repetition needs every occurrence;
+    * [[TextFunctions.shingles]] deduplicates).
+    */
+  private def grams(toks: Column, n: Int): Column = {
+    val g = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+    when(size(toks) >= n, g).otherwise(array())
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // Gopher-style repetition signals: share of trigram occurrences
+    // that are repeats within the doc, and the most frequent bigram's
+    // share of all bigram occurrences. High values flag boilerplate /
+    // degenerate text for filtering.
+    Q.sql(
+      "q53_repetition",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 3),
+        |bi AS (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+        |    FROM t) GROUP BY doc_id, g),
+        |tri AS (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        |    FROM t) GROUP BY doc_id, g),
+        |ba AS (
+        |  SELECT doc_id, round(max(c)::DOUBLE / sum(c), 4) AS top_bigram_frac FROM bi GROUP BY doc_id),
+        |ta AS (
+        |  SELECT doc_id, round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c), 4) AS dup_trigram_frac
+        |  FROM tri GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens, ba.top_bigram_frac, ta.dup_trigram_frac
+        |FROM t JOIN ba USING (doc_id) JOIN ta USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val base = Tables.documents(s, d)
+        .select($"doc_id", tokens($"text").as("w"))
+        .filter(size($"w") >= 3)
+      def gramFracs(n: Int, agg: Column => Column, out: String) =
+        base.select($"doc_id", explode(grams($"w", n)).as("g"))
+          .groupBy("doc_id", "g").agg(count("*").as("c"))
+          .groupBy("doc_id").agg(agg(col("c")).as(out))
+      val bi = gramFracs(2, c => round(max(c).cast("double") / sum(c), 4), "top_bigram_frac")
+      val tri = gramFracs(3,
+        c => round(sum(when(c >= 2, c).otherwise(0L)).cast("double") / sum(c), 4),
+        "dup_trigram_frac")
+      base.select($"doc_id", size($"w").cast("long").as("n_tokens"))
+        .join(bi, "doc_id").join(tri, "doc_id")
+        .orderBy($"doc_id")
+    },
+
+    // Benchmark contamination: which corpus documents share word
+    // trigrams with a held-out "benchmark" subset (doc_id % 97 == 0
+    // stands in for an eval suite). The benchmark shingle set is the
+    // broadcast side; the corpus is never shuffled for the probe.
+    Q.sql(
+      "q54_contamination",
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM sh JOIN bench USING (g)
+        |WHERE doc_id % 97 <> 0
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val sh = Tables.documents(s, d)
+        .select($"doc_id", explode(shingles(tokens($"text"), 3)).as("g"))
+      val bench = sh.filter($"doc_id" % 97 === 0).select($"g").distinct()
+      sh.filter($"doc_id" % 97 =!= 0)
+        .join(broadcast(bench), "g")
+        .groupBy("doc_id").agg(count("*").as("n_hits"))
+        .orderBy($"doc_id")
+    },
+
+    // TF-IDF top-3 salient terms per document (tf * ln(N/df),
+    // deterministic term tie-break). df comes from the tf frame — one
+    // extra aggregate, no second corpus scan; N is a broadcast scalar.
+    Q.sql(
+      "q55_tfidf",
+      """WITH tfc AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents)
+        |  GROUP BY doc_id, term),
+        |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, round(score, 4) AS tfidf FROM (
+        |  SELECT tfc.doc_id, tfc.term, tfc.tf * ln(n_docs::DOUBLE / df) AS score,
+        |    row_number() OVER (PARTITION BY tfc.doc_id
+        |      ORDER BY tfc.tf * ln(n_docs::DOUBLE / df) DESC, tfc.term) AS rank
+        |  FROM tfc JOIN dfc USING (term) CROSS JOIN n) ranked
+        |WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val tf = docs.select($"doc_id", explode(tokens($"text")).as("term"))
+        .groupBy("doc_id", "term").agg(count("*").as("tf"))
+      val df = tf.groupBy("term").agg(count("*").as("df"))
+      val n = docs.agg(count("*").as("n_docs"))
+      val scored = tf.join(df, "term").crossJoin(broadcast(n))
+        .withColumn("score", $"tf" * log($"n_docs".cast("double") / $"df"))
+      val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 3)
+        .select($"doc_id", $"rank", $"term", round($"score", 4).as("tfidf"))
+        .orderBy($"doc_id", $"rank")
+    },
+
+    // Character-level Shannon entropy (nats) — low entropy flags
+    // degenerate/repetitive payloads, very high flags binary-ish noise.
+    Q.sql(
+      "q56_char_entropy",
+      """WITH cnt AS (
+        |  SELECT doc_id, ch, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, length(text) + 1), i -> text[i])) AS ch
+        |    FROM documents) GROUP BY doc_id, ch),
+        |tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, CAST(min(n) AS BIGINT) AS n_chars,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_chars,
+        |  round(-sum((c::DOUBLE / n) * ln(c::DOUBLE / n)), 4) AS entropy_nats
+        |FROM cnt JOIN tot USING (doc_id)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val cnt = Tables.documents(s, d)
+        .select($"doc_id", explode(split($"text", "")).as("ch"))
+        .groupBy("doc_id", "ch").agg(count("*").as("c"))
+      val tot = cnt.groupBy("doc_id").agg(sum($"c").as("n"))
+      val p = $"c".cast("double") / $"n"
+      cnt.join(tot, "doc_id")
+        .groupBy("doc_id").agg(
+          min($"n").cast("long").as("n_chars"),
+          count("*").as("n_distinct_chars"),
+          round(-sum(p * log(p)), 4).as("entropy_nats"))
+        .orderBy($"doc_id")
+    }
+  )
+}

@@ -57,11 +57,34 @@ object Sinks {
     * the tasks that own its rows — no small-file explosion from every
     * task touching every partition — and partition pruning works for
     * downstream readers that filter on the layout columns.
+    *
+    * `filesPerPartition` bounds hot-value skew: hashing a partition
+    * value to ONE task means a dominant value (e.g. `split=train`
+    * holding 80% of rows) is written by a single straggling task as
+    * one huge file. A deterministic row-hash salt fans each partition
+    * value across up to `filesPerPartition` tasks/files; small values
+    * still collapse to few files. Size it to ~rows(hottest value) /
+    * rows-per-task-budget at the target scale; 1 keeps the
+    * one-file-per-value layout.
     */
   def writePartitioned(df: DataFrame, dir: String, partitionCols: Seq[String],
-      format: String = "parquet"): String = {
+      format: String = "parquet", filesPerPartition: Int = 1): String = {
     require(partitionCols.nonEmpty, "writePartitioned needs at least one partition column")
-    df.repartition(partitionCols.map(col): _*)
+    require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
+    val keys = partitionCols.map(col)
+    val shuffled =
+      if (filesPerPartition == 1) df.repartition(keys: _*)
+      else {
+        val salt = pmod(hash(df.columns.map(col): _*), lit(filesPerPartition))
+        // explicit partition count: a bare repartition-by-column is an
+        // AQE coalescing target, which would re-merge the salt groups
+        // into one task and undo the fan-out
+        val n = df.sparkSession.sessionState.conf.numShufflePartitions
+        df.withColumn("_salt", salt)
+          .repartition(n, keys :+ col("_salt"): _*)
+          .drop("_salt")
+      }
+    shuffled
       .write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .format(format)

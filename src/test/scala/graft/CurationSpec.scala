@@ -141,6 +141,72 @@ class CurationSpec extends SparkSpec {
     assert(s3.count() == 0)
   }
 
+  test("incremental dedup: committed batch re-run replays; crash windows never clobber output") {
+    import graft.operators.IncrementalDedup
+    val base = tmpDir("inc-commit")
+    val ledger = s"$base/fp"
+    val out = s"$base/out"
+    val b = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val s1 = IncrementalDedup.ingestBatch(b, "doc_id", "text", ledger, out)
+    // the durable output carries only caller columns — no leaked _fp
+    assert(spark.read.parquet(out).columns.sorted.toSeq == Seq("doc_id", "text"))
+    assert(s1.columns.sorted.toSeq == Seq("doc_id", "text"))
+
+    // re-running the SAME batch to the SAME dir (at-least-once
+    // redelivery / retry after full commit) must replay the published
+    // survivors — NOT anti-join to zero and overwrite with empty
+    val s2 = IncrementalDedup.ingestBatch(b, "doc_id", "text", ledger, out)
+    assert(s2.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(spark.read.parquet(out).count() == 2)
+
+    // crash between ledger append and seal: drop the ledger marker;
+    // the retry re-appends (duplicate fingerprints are harmless) and
+    // still never rewrites the output directory
+    val markers = new java.io.File(ledger).listFiles()
+      .filter(f => f.getName.startsWith("_commit_") && f.getName.endsWith("_ledger"))
+    assert(markers.length == 1)
+    markers.foreach(_.delete())
+    val s3 = IncrementalDedup.ingestBatch(b, "doc_id", "text", ledger, out)
+    assert(s3.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(spark.read.parquet(out).count() == 2)
+
+    // the (possibly duplicated) ledger still dedups the next batch
+    val b2 = Seq((5L, "ALPHA"), (6L, "gamma")).toDF("doc_id", "text")
+    val s4 = IncrementalDedup.ingestBatch(b2, "doc_id", "text", ledger, s"$base/out2")
+    assert(s4.select("doc_id").as[Long].collect().toSeq == Seq(6L))
+  }
+
+  test("connectedComponents throws on non-convergence instead of partial labels") {
+    import graft.operators.DupGraph
+    // an 11-edge chain has diameter 11: four propagation rounds leave
+    // label-inconsistent edges, and silent partial labels would hand
+    // wrong clusters to dedup
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      DupGraph.connectedComponents(chain, maxIter = 4)
+    }
+    // the default cap converges it and labels the whole chain min=1
+    val cc = DupGraph.connectedComponents(chain).as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet == Set(1L) && cc.size == 12)
+  }
+
+  test("writePartitioned fans a hot partition value across filesPerPartition files") {
+    import graft.sinks.Sinks
+    val dir = tmpDir("part-salt") + "/salted"
+    // 90% of rows land in split=train — the straggler shape
+    val skewed = docs.withColumn("split",
+      when($"doc_id" % 10 === 0, "val").otherwise("train"))
+    Sinks.writePartitioned(skewed, dir, Seq("split"), filesPerPartition = 4)
+    val hotFiles = new java.io.File(s"$dir/split=train").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(hotFiles >= 2 && hotFiles <= 4, s"hot partition wrote $hotFiles files")
+    // readback is lossless
+    val back = spark.read.parquet(dir)
+    assert(back.count() == skewed.count())
+    assert(back.select("doc_id").as[Long].collect().sorted.toSeq ==
+      skewed.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("nearDedupSurvivors keeps one canonical row per cluster + unpaired rows") {
     import graft.operators.DupGraph
     val corpus = Seq(1L, 2L, 3L, 4L).toDF("id")
