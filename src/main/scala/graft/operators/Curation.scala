@@ -99,6 +99,33 @@ object Curation {
           (count(lit(1)).over(w) * col("n_docs")), 6).as("weight"))
   }
 
+  /** Deterministic stratified sampling: keep a row iff its md5-derived
+    * per-mille bucket (salted with the group so strata draw
+    * independently) falls below its group's threshold. `fractions`
+    * maps group → keep fraction in [0,1]; unlisted groups use
+    * `defaultFraction`. Narrow — no shuffle, no RNG state — so the
+    * same rows are kept on any cluster layout or re-run, and the
+    * sample is a superset/subset relation across fraction changes
+    * (raising a fraction only ADDS rows, the property incremental
+    * corpus scaling needs).
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0,1]")
+    val bucket = pmod(
+      hash60(concat(col(idCol).cast("string"), lit("#"), col(groupCol))), lit(1000))
+    val threshold = fractions.foldLeft(lit((defaultFraction * 1000).round)) {
+      case (acc, (g, f)) => when(col(groupCol) === g, lit((f * 1000).round)).otherwise(acc)
+    }
+    df.withColumn("sample_bucket", bucket)
+      .filter(col("sample_bucket") < threshold)
+  }
+
   /** Global token vocabulary: top-k lowercased whitespace tokens by
     * frequency (ties broken by token) — the counting shape of vocab /
     * BPE-seed extraction.

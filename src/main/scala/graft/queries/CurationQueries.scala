@@ -141,6 +141,68 @@ object CurationQueries {
       import s.implicits._
       Curation.vocabTopK(Tables.documents(s, d), "text", k = 100)
         .orderBy($"freq".desc, $"token")
+    },
+
+    // JSONL-style record encoding (the export shape training corpora
+    // ship in) — Spark's to_json and DuckDB's struct to_json emit the
+    // same compact key:value rendering, so the payloads hash-match
+    Q.sql(
+      "q57_json_encode",
+      """SELECT doc_id,
+        |  to_json(struct_pack(doc_id := doc_id, lang := lang, source := source, n_chars := n_chars))::VARCHAR AS doc_json
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id",
+          to_json(struct($"doc_id", $"lang", $"source", $"n_chars")).as("doc_json"))
+        .orderBy($"doc_id")
+    },
+
+    // deterministic per-source sampling: src0 keeps 50%, src1 20%,
+    // every other source 10% — the mixture-thinning primitive; no RNG,
+    // so the kept set is identical on any layout/engine
+    Q.sql(
+      "q58_stratified_sample",
+      """SELECT doc_id, source, b AS sample_bucket FROM (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || source), 1, 15))::BIGINT % 1000 AS b
+        |  FROM documents)
+        |WHERE b < CASE WHEN source = 'src0' THEN 500 WHEN source = 'src1' THEN 200 ELSE 100 END
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Curation.stratifiedSample(Tables.documents(s, d), "source", "doc_id",
+        Map("src0" -> 0.5, "src1" -> 0.2), defaultFraction = 0.1)
+        .select($"doc_id", $"source", $"sample_bucket")
+        .orderBy($"doc_id")
+    },
+
+    // typed profile: nulls/distinct plus min/max rendered as strings
+    // (fixed-point for doubles — raw double→string formatting is not
+    // engine-portable); still ONE scan for all columns
+    Q.sql(
+      "q59_profile_typed", {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        def mm(c: String): (String, String) =
+          if (c == "o_totalprice")
+            (s"min($c)::DECIMAL(24,4)::VARCHAR", s"max($c)::DECIMAL(24,4)::VARCHAR")
+          else (s"min($c)::VARCHAR", s"max($c)::VARCHAR")
+        cols.map { c =>
+          val (mn, mx) = mm(c)
+          s"""SELECT '$c' AS column_name,
+             |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  $mn AS min_value, $mx AS max_value
+             |FROM orders""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+      }
+    ) { (s, d) =>
+      import s.implicits._
+      DataProfiler.profile(Tables.orders(s, d), minMax = true)
+        .orderBy($"column_name")
     }
   )
 }

@@ -94,10 +94,13 @@ object QualityQueries {
         |ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
       import s.implicits._
-      val sh = Tables.documents(s, d)
-        .select($"doc_id", explode(shingles(tokens($"text"), 3)).as("g"))
-      val bench = sh.filter($"doc_id" % 97 === 0).select($"g").distinct()
-      sh.filter($"doc_id" % 97 =!= 0)
+      val docs = Tables.documents(s, d)
+      def sh(df: org.apache.spark.sql.DataFrame) =
+        df.select($"doc_id", explode(shingles(tokens($"text"), 3)).as("g"))
+      // filter BEFORE the explode: the benchmark side shingles 1/97th
+      // of the corpus (filter pushed to the scan), not everything
+      val bench = sh(docs.filter($"doc_id" % 97 === 0)).select($"g").distinct()
+      sh(docs.filter($"doc_id" % 97 =!= 0))
         .join(broadcast(bench), "g")
         .groupBy("doc_id").agg(count("*").as("n_hits"))
         .orderBy($"doc_id")

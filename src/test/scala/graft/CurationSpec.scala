@@ -242,6 +242,40 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("stratifiedSample: deterministic, layout-invariant, monotone in the fraction") {
+    val frac = Map("src0" -> 0.5, "src1" -> 0.2)
+    val kept = Curation.stratifiedSample(docs, "source", "doc_id", frac, 0.1)
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    // same rows from a different partition layout
+    val again = Curation.stratifiedSample(docs.repartition(13), "source", "doc_id", frac, 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == keptIds)
+    // raising a fraction only ADDS rows (bucket-threshold monotonicity)
+    val larger = Curation.stratifiedSample(docs, "source", "doc_id",
+      frac.updated("src0", 0.8), 0.1).select("doc_id").as[Long].collect().toSet
+    assert(keptIds.subsetOf(larger))
+    // per-group fractions land near their targets
+    val n0 = docs.filter($"source" === "src0").count().toDouble
+    val k0 = kept.filter($"source" === "src0").count().toDouble
+    assert(k0 / n0 > 0.25 && k0 / n0 < 0.75, s"src0 kept ${k0 / n0}")
+    // invalid fractions rejected
+    intercept[IllegalArgumentException] {
+      Curation.stratifiedSample(docs, "source", "doc_id", Map("src0" -> 1.5))
+    }
+  }
+
+  test("DataProfiler minMax renders typed extremes; non-orderable columns are null") {
+    import graft.operators.DataProfiler
+    val df = Seq((1L, 2.5, "b", Seq(1)), (3L, 0.25, "a", Seq(2)))
+      .toDF("id", "x", "s", "arr")
+    val p = DataProfiler.profile(df, minMax = true).collect()
+      .map(r => r.getString(0) -> ((r.getString(3), r.getString(4)))).toMap
+    assert(p("id") == (("1", "3")))
+    assert(p("x") == (("0.2500", "2.5000"))) // fixed-point double rendering
+    assert(p("s") == (("a", "b")))
+    assert(p("arr") == ((null, null))) // non-orderable → null, not an analysis error
+  }
+
   test("vocabTopK returns k most frequent tokens, deterministically") {
     val v = Curation.vocabTopK(docs, "text", k = 20).collect()
     assert(v.length == 20)
