@@ -29,13 +29,25 @@ object Quantiles {
       df: DataFrame,
       groupCol: String,
       valCol: String,
+      ps: Seq[(String, Double)]): DataFrame =
+    groupPercentiles(df, Seq(groupCol), valCol, ps)
+
+  /** Multi-key grouping variant (e.g. (group, unpivoted-column-name)
+    * in [[winsorize]]).
+    */
+  def groupPercentiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valCol: String,
       ps: Seq[(String, Double)]): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 },
       "percentiles must be in [0, 1]")
-    val sortW = Window.partitionBy(col(groupCol)).orderBy(col("_v").asc_nulls_last)
-    val cntW = Window.partitionBy(col(groupCol))
+    val keys = groupCols.map(col)
+    val sortW = Window.partitionBy(keys: _*).orderBy(col("_v").asc_nulls_last)
+    val cntW = Window.partitionBy(keys: _*)
     val ranked = df
-      .select(col(groupCol), col(valCol).cast("double").as("_v"))
+      .select(keys :+ col(valCol).cast("double").as("_v"): _*)
       .withColumn("_rn", row_number().over(sortW).cast("long"))
       .withColumn("_n", count(col("_v")).over(cntW))
     val aggs = ps.flatMap { case (name, p) =>
@@ -51,13 +63,51 @@ object Quantiles {
         first(ceil(pos).cast("double") - pos).as(s"_wl_$name"),
         first(pos - floor(pos).cast("double")).as(s"_wh_$name"))
     }
-    val agg = ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
-    val out = col(groupCol) +: ps.map { case (name, _) =>
+    val agg = ranked.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    val out = keys ++ ps.map { case (name, _) =>
       when(col(s"_wh_$name") === 0.0, col(s"_lo_$name"))
         .otherwise(col(s"_wl_$name") * col(s"_lo_$name") +
           col(s"_wh_$name") * col(s"_hi_$name"))
         .as(name)
     }
     agg.select(out: _*)
+  }
+
+  /** Winsorize MANY numeric columns to their per-group [loP, hiP]
+    * percentile bounds in one operator: the value columns are
+    * unpivoted with `stack` so ONE sort shuffle (keyed by group ×
+    * column-name) computes every column's exact bounds, the tiny
+    * bounds table pivots back wide and broadcasts onto the fact — no
+    * per-column re-shuffle, no full-table sort, outlier clipping for
+    * N feature columns at the cost of one.
+    *
+    * Returns `df` with each value column clipped (cast to double);
+    * other columns untouched.
+    */
+  def winsorize(
+      df: DataFrame,
+      groupCol: String,
+      valCols: Seq[String],
+      loP: Double = 0.05,
+      hiP: Double = 0.95): DataFrame = {
+    require(valCols.nonEmpty, "winsorize needs at least one value column")
+    require(0 <= loP && loP <= hiP && hiP <= 1, s"need 0 <= lo <= hi <= 1, got [$loP, $hiP]")
+    def quoted(c: String) = s"`${c.replace("`", "``")}`"
+    val stackArgs = valCols
+      .map(c => s"'${c.replace("'", "''")}', CAST(${quoted(c)} AS DOUBLE)")
+      .mkString(", ")
+    val long = df.select(col(groupCol),
+      expr(s"stack(${valCols.length}, $stackArgs) AS (_c, _wv)"))
+    val bounds = groupPercentiles(long, Seq(groupCol, "_c"), "_wv",
+      Seq("lo" -> loP, "hi" -> hiP))
+    val wide = bounds.groupBy(col(groupCol)).pivot("_c", valCols)
+      .agg(first(col("lo")).as("lo"), first(col("hi")).as("hi"))
+    val clipped = df.columns.map { c =>
+      if (valCols.contains(c))
+        least(greatest(col(quoted(c)).cast("double"), col(s"${c}_lo")), col(s"${c}_hi"))
+          .as(c)
+      else col(quoted(c))
+    }
+    df.join(broadcast(wide), groupCol).select(clipped.toIndexedSeq: _*)
   }
 }

@@ -153,6 +153,35 @@ object WindowStatsQueries {
         .orderBy($"l_returnflag")
     },
 
+    // multi-column winsorization in ONE operator: both value columns'
+    // exact per-group bounds come from a single unpivoted sort shuffle
+    // (Quantiles.winsorize), then clip + aggregate
+    Q.sql(
+      "q60_winsorize_multi",
+      """WITH q AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS plo,
+        |    quantile_cont(l_extendedprice, 0.95) AS phi,
+        |    quantile_cont(l_quantity, 0.05) AS qlo,
+        |    quantile_cont(l_quantity, 0.95) AS qhi
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag,
+        |  round(sum(least(greatest(l_extendedprice, plo), phi)), 2) AS clipped_price_sum,
+        |  round(sum(least(greatest(l_quantity, qlo), qhi)), 2) AS clipped_qty_sum
+        |FROM lineitem l JOIN q USING (l_returnflag)
+        |GROUP BY l.l_returnflag
+        |ORDER BY l.l_returnflag""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val clipped = graft.operators.Quantiles.winsorize(
+        Tables.lineitem(s, d), "l_returnflag", Seq("l_extendedprice", "l_quantity"))
+      clipped.groupBy($"l_returnflag")
+        .agg(
+          round(sum($"l_extendedprice"), 2).as("clipped_price_sum"),
+          round(sum($"l_quantity"), 2).as("clipped_qty_sum"))
+        .orderBy($"l_returnflag")
+    },
+
     // time-series resampling: densify each user's hourly series over
     // their [min, max] span, zero-filling gap buckets — grid generated
     // from the tiny per-user span table (explode of sequence), never

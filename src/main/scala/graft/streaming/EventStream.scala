@@ -82,6 +82,49 @@ object EventStream {
         col("r.ts").as("right_ts"))
   }
 
+  final case class WindowTopK(window_start: java.sql.Timestamp, event_type: String,
+      cnt: Long, rank: Int)
+
+  /** Streaming top-K event types per tumbling window. Streaming DFs
+    * can't rank within a windowed aggregate (no window functions over
+    * unbounded input), so this is a single stateful operator: state =
+    * one count-map per open window (bounded by distinct keys × open
+    * windows, which the watermark bounds), and the top-K rows are
+    * emitted ONCE per window when the event-time watermark passes the
+    * window end — deterministic, replayable, ties broken by key.
+    */
+  def windowedTopK(events: Dataset[Event], k: Int, windowMinutes: Int = 5,
+      watermark: String = "10 minutes"): Dataset[WindowTopK] = {
+    require(k >= 1, "k must be >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val windowMs = windowMinutes * 60000L
+    events.toDF()
+      .withWatermark("ts", watermark)
+      .as[Event]
+      .groupByKey(e => e.ts.getTime / windowMs * windowMs)
+      .flatMapGroupsWithState[Map[String, Long], WindowTopK](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (winStart: Long, incoming: Iterator[Event], state: GroupState[Map[String, Long]]) =>
+          if (state.hasTimedOut) {
+            val counts = state.get
+            state.remove()
+            counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(k).zipWithIndex
+              .map { case ((t, c), i) =>
+                WindowTopK(new java.sql.Timestamp(winStart), t, c, i + 1)
+              }.iterator
+          } else {
+            val merged = incoming.foldLeft(state.getOption.getOrElse(Map.empty[String, Long])) {
+              (acc, e) => acc.updated(e.event_type, acc.getOrElse(e.event_type, 0L) + 1L)
+            }
+            state.update(merged)
+            // fire once the watermark proves the window complete
+            state.setTimeoutTimestamp(winStart + windowMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Gap-based sessionization with explicit state: a session closes
     * (and emits one summary row) once the event-time watermark passes
     * session_end + gap. Event-time timeouts keep this deterministic —

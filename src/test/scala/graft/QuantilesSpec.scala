@@ -41,4 +41,35 @@ class QuantilesSpec extends SparkSpec {
       .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
     assert(got == Map("a" -> Some(1.0), "c" -> None))
   }
+
+  test("winsorize clips many columns to per-group builtin-percentile bounds") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"l_extendedprice", $"l_quantity")
+    val got = Quantiles.winsorize(li, "l_returnflag", Seq("l_extendedprice", "l_quantity"))
+    // same schema, same row count, non-value columns untouched
+    assert(got.columns.toSeq == li.columns.toSeq)
+    assert(got.count() == li.count())
+    // expected: clip against the BUILT-IN percentile per column
+    val bounds = li.groupBy($"l_returnflag").agg(
+      expr("percentile(l_extendedprice, 0.05)").as("plo"),
+      expr("percentile(l_extendedprice, 0.95)").as("phi"),
+      expr("percentile(l_quantity, 0.05)").as("qlo"),
+      expr("percentile(l_quantity, 0.95)").as("qhi"))
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    // compare as sorted multisets of full rows, exact double equality
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getDouble(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2, t._3, t._4)).toSeq
+    val expected = rows(li.join(bounds, "l_returnflag").select(
+      $"l_orderkey", $"l_linenumber",
+      least(greatest($"l_extendedprice", $"plo"), $"phi").as("p"),
+      least(greatest($"l_quantity".cast("double"), $"qlo"), $"qhi").as("q")))
+    val gotRows = rows(got.select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_quantity"))
+    assert(gotRows == expected)
+    // something was actually clipped (5% tails exist at this scale)
+    val rawMax = li.agg(max($"l_extendedprice")).head().getDouble(0)
+    val clippedMax = got.agg(max($"l_extendedprice")).head().getDouble(0)
+    assert(clippedMax < rawMax)
+  }
 }

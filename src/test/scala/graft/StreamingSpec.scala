@@ -123,6 +123,35 @@ class StreamingSpec extends SparkSpec {
     assert(emitted == Set((7L, 2L, 3.0, ts(0), ts(2))))
   }
 
+  test("windowed top-K emits K ranked keys per window once it closes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStream.windowedTopK(input.toDS(), k = 2, windowMinutes = 5)
+      .writeStream.format("memory").queryName("win_topk").outputMode("append").start()
+    input.addData(
+      // window [0,5): click ×3, view ×2, scroll ×1 → top2 = click, view
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 2, "click", 1.0),
+      Event(3, ts(2), 3, "click", 1.0), Event(4, ts(1), 1, "view", 1.0),
+      Event(5, ts(3), 2, "view", 1.0), Event(6, ts(4), 3, "scroll", 1.0),
+      // window [5,10): tie view=click=1 → tie broken by key asc
+      Event(7, ts(6), 1, "view", 1.0), Event(8, ts(7), 2, "click", 1.0))
+    query.processAllAvailable()
+    // nothing emits while the windows are still open
+    assert(spark.table("win_topk").count() == 0)
+    // advance the watermark past both window ends (+10 min delay)
+    input.addData(Event(9, ts(35), 9, "click", 0.0))
+    query.processAllAvailable()
+    val rows = spark.table("win_topk")
+      .select($"window_start", $"event_type", $"cnt", $"rank")
+      .as[(Timestamp, String, Long, Int)].collect().toSet
+    query.stop()
+    assert(rows.contains((ts(0), "click", 3L, 1)))
+    assert(rows.contains((ts(0), "view", 2L, 2)))
+    assert(!rows.exists(r => r._1 == ts(0) && r._2 == "scroll")) // beyond K
+    assert(rows.contains((ts(5), "click", 1L, 1))) // tie → key asc
+    assert(rows.contains((ts(5), "view", 1L, 2)))
+  }
+
   test("sessionization emits a summary once the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
