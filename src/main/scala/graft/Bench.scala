@@ -42,7 +42,9 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    def fmt(v: Double): String = f"$v%.2f"
+    // Locale.ROOT: the f-interpolator is locale-sensitive and a comma
+    // decimal separator would corrupt the JSON
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     // The harness that captures this output keeps only the last ~2000
     // characters; a full per-query map for 80+ queries no longer fits
     // (BENCH_r02 came back unparsed). The summary line carries the top

@@ -117,8 +117,11 @@ object Curation {
       defaultFraction: Double = 0.0): DataFrame = {
     require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0.0 && f <= 1.0),
       "fractions must be in [0,1]")
+    // concat_ws, not concat: a NULL id or group must hash (to the
+    // empty-part key), not null out the bucket and silently drop the
+    // row even at fraction 1.0
     val bucket = pmod(
-      hash60(concat(col(idCol).cast("string"), lit("#"), col(groupCol))), lit(1000))
+      hash60(concat_ws("#", col(idCol).cast("string"), col(groupCol))), lit(1000))
     val threshold = fractions.foldLeft(lit((defaultFraction * 1000).round)) {
       case (acc, (g, f)) => when(col(groupCol) === g, lit((f * 1000).round)).otherwise(acc)
     }

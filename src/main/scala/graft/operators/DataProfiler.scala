@@ -31,22 +31,38 @@ object DataProfiler {
     def quoted(c: String) = s"`${c.replace("`", "``")}`"
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     def rendered(c: Column, dt: DataType): Column = dt match {
-      case DoubleType | FloatType => c.cast("decimal(24,4)").cast("string")
+      case DoubleType | FloatType =>
+        // ANSI mode: a decimal(24,4) cast THROWS on |x| too large (or
+        // NaN/Inf), which would fail the whole single-scan profile —
+        // out-of-range extremes fall back to the plain double rendering
+        when(c.isNull, lit(null).cast("string"))
+          .when(!isnan(c) && c.between(-1e15, 1e15), c.cast("decimal(24,4)").cast("string"))
+          .otherwise(c.cast("string"))
       case _: DecimalType | ByteType | ShortType | IntegerType | LongType |
            StringType | DateType | TimestampType | TimestampNTZType |
            BooleanType => c.cast("string")
       case _ => lit(null).cast("string")
     }
-    val aggs = targets.zipWithIndex.flatMap { case (c, i) =>
-      val base = Seq(
+    val countAggs = targets.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
         sum(when(col(quoted(c)).isNull, 1L).otherwise(0L)).as(s"nulls_$i"),
         countDistinct(col(quoted(c))).as(s"dist_$i"))
-      if (!minMax) base
-      else base ++ Seq(
-        rendered(min(col(quoted(c))), types(c)).as(s"min_$i"),
-        rendered(max(col(quoted(c))), types(c)).as(s"max_$i"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*)
+    val counts = df.agg(countAggs.head, countAggs.tail: _*)
+    // min/max run as a SEPARATE narrow pass: a string min/max buffer is
+    // variable-width, which would demote the whole multi-distinct
+    // expand aggregation to SortAggregate (measured 4× slower). Both
+    // passes produce ONE row; combining them is a 1×1 broadcast join.
+    val row =
+      if (!minMax) counts
+      else {
+        val mmAggs = targets.zipWithIndex.flatMap { case (c, i) =>
+          Seq(
+            rendered(min(col(quoted(c))), types(c)).as(s"min_$i"),
+            rendered(max(col(quoted(c))), types(c)).as(s"max_$i"))
+        }
+        counts.crossJoin(broadcast(df.agg(mmAggs.head, mmAggs.tail: _*)))
+      }
     val fields =
       if (minMax) "(column_name, n_nulls, n_distinct, min_value, max_value)"
       else "(column_name, n_nulls, n_distinct)"

@@ -82,10 +82,15 @@ object DupGraph {
     }
     symSelf.unpersist()
     // A silent partial result would hand wrong clusters to dedup —
-    // fail loudly instead when the diameter exceeds the iteration cap.
-    require(converged,
-      s"connectedComponents did not converge within $maxIter iterations " +
-        "(graph diameter exceeds the cap); raise maxIter")
+    // fail loudly instead when the diameter exceeds the iteration cap
+    // (releasing the loop's cache first, so a caught-and-retried
+    // failure doesn't pin one node-sized frame per attempt).
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalArgumentException(
+        s"requirement failed: connectedComponents did not converge within $maxIter " +
+          "iterations (graph diameter exceeds the cap); raise maxIter")
+    }
     // hand back a lineage-severed copy and release the loop's cache —
     // otherwise every call leaks one node-sized persisted frame
     val out = labels.localCheckpoint(true)

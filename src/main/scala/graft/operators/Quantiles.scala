@@ -103,11 +103,20 @@ object Quantiles {
     val wide = bounds.groupBy(col(groupCol)).pivot("_c", valCols)
       .agg(first(col("lo")).as("lo"), first(col("hi")).as("hi"))
     val clipped = df.columns.map { c =>
-      if (valCols.contains(c))
-        least(greatest(col(quoted(c)).cast("double"), col(s"${c}_lo")), col(s"${c}_hi"))
+      if (valCols.contains(c)) {
+        val v = col(quoted(c)).cast("double")
+        // greatest/least SKIP nulls, which has two convenient edges and
+        // one trap: null bounds (NULL-group rows under the left join
+        // below) pass the value through unclipped — wanted — but a null
+        // VALUE would come back as the lower bound — fabricated data —
+        // so nulls are preserved explicitly.
+        when(v.isNull, lit(null).cast("double"))
+          .otherwise(least(greatest(v, col(quoted(s"${c}_lo"))), col(quoted(s"${c}_hi"))))
           .as(c)
-      else col(quoted(c))
+      } else col(quoted(c))
     }
-    df.join(broadcast(wide), groupCol).select(clipped.toIndexedSeq: _*)
+    // left join: rows whose group is NULL (no bounds row) are kept,
+    // not silently dropped by an inner equi-join
+    df.join(broadcast(wide), Seq(groupCol), "left").select(clipped.toIndexedSeq: _*)
   }
 }

@@ -75,14 +75,32 @@ object Sinks {
     val shuffled =
       if (filesPerPartition == 1) df.repartition(keys: _*)
       else {
-        val salt = pmod(hash(df.columns.map(col): _*), lit(filesPerPartition))
+        // salt from the hashable columns only — `hash` rejects MAP
+        // types at analysis; a row id keeps the fan-out working for
+        // frames with no hashable column at all
+        def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+          case _: org.apache.spark.sql.types.MapType => false
+          case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+          case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+          case _ => true
+        }
+        val saltSrc = df.schema.fields.filter(f => hashable(f.dataType))
+          .map(f => col(s"`${f.name.replace("`", "``")}`"))
+        val salt = pmod(
+          if (saltSrc.nonEmpty) hash(saltSrc.toIndexedSeq: _*)
+          else hash(monotonically_increasing_id()),
+          lit(filesPerPartition))
+        // a fresh name — overwriting a real user column would corrupt
+        // then drop it
+        val saltCol = Iterator.iterate("_salt")(_ + "_")
+          .dropWhile(df.columns.contains).next()
         // explicit partition count: a bare repartition-by-column is an
         // AQE coalescing target, which would re-merge the salt groups
         // into one task and undo the fan-out
         val n = df.sparkSession.sessionState.conf.numShufflePartitions
-        df.withColumn("_salt", salt)
-          .repartition(n, keys :+ col("_salt"): _*)
-          .drop("_salt")
+        df.withColumn(saltCol, salt)
+          .repartition(n, keys :+ col(saltCol): _*)
+          .drop(saltCol)
       }
     shuffled
       .write.mode("overwrite")

@@ -205,6 +205,17 @@ class CurationSpec extends SparkSpec {
     assert(back.count() == skewed.count())
     assert(back.select("doc_id").as[Long].collect().sorted.toSeq ==
       skewed.select("doc_id").as[Long].collect().sorted.toSeq)
+    // a MAP column (unhashable) and a pre-existing _salt column must
+    // not break or be corrupted by the salting path
+    val tricky = skewed
+      .withColumn("meta", map(lit("k"), $"source"))
+      .withColumn("_salt", $"doc_id" * 2)
+    val dir2 = tmpDir("part-salt-map") + "/salted"
+    Sinks.writePartitioned(tricky, dir2, Seq("split"), filesPerPartition = 4)
+    val back2 = spark.read.parquet(dir2)
+    assert(back2.columns.sorted.toSeq == tricky.columns.sorted.toSeq)
+    assert(back2.select(sum($"_salt")).as[Long].head() ==
+      tricky.select(sum($"_salt")).as[Long].head())
   }
 
   test("nearDedupSurvivors keeps one canonical row per cluster + unpaired rows") {
@@ -262,6 +273,12 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Curation.stratifiedSample(docs, "source", "doc_id", Map("src0" -> 1.5))
     }
+    // null group/id rows hash to a bucket instead of being dropped:
+    // at fraction 1.0 everything survives
+    val withNulls = Seq((Some(1L), Some("s")), (None, Some("s")), (Some(2L), None))
+      .toDF("doc_id", "source")
+    assert(Curation.stratifiedSample(withNulls, "source", "doc_id",
+      Map("s" -> 1.0), defaultFraction = 1.0).count() == 3)
   }
 
   test("DataProfiler minMax renders typed extremes; non-orderable columns are null") {

@@ -72,4 +72,20 @@ class QuantilesSpec extends SparkSpec {
     val clippedMax = got.agg(max($"l_extendedprice")).head().getDouble(0)
     assert(clippedMax < rawMax)
   }
+
+  test("winsorize preserves null values and null-group rows") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(100.0)), ("a", None),
+      (null.asInstanceOf[String], Some(7.0))
+    ).toDF("g", "v")
+    val got = Quantiles.winsorize(df, "g", Seq("v"), 0.0, 0.5)
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    // a null VALUE stays null — not fabricated as the lower bound
+    assert(got.count(_._2.isEmpty) == 1)
+    // a null GROUP row survives, unclipped (no bounds exist for it)
+    assert(got.contains((null, Some(7.0))))
+    assert(got.length == 5)
+    // clipping did apply inside group a: p50 of (1,2,100) = 2
+    assert(got.contains(("a", Some(2.0))) && !got.exists(_._2.contains(100.0)))
+  }
 }
