@@ -23,14 +23,22 @@ object Bench {
     // final sorts, under-measuring relative to what Verify writes.
     def execute(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
+    // SPARK_GRAFT_ONLY=q54_contamination,q55_tfidf restricts the run —
+    // a per-query iteration loop, not part of the driver contract
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try execute(fn, warmDir) catch { case _: Throwable => () }
       }
     // a failing query must not masquerade as a (fast) timing: it gets
     // -1 in the per-query map, is excluded from the total, and is
     // listed under "failed"
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { execute(fn, sfDir); true } catch {
         case e: Throwable =>
@@ -56,10 +64,11 @@ object Bench {
       .mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}"""
-    try {
-      val out = java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json")
-      java.nio.file.Files.write(out, detail.getBytes("UTF-8"))
-    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    if (only.isEmpty) // a filtered iteration run must not clobber the full record
+      try {
+        val out = java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json")
+        java.nio.file.Files.write(out, detail.getBytes("UTF-8"))
+      } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$topQs,"failed":$failed,"n_queries":${results.size},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }

@@ -140,6 +140,44 @@ object QualityQueries {
         .orderBy($"doc_id", $"rank")
     },
 
+    // Map-typed aggregation: per-source top-5 token map, built with
+    // real MAP functions (struct collect → map_from_entries →
+    // map_entries) and rendered "tok:cnt,…" so DuckDB (string_agg)
+    // certifies the identical content
+    Q.sql(
+      "q61_token_topmap",
+      """WITH tf AS (
+        |  SELECT source, tok, count(*) AS c FROM (
+        |    SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents)
+        |  GROUP BY source, tok),
+        |ranked AS (
+        |  SELECT source, tok, c,
+        |    row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS rn
+        |  FROM tf)
+        |SELECT source,
+        |  string_agg(tok || ':' || c, ',' ORDER BY rn) AS top_tokens
+        |FROM ranked WHERE rn <= 5
+        |GROUP BY source
+        |ORDER BY source""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val tf = Tables.documents(s, d)
+        .select($"source", explode(tokens(lower($"text"))).as("tok"))
+        .groupBy("source", "tok").agg(count("*").as("c"))
+      val w = Window.partitionBy($"source").orderBy($"c".desc, $"tok")
+      tf.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+        .groupBy("source")
+        .agg(map_from_entries(
+          transform(sort_array(collect_list(struct($"rn", $"tok", $"c"))),
+            e => struct(e("tok"), e("c")))).as("m"))
+        .select($"source",
+          array_join(
+            transform(map_entries($"m"), e => concat(e("key"), lit(":"), e("value").cast("string"))),
+            ",").as("top_tokens"))
+        .orderBy($"source")
+    },
+
     // Character-level Shannon entropy (nats) — low entropy flags
     // degenerate/repetitive payloads, very high flags binary-ish noise.
     Q.sql(
