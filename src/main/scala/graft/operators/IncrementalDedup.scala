@@ -97,6 +97,92 @@ object IncrementalDedup {
     }
   }
 
+  /** Cross-batch NEAR-duplicate dedup: the ledger stores one 60-bit
+    * simhash per admitted document, and a new batch drops any row
+    * within `maxHamming` of an already-admitted hash (then near-dedups
+    * within itself via pigeonhole pairs + connected components,
+    * keeping each cluster's smallest id).
+    *
+    * Scale shape: the batch↔ledger probe is the same pigeonhole
+    * equi-join as [[TextDedup.simhashPairs]] — (maxHamming+1) block
+    * keys per side, shuffle on (block, bits), exact `bit_count`
+    * verify — never batch × ledger. Ledger cost: 8 bytes per document
+    * ever admitted.
+    *
+    * Durability: the same two-marker commit protocol as
+    * [[ingestBatch]] (and the same ledger directory can NOT be shared
+    * between the exact and near-dup operators — the schemas differ).
+    * `idCol` must be integral: the within-batch cluster resolution
+    * ([[DupGraph.nearDedupSurvivors]]) keys components by long ids.
+    */
+  def ingestBatchNearDup(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      ledgerPath: String,
+      outputDir: String,
+      maxHamming: Int = 10,
+      shingleN: Int = 2): DataFrame = {
+    val spark = batch.sparkSession
+    val batchId = graft.plans.Md5Util.hex(outputDir).take(16)
+    val outMarker = s"_commit_${batchId}_out"
+    val ledgerMarker = s"_commit_${batchId}_ledger"
+
+    def writtenHashes(written: DataFrame) =
+      TextDedup.simhashOf(written, idCol, textCol, shingleN).select(col("sh").as("_sh"))
+
+    if (markerExists(spark, ledgerPath, ledgerMarker)) {
+      spark.read.parquet(outputDir)
+    } else if (markerExists(spark, ledgerPath, outMarker)) {
+      val written = spark.read.parquet(outputDir)
+      writtenHashes(written).write.mode("append").parquet(ledgerPath)
+      writeMarker(spark, ledgerPath, ledgerMarker)
+      written
+    } else {
+      val sim = TextDedup.simhashOf(batch, idCol, textCol, shingleN)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val batchBlocks = TextDedup.simhashBlocks(sim, maxHamming)
+
+      // 1. cross-batch: drop batch rows near ANY ledgered hash
+      val seenIds =
+        if (ledgerExists(spark, ledgerPath)) {
+          val ledgerBlocks = TextDedup.simhashBlocks(
+            spark.read.parquet(ledgerPath).select(col("_sh").as("doc_id"), col("_sh").as("sh")),
+            maxHamming)
+            .select(col("blk"), col("bits"), col("sh").as("sh_l"))
+          batchBlocks.join(ledgerBlocks, Seq("blk", "bits"))
+            .filter(graft.functions.TextFunctions.hamming(col("sh"), col("sh_l")) <= maxHamming)
+            .select(col("doc_id")).distinct()
+        } else batchBlocks.select(col("doc_id")).limit(0) // keeps idCol's type
+      val fresh = batch.join(
+        seenIds.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+
+      // 2. within-batch, among the rows the probe kept: pigeonhole
+      // pairs → connected components → keep each cluster's min id
+      // (plus all unpaired rows)
+      val freshBlocks = TextDedup.simhashBlocks(
+        sim.join(seenIds, Seq("doc_id"), "left_anti"), maxHamming)
+      val pairs = {
+        val a = freshBlocks.select(col("blk"), col("bits"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val b = freshBlocks.select(col("blk"), col("bits"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        a.join(b, Seq("blk", "bits"))
+          .filter(col("id_a") < col("id_b"))
+          .dropDuplicates("id_a", "id_b")
+          .filter(graft.functions.TextFunctions.hamming(col("sh_a"), col("sh_b")) <= maxHamming)
+          .select(col("id_a"), col("id_b"))
+      }
+      val (survivors, _) = DupGraph.nearDedupSurvivors(fresh, idCol, pairs)
+
+      survivors.write.mode("overwrite").parquet(outputDir)
+      writeMarker(spark, ledgerPath, outMarker)
+      val written = spark.read.parquet(outputDir)
+      writtenHashes(written).write.mode("append").parquet(ledgerPath)
+      writeMarker(spark, ledgerPath, ledgerMarker)
+      sim.unpersist()
+      written
+    }
+  }
+
   private def fs(spark: SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)

@@ -101,27 +101,30 @@ object TextDedup {
     * equi-joined per block, then exactly verified. Recall is 100%;
     * the block join replaces the O(n²) cross product.
     */
-  def simhashPairs(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      maxHamming: Int = 10,
+  /** Compute each row's 60-bit simhash over word shingles:
+    * (idCol → doc_id, sh). The fused native shingle-hash pass.
+    */
+  def simhashOf(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 2): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(
+      col(idCol).as("doc_id"),
+      GraftFunctions.simhash60Fast(
+        GraftFunctions.hashedShingles(col(textCol), shingleN)).as("sh"))
+  }
+
+  /** Explode a (doc_id, sh) simhash frame into pigeonhole block keys
+    * (doc_id, sh, blk, bits): any two hashes within `maxHamming` share
+    * at least one full block, so an equi-join on (blk, bits) generates
+    * ALL true candidates (100% recall) without an O(n²) cross product.
+    */
+  def simhashBlocks(sim: DataFrame, maxHamming: Int): DataFrame = {
     // 60-bit hashes: beyond 59 the pigeonhole blocks degenerate to
     // zero-width (full cross join); reject rather than degrade
     require(maxHamming >= 0 && maxHamming < 60, s"maxHamming must be in [0,60), got $maxHamming")
     val nBlocks = maxHamming + 1 // pigeonhole guarantee
     val blockBits = 60.0 / nBlocks
-    GraftFunctions.register(df.sparkSession)
-
-    val sim = df.select(
-      col(idCol).as("doc_id"),
-      // fused shingle-hash, then pure-arithmetic simhash
-      GraftFunctions.simhash60Fast(
-        GraftFunctions.hashedShingles(col(textCol), shingleN)).as("sh"))
-      .persist()
-
-    val blocked = sim.select(
+    sim.select(
       col("doc_id"), col("sh"),
       explode(array((0 until nBlocks).map { blk =>
         val lo = math.round(blk * blockBits).toInt
@@ -133,6 +136,16 @@ object TextDedup {
             .bitwiseAND(lit((1L << (hi - lo)) - 1)).as("bits"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("sh"), col("bb.blk"), col("bb.bits"))
+  }
+
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 10,
+      shingleN: Int = 2): DataFrame = {
+    val sim = simhashOf(df, idCol, textCol, shingleN).persist()
+    val blocked = simhashBlocks(sim, maxHamming)
 
     val a = blocked.select(col("blk"), col("bits"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = blocked.select(col("blk"), col("bits"), col("doc_id").as("id_b"), col("sh").as("sh_b"))

@@ -176,6 +176,35 @@ class CurationSpec extends SparkSpec {
     assert(s4.select("doc_id").as[Long].collect().toSeq == Seq(6L))
   }
 
+  test("incremental near-dup: ledger suppresses near matches across batches") {
+    import graft.operators.IncrementalDedup
+    val base = tmpDir("inc-near")
+    val ledger = s"$base/sh"
+    // 30-token texts; B differs from A by one word → shingle sets
+    // overlap ~28/31 → simhash within the hamming budget
+    val words = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearA = words.replace("tok17", "changed")
+    val distinct1 = (1 to 30).map(i => s"other$i").mkString(" ")
+    val b1 = Seq((1L, words), (2L, nearA), (3L, distinct1)).toDF("doc_id", "text")
+    val s1 = IncrementalDedup.ingestBatchNearDup(
+      b1, "doc_id", "text", ledger, s"$base/out1", maxHamming = 20)
+    // within-batch: 1 and 2 cluster, min id 1 survives; 3 unpaired
+    assert(s1.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+
+    // batch 2: 10 ≈ ledgered doc 1 → suppressed; 11 genuinely new
+    val distinct2 = (1 to 30).map(i => s"fresh$i").mkString(" ")
+    val b2 = Seq((10L, words.replace("tok3", "swap")), (11L, distinct2)).toDF("doc_id", "text")
+    val s2 = IncrementalDedup.ingestBatchNearDup(
+      b2, "doc_id", "text", ledger, s"$base/out2", maxHamming = 20)
+    assert(s2.select("doc_id").as[Long].collect().toSeq == Seq(11L))
+
+    // full re-run of a committed batch replays, never empties
+    val s2b = IncrementalDedup.ingestBatchNearDup(
+      b2, "doc_id", "text", ledger, s"$base/out2", maxHamming = 20)
+    assert(s2b.select("doc_id").as[Long].collect().toSeq == Seq(11L))
+    assert(spark.read.parquet(s"$base/out2").count() == 1)
+  }
+
   test("connectedComponents throws on non-convergence instead of partial labels") {
     import graft.operators.DupGraph
     // an 11-edge chain has diameter 11: four propagation rounds leave
