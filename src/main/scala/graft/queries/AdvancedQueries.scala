@@ -151,6 +151,32 @@ object AdvancedQueries {
         .orderBy($"event_id")
     },
 
+    // forward as-of: each purchase matched to the EARLIEST following
+    // click per user (the "next action after conversion" shape) —
+    // same one-shuffle composed form, mirrored sort; DuckDB's native
+    // forward ASOF is the oracle
+    Q.sql(
+      "q64_asof_forward",
+      """SELECT l.event_id, l.user_id, r.event_id AS next_click_id, r.value AS next_click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND r.ts >= l.ts
+        |ORDER BY l.event_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts_ns")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts_ns",
+          $"event_id".as("next_click_id"), $"value".as("next_click_value"))
+      graft.operators.AsOfJoin.asofJoin(
+        purchases, clicks, Seq("user_id"), "ts_ns",
+        Seq("next_click_id", "next_click_value"), direction = "forward")
+        .select($"event_id", $"user_id", $"next_click_id", $"next_click_value")
+        .orderBy($"event_id")
+    },
+
     // pivot: per-user event-type counts as columns (Spark pivot with
     // pinned values; DuckDB expressed as the equivalent conditional
     // aggregation — same result relation)
@@ -173,6 +199,65 @@ object AdvancedQueries {
         .agg(count(lit(1)))
         .na.fill(0)
         .orderBy($"user_id")
+    },
+
+    // generic range join WITHOUT an equi key: every 500th event anchors
+    // a 1-hour interval; count all events falling inside each. Spark's
+    // naive form is a nested-loop cross product — RangeJoin bins the
+    // timeline so it becomes a hash equi-join on the bin id (exact
+    // integer micros both engines; DuckDB plans its native IEJoin)
+    Q.sql(
+      "q62_range_join",
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+        |iv AS (
+        |  SELECT event_id AS iv_id, us AS start_us, us + 3600000000 AS end_us
+        |  FROM e WHERE event_id % 500 = 0)
+        |SELECT iv_id, CAST(count(*) AS BIGINT) AS n_points
+        |FROM iv JOIN e ON e.us >= iv.start_us AND e.us < iv.end_us
+        |GROUP BY iv_id
+        |ORDER BY iv_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val HourUs = 3600000000L
+      val e = Tables.events(s, d)
+        .select($"event_id", expr("ts_ns div 1000").as("us")) // exact integer micros
+      val iv = e.filter($"event_id" % 500 === 0)
+        .select($"event_id".as("iv_id"), $"us".as("start_us"), ($"us" + HourUs).as("end_us"))
+      graft.operators.RangeJoin.pointInInterval(
+        e, "us", iv, "start_us", "end_us", binWidth = HourUs)
+        .groupBy($"iv_id").agg(count(lit(1)).as("n_points"))
+        .orderBy($"iv_id")
+    },
+
+    // interval × interval overlap join (two derived maintenance-window
+    // sets), binned to a hash equi-join with exactly-once emission —
+    // the session-vs-session / window-vs-window collision primitive
+    Q.sql(
+      "q63_interval_overlap",
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+        |a AS (
+        |  SELECT event_id AS a_id, us AS a_start, us + 3600000000 AS a_end
+        |  FROM e WHERE event_id % 500 = 0),
+        |b AS (
+        |  SELECT event_id AS b_id, us AS b_start, us + 1800000000 AS b_end
+        |  FROM e WHERE event_id % 300 = 0)
+        |SELECT a_id, CAST(count(*) AS BIGINT) AS n_overlaps
+        |FROM a JOIN b ON a_start < b_end AND b_start < a_end
+        |GROUP BY a_id
+        |ORDER BY a_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val HourUs = 3600000000L
+      val e = Tables.events(s, d)
+        .select($"event_id", expr("ts_ns div 1000").as("us"))
+      val a = e.filter($"event_id" % 500 === 0)
+        .select($"event_id".as("a_id"), $"us".as("a_start"), ($"us" + HourUs).as("a_end"))
+      val b = e.filter($"event_id" % 300 === 0)
+        .select($"event_id".as("b_id"), $"us".as("b_start"), ($"us" + HourUs / 2).as("b_end"))
+      graft.operators.RangeJoin.intervalOverlap(
+        a, "a_start", "a_end", b, "b_start", "b_end", binWidth = HourUs)
+        .groupBy($"a_id").agg(count(lit(1)).as("n_overlaps"))
+        .orderBy($"a_id")
     }
   )
 }

@@ -46,4 +46,38 @@ class AsOfJoinSpec extends SparkSpec {
       .select($"id", $"rv").as[(Long, Option[Double])].collect().toMap
     assert(got == Map(1L -> None, 2L -> Some(1.5), 3L -> Some(2.5)))
   }
+
+  test("forward direction matches the earliest following right row") {
+    val left = Seq(
+      (1L, 1L, 100L), // next right is 150
+      (2L, 1L, 250L), // exactly at 250 → inclusive
+      (3L, 1L, 260L), // after the last right row → null
+      (4L, 2L, 10L)   // key with no right rows
+    ).toDF("id", "k", "t")
+    val right = Seq((1L, 150L, "r150"), (1L, 250L, "r250")).toDF("k", "t", "rv")
+    val got = AsOfJoin.asofJoin(left, right, Seq("k"), "t", Seq("rv"), "forward")
+      .select($"id", $"rv").as[(Long, Option[String])].collect().toMap
+    assert(got == Map(
+      1L -> Some("r150"), 2L -> Some("r250"), 3L -> None, 4L -> None))
+  }
+
+  test("nearest direction picks the closer side; ties go backward") {
+    val left = Seq(
+      (1L, 1L, 10L),  // |10-8|=2 < |20-10| → backward 8
+      (2L, 1L, 19L),  // |19-8|=11 > |20-19|=1 → forward 20
+      (3L, 1L, 14L),  // equidistant (6 both ways) → backward, like pandas
+      (4L, 1L, 5L),   // before all right rows → forward 8
+      (5L, 1L, 99L)   // after all right rows → backward 20
+    ).toDF("id", "k", "t")
+    val right = Seq((1L, 8L, "r8"), (1L, 20L, "r20")).toDF("k", "t", "rv")
+    val got = AsOfJoin.asofJoin(left, right, Seq("k"), "t", Seq("rv"), "nearest")
+      .select($"id", $"rv").as[(Long, Option[String])].collect().toMap
+    assert(got == Map(
+      1L -> Some("r8"), 2L -> Some("r20"), 3L -> Some("r8"),
+      4L -> Some("r8"), 5L -> Some("r20")))
+    // rejects unknown directions
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(left, right, Seq("k"), "t", Seq("rv"), "sideways")
+    }
+  }
 }
