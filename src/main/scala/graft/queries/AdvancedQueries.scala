@@ -151,6 +151,39 @@ object AdvancedQueries {
         .orderBy($"event_id")
     },
 
+    // ENGINE-NATIVE gap sessionization (session_window) — the same
+    // semantics q19 composes from lag+sum, as Spark's built-in merging
+    // session operator; the oracle replays the merge rule (a gap >= 30
+    // min splits; note q19's composed form uses > — the built-in
+    // splits at exactly the gap)
+    Q.sql(
+      "q65_session_window",
+      """WITH t1 AS (
+        |  SELECT user_id, event_id, value, epoch_ns(ts) // 1000 AS us,
+        |    lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_us
+        |  FROM events),
+        |t2 AS (
+        |  SELECT user_id, value, us,
+        |    CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM t1)
+        |SELECT user_id, min(us) AS session_start_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM t2
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start_us""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("total_value"))
+        .select($"user_id", unix_micros($"sw.start").as("session_start_us"),
+          $"n_events", $"total_value")
+        .orderBy($"user_id", $"session_start_us")
+    },
+
     // forward as-of: each purchase matched to the EARLIEST following
     // click per user (the "next action after conversion" shape) —
     // same one-shuffle composed form, mirrored sort; DuckDB's native

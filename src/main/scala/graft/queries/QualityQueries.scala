@@ -178,6 +178,36 @@ object QualityQueries {
         .orderBy($"source")
     },
 
+    // Unigram LM quality score (the CCNet-style LM-filter stand-in):
+    // per-doc mean negative log-probability of its tokens under the
+    // corpus unigram distribution — high = rare/garbled text, low =
+    // repetitive boilerplate. One token explode, one count aggregate,
+    // a token-keyed join back, one scalar broadcast.
+    Q.sql(
+      "q66_unigram_logprob",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |n AS (SELECT count(*) AS n_total FROM toks)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(-ln(c::DOUBLE / n_total)), 4) AS avg_neg_logprob
+        |FROM toks JOIN freq USING (tok) CROSS JOIN n
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", explode(tokens(lower($"text"))).as("tok"))
+      val freq = toks.groupBy("tok").agg(count("*").as("c"))
+      val n = toks.agg(count("*").as("n_total"))
+      toks.join(freq, "tok").crossJoin(broadcast(n))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(-log($"c".cast("double") / $"n_total")), 4).as("avg_neg_logprob"))
+        .orderBy($"doc_id")
+    },
+
     // Character-level Shannon entropy (nats) — low entropy flags
     // degenerate/repetitive payloads, very high flags binary-ish noise.
     Q.sql(
