@@ -28,7 +28,13 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case Some(names) =>
+        val unknown = names -- SparkEntry.queries.keySet
+        // a silent typo would bench zero queries and report a
+        // plausible-looking 0.00 total
+        if (unknown.nonEmpty)
+          System.err.println(s"[bench] WARNING: unknown SPARK_GRAFT_ONLY names: ${unknown.mkString(", ")}")
+        SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)

@@ -141,6 +141,7 @@ object IncrementalDedup {
     } else {
       val sim = TextDedup.simhashOf(batch, idCol, textCol, shingleN)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       val batchBlocks = TextDedup.simhashBlocks(sim, maxHamming)
 
       // 1. cross-batch: drop batch rows near ANY ledgered hash
@@ -178,8 +179,11 @@ object IncrementalDedup {
       val written = spark.read.parquet(outputDir)
       writtenHashes(written).write.mode("append").parquet(ledgerPath)
       writeMarker(spark, ledgerPath, ledgerMarker)
-      sim.unpersist()
       written
+      // finally, not success-path only: a failed write must not strand
+      // the cached hashes for the session lifetime (retry loops would
+      // leak one copy per attempt)
+      } finally sim.unpersist()
     }
   }
 

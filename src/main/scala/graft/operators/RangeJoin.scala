@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed point-in-interval range join. Spark has no native range
@@ -23,6 +23,30 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Floor-division bin id in EXACT integer arithmetic: `Column./` is
+    * double division, which is a ulp from the wrong bin beyond 2^53
+    * (epoch nanos). `x - pmod(x, w)` floors to an exact multiple of
+    * `w` for either sign, and SQL `div` (truncating) equals floor
+    * division on exact multiples. The multiple is materialized as a
+    * named column because `div` is only reachable through `expr`.
+    */
+  private def withBinOf(df: DataFrame, x: Column, w: Long, out: String): DataFrame =
+    df.withColumn(s"${out}_src", x - pmod(x, lit(w)))
+      .withColumn(out, expr(s"`${out}_src` div $w"))
+      .drop(s"${out}_src")
+
+  /** Explode an interval frame to one row per overlapped bin; keeps
+    * the start bin under `startBin` (interval-overlap's exactly-once
+    * emission needs it after the join).
+    */
+  private def binned(df: DataFrame, sc: String, ec: String, w: Long,
+      startBin: String): DataFrame = {
+    val (s, e) = (col(sc).cast("long"), col(ec).cast("long"))
+    val lo = withBinOf(withBinOf(df.filter(e > s), s, w, startBin), e - 1, w, "_bin_hi")
+    lo.withColumn("_bin", explode(sequence(col(startBin), col("_bin_hi"))))
+      .drop("_bin_hi")
+  }
+
   /** Inner-join `points` to `intervals` on
     * `start <= point < end` (all three integral — e.g. epoch micros).
     * Output: every interval column plus every point column (names must
@@ -39,16 +63,9 @@ object RangeJoin {
     val s = col(startCol).cast("long")
     val e = col(endCol).cast("long")
     val p = col(ptCol).cast("long")
-    // floor division in exact integer arithmetic (pmod handles
-    // negatives); a double `/` would be one ulp from wrong at epoch-
-    // micro magnitudes
-    def binOf(x: org.apache.spark.sql.Column) =
-      ((x - pmod(x, lit(binWidth))) / binWidth).cast("long")
-    val binned = intervals
-      .filter(e > s)
-      .withColumn("_bin", explode(sequence(binOf(s), binOf(e - 1))))
-    val pts = points.withColumn("_bin", binOf(p))
-    binned.join(pts, "_bin")
+    val iv = binned(intervals, startCol, endCol, binWidth, "_bin_s").drop("_bin_s")
+    val pts = withBinOf(points, p, binWidth, "_bin")
+    iv.join(pts, "_bin")
       .filter(p >= s && p < e)
       .drop("_bin")
   }
@@ -68,18 +85,12 @@ object RangeJoin {
       rightEnd: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    def binOf(x: org.apache.spark.sql.Column) =
-      ((x - pmod(x, lit(binWidth))) / binWidth).cast("long")
-    def binned(df: DataFrame, sc: String, ec: String) = {
-      val (s, e) = (col(sc).cast("long"), col(ec).cast("long"))
-      df.filter(e > s).withColumn("_bin", explode(sequence(binOf(s), binOf(e - 1))))
-    }
     val (s1, e1) = (col(leftStart).cast("long"), col(leftEnd).cast("long"))
     val (s2, e2) = (col(rightStart).cast("long"), col(rightEnd).cast("long"))
-    binned(left, leftStart, leftEnd)
-      .join(binned(right, rightStart, rightEnd), "_bin")
+    binned(left, leftStart, leftEnd, binWidth, "_bin_s1")
+      .join(binned(right, rightStart, rightEnd, binWidth, "_bin_s2"), "_bin")
       .filter(s1 < e2 && s2 < e1)
-      .filter(col("_bin") === greatest(binOf(s1), binOf(s2)))
-      .drop("_bin")
+      .filter(col("_bin") === greatest(col("_bin_s1"), col("_bin_s2")))
+      .drop("_bin", "_bin_s1", "_bin_s2")
   }
 }

@@ -95,12 +95,6 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** SimHash near-duplicate pairs at Hamming distance <= maxHamming,
-    * banded for scale: 60 bits split into enough blocks that any pair
-    * within the distance shares at least one full block (pigeonhole),
-    * equi-joined per block, then exactly verified. Recall is 100%;
-    * the block join replaces the O(n²) cross product.
-    */
   /** Compute each row's 60-bit simhash over word shingles:
     * (idCol → doc_id, sh). The fused native shingle-hash pass.
     */
@@ -138,6 +132,11 @@ object TextDedup {
       .select(col("doc_id"), col("sh"), col("bb.blk"), col("bb.bits"))
   }
 
+  /** SimHash near-duplicate pairs at Hamming distance <= maxHamming,
+    * banded for scale via [[simhashBlocks]], then exactly verified
+    * with the `bit_count` distance. Recall is 100%; the block join
+    * replaces the O(n²) cross product.
+    */
   def simhashPairs(
       df: DataFrame,
       idCol: String,

@@ -200,7 +200,9 @@ object QualityQueries {
       val toks = Tables.documents(s, d)
         .select($"doc_id", explode(tokens(lower($"text"))).as("tok"))
       val freq = toks.groupBy("tok").agg(count("*").as("c"))
-      val n = toks.agg(count("*").as("n_total"))
+      // total tokens from the freq frame — a third explode of the
+      // corpus would re-scan documents for a number freq already holds
+      val n = freq.agg(sum($"c").as("n_total"))
       toks.join(freq, "tok").crossJoin(broadcast(n))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),

@@ -33,23 +33,27 @@ object ZOrder {
     require(zCols.nonEmpty, "zOrder needs at least one column")
     require(zCols.size * BitsPerDim <= 63, s"too many z-order columns (max ${63 / BitsPerDim})")
     val buckets = 1 << BitsPerDim
-    // (1.0/buckets) relative error keeps bucket edges ~one bucket wide
-    val bucketed = zCols.map { c =>
-      val bounds = df.stat.approxQuantile(c,
-        (1 until buckets).map(_.toDouble / buckets).toArray, 0.5 / buckets)
+    // ONE sketch pass for every column (the per-column overload would
+    // re-scan df once per dimension)
+    val allBounds = df.stat.approxQuantile(zCols.toArray,
+      (1 until buckets).map(_.toDouble / buckets).toArray, 0.5 / buckets)
+    val bucketed = zCols.zip(allBounds).map { case (c, bounds) =>
       // bucket index = #boundaries <= value (0..buckets-1), computed as
-      // pure per-row arithmetic over the broadcast literal array
+      // pure per-row arithmetic over the broadcast literal array; cast
+      // to LONG before shifting — an int shift wraps at bit 31, which
+      // would silently fold dimensions onto each other
       aggregate(
         lit(bounds),
         lit(0),
         (acc, b) => acc + when(col(c).cast("double") >= b, 1).otherwise(0))
+        .cast("long")
     }
     // interleave: bit b of dimension i lands at position b*dims + i
     val dims = zCols.size
     val terms = for {
       b <- 0 until BitsPerDim
       (bk, i) <- bucketed.zipWithIndex
-    } yield shiftleft(shiftright(bk, b).bitwiseAND(lit(1)), b * dims + i).cast("long")
+    } yield shiftleft(shiftright(bk, b).bitwiseAND(lit(1L)), b * dims + i)
     terms.reduce(_ + _) // disjoint bit positions: sum == bitwise or
   }
 

@@ -43,6 +43,34 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("exact bins at epoch-nanosecond magnitudes (beyond double precision)") {
+    // 1.7e18 is far past 2^53: a double-division bin id here is one
+    // ulp from wrong, silently missing matches
+    val base = 1700000000000000000L
+    val rnd = new scala.util.Random(3)
+    val pts = (1 to 300).map(i => (i.toLong, base + rnd.nextLong(500000))).toDF("pid", "p")
+    val ivs = (1 to 40).map { i =>
+      val s = base + rnd.nextLong(500000)
+      (i.toLong, s, s + 1 + rnd.nextLong(40000))
+    }.toDF("iid", "s", "e")
+    val naive = ivs.join(pts, $"p" >= $"s" && $"p" < $"e")
+      .select($"iid", $"pid").as[(Long, Long)].collect().toSet
+    for (w <- Seq(7777L, 30000L, 1000000L)) {
+      val got = RangeJoin.pointInInterval(pts, "p", ivs, "s", "e", w)
+        .select($"iid", $"pid").as[(Long, Long)].collect().toSet
+      assert(got == naive, s"w=$w")
+    }
+    val naiveOv = ivs.join(
+      ivs.select($"iid".as("jid"), $"s".as("s2"), $"e".as("e2")),
+      $"s" < $"e2" && $"s2" < $"e")
+      .select($"iid", $"jid").as[(Long, Long)].collect().toSet
+    val gotOv = RangeJoin.intervalOverlap(
+      ivs, "s", "e", ivs.select($"iid".as("jid"), $"s".as("s2"), $"e".as("e2")),
+      "s2", "e2", 30000L)
+      .select($"iid", $"jid").as[(Long, Long)].collect()
+    assert(gotOv.length == gotOv.toSet.size && gotOv.toSet == naiveOv)
+  }
+
   test("degenerate and empty intervals match nothing; plan is a hash join") {
     val pts = Seq((1L, 5L), (2L, 10L)).toDF("pid", "p")
     val ivs = Seq((1L, 5L, 5L), (2L, 8L, 3L)).toDF("iid", "s", "e") // empty + inverted
