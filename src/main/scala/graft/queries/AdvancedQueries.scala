@@ -210,6 +210,32 @@ object AdvancedQueries {
         .orderBy($"event_id")
     },
 
+    // RANGE-frame window (value-based, not row-count): per user, how
+    // many events and how much value landed in the TRAILING HOUR at
+    // each event — the rate-limit / burst-detection shape. Exact
+    // integer micros as the frame unit on both engines.
+    Q.sql(
+      "q67_range_frame",
+      """SELECT event_id, user_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+        |  round(sum(value) OVER w, 2) AS value_last_hour
+        |FROM (SELECT event_id, user_id, value, epoch_ns(ts) // 1000 AS us FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val HourUs = 3600000000L
+      val w = Window.partitionBy($"user_id").orderBy($"us")
+        .rangeBetween(-HourUs, Window.currentRow)
+      Tables.events(s, d)
+        .select($"event_id", $"user_id", $"value", expr("ts_ns div 1000").as("us"))
+        .select($"event_id", $"user_id",
+          count(lit(1)).over(w).as("n_last_hour"),
+          round(sum($"value").over(w), 2).as("value_last_hour"))
+        .orderBy($"event_id")
+    },
+
     // pivot: per-user event-type counts as columns (Spark pivot with
     // pinned values; DuckDB expressed as the equivalent conditional
     // aggregation — same result relation)
