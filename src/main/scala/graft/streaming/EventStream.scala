@@ -82,6 +82,21 @@ object EventStream {
         col("r.ts").as("right_ts"))
   }
 
+  /** Streaming form of the cross-batch exact-dedup ledger: drop every
+    * stream row whose canonical content fingerprint already exists in
+    * the (static) ledger written by
+    * [[graft.operators.IncrementalDedup.ingestBatch]] — a stream-static
+    * LEFT ANTI join, stateless per micro-batch, ledger re-read per
+    * batch by Spark's static-side semantics. Within-stream duplicates
+    * compose upstream via [[dedupWithinWatermark]] on the fingerprint.
+    */
+  def dropLedgered(stream: DataFrame, textCol: String, ledger: DataFrame): DataFrame = {
+    val fp = graft.functions.TextFunctions.canonicalFingerprint(col(textCol))
+    stream.withColumn("_fp", fp)
+      .join(ledger.select(col("_fp")), Seq("_fp"), "left_anti")
+      .drop("_fp")
+  }
+
   final case class WindowTopK(window_start: java.sql.Timestamp, event_type: String,
       cnt: Long, rank: Int)
 

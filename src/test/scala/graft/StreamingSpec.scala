@@ -152,6 +152,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((ts(5), "view", 1L, 2)))
   }
 
+  test("stream rows already in the exact-dedup ledger are dropped; new content passes") {
+    import graft.operators.IncrementalDedup
+    implicit val sqlCtx = spark.sqlContext
+    // seed a ledger through the batch operator
+    val base = tmpDir("stream-ledger")
+    val b = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
+    IncrementalDedup.ingestBatch(b, "doc_id", "text", s"$base/fp", s"$base/out")
+    val ledger = spark.read.parquet(s"$base/fp")
+
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream.dropLedgered(input.toDF().toDF("doc_id", "text"), "text", ledger)
+      .writeStream.format("memory").queryName("ledger_filter").outputMode("append").start()
+    input.addData(
+      (10L, "SEEN  BEFORE"), // canonical dup of ledgered doc 1
+      (11L, "genuinely new"),
+      (12L, "also seen"))    // exact dup of ledgered doc 2
+    query.processAllAvailable()
+    val got = spark.table("ledger_filter").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    query.stop()
+    assert(got == Seq(11L))
+  }
+
   test("sessionization emits a summary once the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
