@@ -37,6 +37,32 @@ object Multimodal {
         sha2(col("payload"), 256).as("sha256"),
         lit("application/octet-stream").as("mime")))
 
+  /** Content-defined near-dup hash for BINARY payloads: 60-bit simhash
+    * over the distinct 4-byte grams of the payload (computed in hex
+    * space — two hex chars per byte — so the DuckDB oracle can replay
+    * it; DuckDB 1.0 can't slice blobs). Pairs come from
+    * [[graft.operators.TextDedup.simhashPairsOf]], the same pigeonhole
+    * path as text: near-dup detection for media columns without any
+    * codec — byte-level similarity catches re-encodes/truncations of
+    * the same source bytes.
+    */
+  def payloadSimhash(df: DataFrame, idCol: String, binCol: String,
+      gramBytes: Int = 4): DataFrame = {
+    require(gramBytes >= 1, "gramBytes must be >= 1")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val h = hex(col(binCol))
+    val gramLen = 2 * gramBytes
+    val grams = array_distinct(
+      when(length(h) >= gramLen,
+        transform(sequence(lit(1), length(h) - (gramLen - 1)),
+          i => h.substr(i, lit(gramLen))))
+        .otherwise(array()))
+    df.select(
+      col(idCol).as("doc_id"),
+      graft.functions.GraftFunctions.simhash60Fast(
+        graft.functions.GraftFunctions.hash60Array(grams)).as("sh"))
+  }
+
   /** STUB decoder: deterministic 'features' = normalized histogram of
     * payload bytes folded into `dim` buckets. Replace the body with a
     * real codec (e.g., image decode + model embed) in production —

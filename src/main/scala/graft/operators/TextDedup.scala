@@ -132,6 +132,22 @@ object TextDedup {
       .select(col("doc_id"), col("sh"), col("bb.blk"), col("bb.bits"))
   }
 
+  /** Near-duplicate pairs from ANY precomputed (doc_id, sh) simhash
+    * frame — the pigeonhole block join + exact verify, shared by the
+    * text path, the binary-payload path, and the incremental ledger.
+    */
+  def simhashPairsOf(sim: DataFrame, maxHamming: Int): DataFrame = {
+    val blocked = simhashBlocks(sim, maxHamming)
+    val a = blocked.select(col("blk"), col("bits"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = blocked.select(col("blk"), col("bits"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** SimHash near-duplicate pairs at Hamming distance <= maxHamming,
     * banded for scale via [[simhashBlocks]], then exactly verified
     * with the `bit_count` distance. Recall is 100%; the block join
@@ -142,19 +158,8 @@ object TextDedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 10,
-      shingleN: Int = 2): DataFrame = {
-    val sim = simhashOf(df, idCol, textCol, shingleN).persist()
-    val blocked = simhashBlocks(sim, maxHamming)
-
-    val a = blocked.select(col("blk"), col("bits"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = blocked.select(col("blk"), col("bits"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("blk", "bits"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
-  }
+      shingleN: Int = 2): DataFrame =
+    simhashPairsOf(simhashOf(df, idCol, textCol, shingleN).persist(), maxHamming)
 
   /** Pairwise n-gram Jaccard over a bounded id range (the exhaustive
     * baseline the LSH paths approximate; at scale use minhashLshPairs

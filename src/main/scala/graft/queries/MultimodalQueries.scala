@@ -105,6 +105,45 @@ object MultimodalQueries {
           $"pos".cast("long").as("feature_idx"),
           round($"col".cast("double") * $"n_bytes").cast("long").as("byte_count"))
         .orderBy($"id", $"feature_idx")
+    },
+
+    // codec-free near-dup for BINARY payloads: simhash over distinct
+    // 4-byte grams, computed in hex space (2 chars/byte) so DuckDB
+    // replays it without blob slicing; pairs via the same pigeonhole
+    // block join as text simhash
+    Q.sql(
+      "q69_payload_simhash_dup",
+      """WITH h AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx
+        |  FROM documents WHERE doc_id < 200),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      list_transform(range(1, length(hx) - 6), i -> substr(hx, i, 8)),
+        |      s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT))) AS gr
+        |  FROM h WHERE length(hx) >= 8),
+        |sim AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_transform(range(0, 60), b ->
+        |        CASE WHEN list_sum(list_transform(gr, v ->
+        |          CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+        |      (acc, x) -> acc * 2 + x) AS sh
+        |  FROM g)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 8
+        |ORDER BY id_a, id_b""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val payloads = Multimodal.attachPayload(
+        Tables.documents(s, d).filter($"doc_id" < 200), "doc_id", "text")
+        .filter(length($"payload") >= 4) // sub-gram payloads: oracle excludes them too
+      graft.operators.TextDedup.simhashPairsOf(
+        Multimodal.payloadSimhash(payloads, "doc_id", "payload"), maxHamming = 8)
+        .orderBy($"id_a", $"id_b")
     }
   )
 }

@@ -39,11 +39,26 @@ object AgeGte extends CustomRule {
     floor(months_between(asOf, d) / 12)
 }
 
+/** Text-quality floor for the training-data import path: rows whose
+  * [[graft.functions.TextFunctions.qualityScore]] (length/punctuation/
+  * stopword composite in [0,1]) falls below `min_score` fail. Pure
+  * codegen'd expressions, same stop/skip semantics as every rule —
+  * config-driven corpus filtering without a separate pipeline stage.
+  */
+object QualityGte extends CustomRule {
+  val name = "quality_gte"
+  def failPredicate(field: String, params: Map[String, Any], asOf: LocalDate): Column = {
+    val minScore = params.get("min_score").map(_.toString.toDouble).getOrElse(0.0)
+    graft.functions.TextFunctions.qualityScore(col(field)) < minScore
+  }
+}
+
 class ValidationStopException(message: String) extends RuntimeException(message)
 
 object CustomRules {
 
-  val registry: Map[String, CustomRule] = Seq(AgeGte).map(r => r.name -> r).toMap
+  val registry: Map[String, CustomRule] =
+    Seq(AgeGte, QualityGte).map(r => r.name -> r).toMap
 
   final case class RuleIssue(
       field: String,

@@ -52,4 +52,14 @@ class RulesSpec extends SparkSpec {
     val r = CustomRules.execute(stage, Seq(RuleSpec("x", "no_such_rule")), "stop", asOf)
     assert(r.survivors.count() == 3 && r.issues.isEmpty)
   }
+  test("quality_gte rule: low-quality rows fail in skip mode, good ones survive") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it was a good day in the sun"), // stopwordy, clean
+      (2L, "!!! ### $$$ %%% ^^^ &&& *** ((( ))) @@@")                  // punctuation soup
+    ).toDF("doc_id", "text")
+    val qRule = Seq(RuleSpec("text", "quality_gte", Map("min_score" -> 0.5)))
+    val res = CustomRules.execute(docs, qRule, "skip", asOf)
+    assert(res.survivors.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    assert(res.issues.head.validation == "quality_gte" && res.totalInvalidRows == 1)
+  }
 }
