@@ -106,6 +106,56 @@ object QualityQueries {
         .orderBy($"doc_id")
     },
 
+    // Winnowing containment vs the benchmark subset — the
+    // plagiarism-detection primitive: what fraction of a doc's
+    // winnowed fingerprint sketch appears anywhere in the held-out
+    // set. Robust to reordering/insertion in a way trigram overlap
+    // (q54) is not; same broadcast-probe scale shape.
+    Q.sql(
+      "q70_winnow_containment",
+      """WITH kg AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text) - 8 + 2), i ->
+        |      CAST(('0x'||substr(md5(substr(text, i, 8)),1,15)) AS BIGINT)) AS h
+        |  FROM documents WHERE length(text) >= 8),
+        |win AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(h) - 4 + 2), i ->
+        |      list_min(h[i:i+3]))) AS fps
+        |  FROM kg),
+        |ex AS (SELECT doc_id, unnest(fps) AS fp FROM win),
+        |bench AS (SELECT DISTINCT fp FROM ex WHERE doc_id % 97 = 0),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_hits
+        |  FROM ex JOIN bench USING (fp)
+        |  WHERE doc_id % 97 <> 0 GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+        |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  round(COALESCE(h.n_hits, 0)::DOUBLE / len(fps), 4) AS containment
+        |FROM win w LEFT JOIN hits h USING (doc_id)
+        |WHERE w.doc_id % 97 <> 0
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val fps = Tables.documents(s, d)
+        .filter(length($"text") >= 8)
+        .select($"doc_id",
+          graft.functions.GraftFunctions.winnowFingerprints($"text", 8, 4).as("fps"))
+      val ex = fps.select($"doc_id", explode($"fps").as("fp"))
+      val bench = ex.filter($"doc_id" % 97 === 0).select($"fp").distinct()
+      val hits = ex.filter($"doc_id" % 97 =!= 0)
+        .join(broadcast(bench), "fp")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      fps.filter($"doc_id" % 97 =!= 0)
+        .select($"doc_id", size($"fps").cast("long").as("n_fps"))
+        .join(hits, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_hits"))
+        .select($"doc_id", $"n_fps", $"n_hits",
+          round($"n_hits" / $"n_fps", 4).as("containment"))
+        .orderBy($"doc_id")
+    },
+
     // TF-IDF top-3 salient terms per document (tf * ln(N/df),
     // deterministic term tie-break). df comes from the tf frame — one
     // extra aggregate, no second corpus scan; N is a broadcast scalar.

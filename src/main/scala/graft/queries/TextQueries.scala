@@ -79,6 +79,43 @@ object TextQueries {
         .orderBy($"doc_id")
     },
 
+    // language-ID confidence: the winning score, the runner-up, and
+    // the margin between them (exact integers — the routing signal for
+    // "confident enough to keep" corpus filters)
+    Q.sql(
+      "q71_lang_confidence", {
+        def occ(m: String): String =
+          s"CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' $m ', ' '))) / ${m.length + 1} AS BIGINT)"
+        def score(ms: Seq[String]): String = ms.map(occ).mkString("(", " + ", ")")
+        val scores = LangMarkers.map { case (lang, ms) => lang -> score(ms) }
+        val caseChain = scores.zipWithIndex.foldRight("'und'") { case (((lang, s), i), rest) =>
+          val later = scores.drop(i + 1).map(_._2)
+          val conds = (s"$s > 0" +: later.map(l => s"$s >= $l")).mkString(" AND ")
+          s"CASE WHEN $conds THEN '$lang' ELSE $rest END"
+        }
+        val sorted = s"list_sort([${scores.map(_._2).mkString(", ")}])"
+        s"""SELECT doc_id, $caseChain AS pred_lang,
+           |  $sorted[${scores.size}] AS top_score,
+           |  $sorted[${scores.size - 1}] AS second_score,
+           |  $sorted[${scores.size}] - $sorted[${scores.size - 1}] AS margin
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }
+    ) { (s, d) =>
+      import s.implicits._
+      val lowered = lower($"text")
+      val scoreCols = LangMarkers.map { case (_, ms) =>
+        ms.map(m => occurrences(lowered, m)).reduce(_ + _)
+      }
+      val sorted = array_sort(array(scoreCols: _*))
+      Tables.documents(s, d).select(
+        $"doc_id",
+        langId($"text").as("pred_lang"),
+        element_at(sorted, -1).as("top_score"),
+        element_at(sorted, -2).as("second_score"),
+        (element_at(sorted, -1) - element_at(sorted, -2)).as("margin"))
+        .orderBy($"doc_id")
+    },
+
     Q.sql(
       "doc_fingerprint",
       """SELECT doc_id, md5(text) AS fp,
