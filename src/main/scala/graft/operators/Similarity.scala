@@ -240,10 +240,11 @@ object Similarity {
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
     e.join(broadcast(stats), "dim")
       .select(col(idCol), col("dim"),
-        (when(col("mx") === col("mn"), lit(0L))
+        when(col("mx") === col("mn"), lit(0L))
           .otherwise(least(
             floor((col("v") - col("mn")) / (col("mx") - col("mn")) * 255),
-            lit(254L))) - 127).as("code"))
+            lit(254L)) - 127)
+          .as("code"))
   }
 
   /** All embedding pairs with cosine >= threshold within a bounded id

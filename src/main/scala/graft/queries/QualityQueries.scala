@@ -117,7 +117,7 @@ object QualityQueries {
         |  SELECT doc_id,
         |    list_transform(range(1, length(text) - 8 + 2), i ->
         |      CAST(('0x'||substr(md5(substr(text, i, 8)),1,15)) AS BIGINT)) AS h
-        |  FROM documents WHERE length(text) >= 8),
+        |  FROM documents WHERE length(text) >= 11),
         |win AS (
         |  SELECT doc_id,
         |    list_distinct(list_transform(range(1, len(h) - 4 + 2), i ->
@@ -138,10 +138,16 @@ object QualityQueries {
     ) { (s, d) =>
       import s.implicits._
       graft.functions.GraftFunctions.register(s)
+      // >= 11 (k + w - 1), not >= 8: an 8-10 char doc has k-grams but
+      // no winnow window, so n_fps would be 0 and the containment
+      // division below would throw under ANSI. persist: the sketch
+      // roots THREE branches (bench, hits, n_fps) — unpersisted it
+      // would be recomputed for each
       val fps = Tables.documents(s, d)
-        .filter(length($"text") >= 8)
+        .filter(length($"text") >= 11)
         .select($"doc_id",
           graft.functions.GraftFunctions.winnowFingerprints($"text", 8, 4).as("fps"))
+        .persist()
       val ex = fps.select($"doc_id", explode($"fps").as("fp"))
       val bench = ex.filter($"doc_id" % 97 === 0).select($"fp").distinct()
       val hits = ex.filter($"doc_id" % 97 =!= 0)

@@ -181,7 +181,7 @@ object SimilarityQueries {
         |st AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY dim)
         |SELECT vec_id, dim,
         |  CAST(CASE WHEN mx = mn THEN 0
-        |       ELSE least(floor((v - mn) / (mx - mn) * 255), 254) END - 127 AS BIGINT) AS code
+        |       ELSE least(floor((v - mn) / (mx - mn) * 255), 254) - 127 END AS BIGINT) AS code
         |FROM e JOIN st USING (dim)
         |ORDER BY vec_id, dim""".stripMargin
     ) { (s, d) =>

@@ -17,6 +17,23 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
+  // DuckDB replay of the langId marker arithmetic, shared by the
+  // lang_id and q71_lang_confidence oracles so the two can never
+  // silently diverge: occurrence counts via the padded length-diff
+  // trick, summed per language, argmax as a tie-ordered CASE chain.
+  private def langOccSql(m: String): String =
+    s"CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' $m ', ' '))) / ${m.length + 1} AS BIGINT)"
+  private val langScoreSqls: Seq[String] =
+    LangMarkers.map { case (_, ms) => ms.map(langOccSql).mkString("(", " + ", ")") }
+  private val langCaseChainSql: String = {
+    val scores = LangMarkers.map(_._1).zip(langScoreSqls)
+    scores.zipWithIndex.foldRight("'und'") { case (((lang, s), i), rest) =>
+      val later = scores.drop(i + 1).map(_._2)
+      val conds = (s"$s > 0" +: later.map(l => s"$s >= $l")).mkString(" AND ")
+      s"CASE WHEN $conds THEN '$lang' ELSE $rest END"
+    }
+  }
+
   val all: Seq[Q] = Seq(
     Q.sql(
       "text_tokens",
@@ -59,19 +76,8 @@ object TextQueries {
     },
 
     Q.sql(
-      "lang_id", {
-        // occurrence count of a padded marker via the length-diff trick
-        def occ(m: String): String =
-          s"CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' $m ', ' '))) / ${m.length + 1} AS BIGINT)"
-        def score(ms: Seq[String]): String = ms.map(occ).mkString("(", " + ", ")")
-        val scores = LangMarkers.map { case (lang, ms) => lang -> score(ms) }
-        val caseChain = scores.zipWithIndex.foldRight("'und'") { case (((lang, s), i), rest) =>
-          val later = scores.drop(i + 1).map(_._2)
-          val conds = (s"$s > 0" +: later.map(l => s"$s >= $l")).mkString(" AND ")
-          s"CASE WHEN $conds THEN '$lang' ELSE $rest END"
-        }
-        s"""SELECT doc_id, $caseChain AS pred_lang FROM documents ORDER BY doc_id"""
-      }
+      "lang_id",
+      s"""SELECT doc_id, $langCaseChainSql AS pred_lang FROM documents ORDER BY doc_id"""
     ) { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
@@ -84,20 +90,12 @@ object TextQueries {
     // "confident enough to keep" corpus filters)
     Q.sql(
       "q71_lang_confidence", {
-        def occ(m: String): String =
-          s"CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' $m ', ' '))) / ${m.length + 1} AS BIGINT)"
-        def score(ms: Seq[String]): String = ms.map(occ).mkString("(", " + ", ")")
-        val scores = LangMarkers.map { case (lang, ms) => lang -> score(ms) }
-        val caseChain = scores.zipWithIndex.foldRight("'und'") { case (((lang, s), i), rest) =>
-          val later = scores.drop(i + 1).map(_._2)
-          val conds = (s"$s > 0" +: later.map(l => s"$s >= $l")).mkString(" AND ")
-          s"CASE WHEN $conds THEN '$lang' ELSE $rest END"
-        }
-        val sorted = s"list_sort([${scores.map(_._2).mkString(", ")}])"
-        s"""SELECT doc_id, $caseChain AS pred_lang,
-           |  $sorted[${scores.size}] AS top_score,
-           |  $sorted[${scores.size - 1}] AS second_score,
-           |  $sorted[${scores.size}] - $sorted[${scores.size - 1}] AS margin
+        val sorted = s"list_sort([${langScoreSqls.mkString(", ")}])"
+        val n = langScoreSqls.size
+        s"""SELECT doc_id, $langCaseChainSql AS pred_lang,
+           |  $sorted[$n] AS top_score,
+           |  $sorted[${n - 1}] AS second_score,
+           |  $sorted[$n] - $sorted[${n - 1}] AS margin
            |FROM documents ORDER BY doc_id""".stripMargin
       }
     ) { (s, d) =>

@@ -86,9 +86,13 @@ object EventStream {
     * stream row whose canonical content fingerprint already exists in
     * the (static) ledger written by
     * [[graft.operators.IncrementalDedup.ingestBatch]] — a stream-static
-    * LEFT ANTI join, stateless per micro-batch, ledger re-read per
-    * batch by Spark's static-side semantics. Within-stream duplicates
-    * compose upstream via [[dedupWithinWatermark]] on the fingerprint.
+    * LEFT ANTI join, stateless per micro-batch. The ledger frame is a
+    * SNAPSHOT: a parquet-backed static DataFrame fixes its file
+    * listing when `spark.read` resolves it, so fingerprints appended
+    * after the stream starts are NOT seen until the query restarts
+    * with a fresh read. For a live ledger, re-read it inside
+    * `foreachBatch` instead. Within-stream duplicates compose
+    * upstream via [[dedupWithinWatermark]] on the fingerprint.
     */
   def dropLedgered(stream: DataFrame, textCol: String, ledger: DataFrame): DataFrame = {
     val fp = graft.functions.TextFunctions.canonicalFingerprint(col(textCol))
