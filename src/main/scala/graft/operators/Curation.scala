@@ -129,6 +129,57 @@ object Curation {
       .filter(col("sample_bucket") < threshold)
   }
 
+  /** One-call corpus curation — the standard pretraining-data funnel
+    * composed from this library's operators, each stage feeding the
+    * next's survivors:
+    *
+    *   1. quality floor   ([[graft.functions.TextFunctions.qualityScore]] >= minQuality)
+    *   2. exact dedup     ([[TextDedup.exact]], canonical fingerprint keep-min-id)
+    *   3. near dedup      ([[TextDedup.minhashLshPairs]] → [[DupGraph.nearDedupSurvivors]])
+    *   4. stratified sample ([[stratifiedSample]]; default keeps everything)
+    *   5. split assignment ([[assignSplit]] — adds the `split` column)
+    *
+    * Returns (curated frame, report) where the report is one row per
+    * stage with rows_in/rows_out. Counting each stage costs one action
+    * per stage; intermediate survivors are persisted so no stage's
+    * lineage re-runs an earlier one. `idCol` must be integral (the
+    * near-dedup cluster resolution keys components by long ids).
+    */
+  def curateCorpus(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      fractions: Map[String, Double] = Map.empty,
+      defaultFraction: Double = 1.0,
+      groupCol: String = "source",
+      minQuality: Double = 0.3,
+      jaccardThreshold: Double = 0.8): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val report = Seq.newBuilder[(String, Long, Long)]
+    var cached = List.empty[DataFrame]
+    def stage(name: String, in: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
+      val out = f(in).persist(MEMORY_AND_DISK)
+      cached ::= out
+      report += ((name, in.count(), out.count()))
+      out
+    }
+    val quality = stage("quality_floor", docs)(
+      _.filter(graft.functions.TextFunctions.qualityScore(col(textCol)) >= minQuality))
+    val exact = stage("exact_dedup", quality)(d => TextDedup.exact(d, idCol, textCol)._1)
+    val near = stage("near_dedup", exact) { d =>
+      val pairs = TextDedup.minhashLshPairs(d, idCol, textCol, threshold = jaccardThreshold)
+      DupGraph.nearDedupSurvivors(d, idCol, pairs)._1
+    }
+    val sampled = stage("stratified_sample", near)(
+      stratifiedSample(_, groupCol, idCol, fractions, defaultFraction).drop("sample_bucket"))
+    val curated = assignSplit(sampled, idCol)
+    // keep only the final frame pinned; report counts are materialized
+    cached.drop(1).foreach(_.unpersist())
+    import spark.implicits._
+    (curated, report.result().toDF("stage", "rows_in", "rows_out"))
+  }
+
   /** Global token vocabulary: top-k lowercased whitespace tokens by
     * frequency (ties broken by token) — the counting shape of vocab /
     * BPE-seed extraction.
