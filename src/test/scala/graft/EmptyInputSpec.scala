@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators._
+import graft.sinks.{Sinks, ZOrder}
+import org.apache.spark.sql.functions._
+
+/** Empty-input robustness: every operator must return an empty (or
+  * degenerate-but-well-formed) result on an empty frame, not throw —
+  * a real corpus pipeline hits empty partitions, empty sources, and
+  * filters-that-drop-everything constantly.
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def emptyDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+
+  test("dedup family handles empty corpora") {
+    val (surv, removed) = TextDedup.exact(emptyDocs, "doc_id", "text")
+    assert(surv.count() == 0 && removed.count() == 0)
+    assert(TextDedup.minhashLshPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(TextDedup.simhashPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(TextDedup.ngramJaccardPairs(emptyDocs, "doc_id", "text").count() == 0)
+  }
+
+  test("connected components and near-dedup handle empty edge lists") {
+    val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(DupGraph.connectedComponents(edges).count() == 0)
+    val corpus = Seq(1L, 2L).toDF("doc_id")
+    val (s, r) = DupGraph.nearDedupSurvivors(corpus, "doc_id", edges)
+    assert(s.count() == 2 && r.count() == 0)
+  }
+
+  test("curation operators handle empty frames") {
+    assert(Curation.assignSplit(emptyDocs, "doc_id").count() == 0)
+    assert(Curation.groupQuota(emptyDocs, "source", "doc_id", 10).count() == 0)
+    assert(Curation.chunkTokens(emptyDocs, "doc_id", "text", 32).count() == 0)
+    assert(Curation.vocabTopK(emptyDocs, "text", 5).count() == 0)
+    assert(Curation.stratifiedSample(emptyDocs, "source", "doc_id", Map.empty, 1.0).count() == 0)
+    val (curated, report) = Curation.curateCorpus(emptyDocs, "doc_id", "text")
+    assert(curated.count() == 0)
+    assert(report.filter($"rows_in" =!= 0L || $"rows_out" =!= 0L).count() == 0)
+  }
+
+  test("profiling, quantiles, and winsorize handle empty frames") {
+    val e = Seq.empty[(String, Option[Double])].toDF("g", "v")
+    assert(DataProfiler.profile(e).count() == 2) // one row per column, zero counts
+    assert(DataProfiler.profile(e, minMax = true)
+      .filter($"n_nulls" =!= 0L || $"n_distinct" =!= 0L).count() == 0)
+    assert(Quantiles.groupPercentiles(e, "g", "v", Seq("p50" -> 0.5)).count() == 0)
+    assert(Quantiles.winsorize(e, "g", Seq("v")).count() == 0)
+  }
+
+  test("similarity operators handle empty embedding sets") {
+    val e = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.quantizeInt8(e, "vec_id", "embedding").count() == 0)
+    assert(Similarity.cosineDupPairs(e, "vec_id", "embedding", 0.9).count() == 0)
+  }
+
+  test("range joins handle empty sides") {
+    val pts = Seq.empty[(Long, Long)].toDF("pid", "p")
+    val ivs = Seq((1L, 0L, 10L)).toDF("iid", "s", "e")
+    assert(RangeJoin.pointInInterval(pts, "p", ivs, "s", "e", 5L).count() == 0)
+    assert(RangeJoin.pointInInterval(
+      Seq((1L, 3L)).toDF("pid", "p"), "p",
+      Seq.empty[(Long, Long, Long)].toDF("iid", "s", "e"), "s", "e", 5L).count() == 0)
+    assert(RangeJoin.intervalOverlap(
+      ivs, "s", "e", Seq.empty[(Long, Long, Long)].toDF("jid", "s2", "e2"),
+      "s2", "e2", 5L).count() == 0)
+  }
+
+  test("sinks handle empty frames") {
+    val dir = tmpDir("empty-sinks")
+    val e = Seq.empty[(Long, String)].toDF("id", "split")
+    // empty partitioned write: no partition dirs, readable as empty via schema
+    Sinks.writePartitioned(e, s"$dir/p", Seq("split"), filesPerPartition = 4)
+    ZOrder.writeZOrdered(Seq.empty[(Long, Double)].toDF("a", "b"), s"$dir/z", Seq("a", "b"), 4)
+    assert(spark.read.parquet(s"$dir/z").count() == 0)
+  }
+}
