@@ -32,6 +32,38 @@ class SkewAndExtensionsSpec extends SparkSpec {
     assert(direct.contains((1L, "one", 3000L)))
   }
 
+  test("runtime bloom-filter join pruning engages on selective shuffle joins") {
+    // at 100 TB a selective dim-side filter should prune fact rows
+    // BEFORE the shuffle via an injected runtime bloom filter; verify
+    // the engine configuration supports it (thresholds lowered to
+    // trigger at test scale, AQE's broadcast preference disabled for
+    // the plan to keep the shuffle join the bloom filter needs)
+    val dir = "/root/testdata/sf0.001"
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtimeFilter.number.threshold" -> "10",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, dir)
+      val sel = Tables.orders(spark, dir).filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey")
+      val joined = li.join(sel, li("l_orderkey") === sel("o_orderkey"))
+        .groupBy().agg(sum($"l_quantity").as("q"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"),
+        s"runtime bloom filter not injected:\n$plan")
+      assert(joined.head().getAs[Number](0).doubleValue > 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("GraftExtensions installs every native function builder") {
     // a fresh session cannot be built in a JVM that already has one
     // (getOrCreate would return it, silently skipping extensions), so
