@@ -140,10 +140,16 @@ object Curation {
     *   5. split assignment ([[assignSplit]] — adds the `split` column)
     *
     * Returns (curated frame, report) where the report is one row per
-    * stage with rows_in/rows_out. Counting each stage costs one action
-    * per stage; intermediate survivors are persisted so no stage's
-    * lineage re-runs an earlier one. `idCol` must be integral (the
-    * near-dedup cluster resolution keys components by long ids).
+    * stage with rows_in/rows_out. Each stage's output is counted once
+    * (the next stage's rows_in is the previous rows_out — no
+    * recounts); the sample stage is SKIPPED (and absent from the
+    * report) when it would be a no-op (no fractions, defaultFraction
+    * 1.0), so corpora without the group column still curate. The final
+    * frame is checkpointed locally and EVERY intermediate cache —
+    * including the near-dedup shingle cache — is released before
+    * returning, so loop-driven callers don't accumulate pinned frames.
+    * `idCol` must be integral (the near-dedup cluster resolution keys
+    * components by long ids).
     */
   def curateCorpus(
       docs: DataFrame,
@@ -158,24 +164,35 @@ object Curation {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val report = Seq.newBuilder[(String, Long, Long)]
     var cached = List.empty[DataFrame]
+    var prevCount = docs.count()
     def stage(name: String, in: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
       val out = f(in).persist(MEMORY_AND_DISK)
       cached ::= out
-      report += ((name, in.count(), out.count()))
+      val n = out.count()
+      report += ((name, prevCount, n))
+      prevCount = n
       out
     }
     val quality = stage("quality_floor", docs)(
       _.filter(graft.functions.TextFunctions.qualityScore(col(textCol)) >= minQuality))
     val exact = stage("exact_dedup", quality)(d => TextDedup.exact(d, idCol, textCol)._1)
+    var releaseShingles: () => Unit = () => ()
     val near = stage("near_dedup", exact) { d =>
-      val pairs = TextDedup.minhashLshPairs(d, idCol, textCol, threshold = jaccardThreshold)
+      val (pairs, release) =
+        TextDedup.minhashLshPairsReleasable(d, idCol, textCol, threshold = jaccardThreshold)
+      releaseShingles = release
       DupGraph.nearDedupSurvivors(d, idCol, pairs)._1
     }
-    val sampled = stage("stratified_sample", near)(
-      stratifiedSample(_, groupCol, idCol, fractions, defaultFraction).drop("sample_bucket"))
-    val curated = assignSplit(sampled, idCol)
-    // keep only the final frame pinned; report counts are materialized
-    cached.drop(1).foreach(_.unpersist())
+    val samplingIsNoop = fractions.isEmpty && defaultFraction == 1.0
+    val sampled =
+      if (samplingIsNoop) near // skip: also tolerates a missing group column
+      else stage("stratified_sample", near)(
+        stratifiedSample(_, groupCol, idCol, fractions, defaultFraction).drop("sample_bucket"))
+    // sever lineage so every cache can be released, then release them
+    val finalFrame = sampled.localCheckpoint(true)
+    releaseShingles()
+    cached.foreach(_.unpersist())
+    val curated = assignSplit(finalFrame, idCol)
     import spark.implicits._
     (curated, report.result().toDF("stage", "rows_in", "rows_out"))
   }

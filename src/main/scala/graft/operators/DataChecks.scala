@@ -49,7 +49,7 @@ object DataChecks {
     */
   def validate(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "validate needs at least one check")
-    def quoted(c: String) = s"`${c.replace("`", "``")}`"
+    def quoted(c: String) = graft.plans.SqlIdent.quote(c)
     // one aggregate column per check: a struct of (observed, passed)
     val aggs = checks.zipWithIndex.map { case (c, i) =>
       val (observed, passed): (Column, Column => Column) = c match {
@@ -72,10 +72,18 @@ object DataChecks {
       struct(obs.as("observed"), passed(obs).as("passed")).as(s"c_$i")
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = checks.zipWithIndex.map { case (c, i) =>
-      s"'${c.name.replace("'", "''")}', c_$i.passed, CAST(c_$i.observed AS DOUBLE)"
-    }.mkString(", ")
-    row.selectExpr(s"stack(${checks.length}, $stackArgs) AS (check, passed, observed)")
+    // check names go in as LITERAL columns, never interpolated into
+    // SQL text — a quote or backslash in a user label must survive
+    // verbatim into the report
+    val reportRows = checks.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(c.name).as("check"),
+        col(s"c_$i.passed").as("passed"),
+        col(s"c_$i.observed").cast("double").as("observed"))
+    }
+    row.select(explode(array(reportRows: _*)).as("r"))
+      .select(col("r.check").as("check"), col("r.passed").as("passed"),
+        col("r.observed").as("observed"))
   }
 
   /** Throwing form: raises with every failed check's name and observed

@@ -28,7 +28,7 @@ object DataProfiler {
     require(targets.nonEmpty, "profile needs at least one column")
     // internal aliases are INDEXED, and source refs backtick-escaped,
     // so imported column names with spaces/dots/quotes profile cleanly
-    def quoted(c: String) = s"`${c.replace("`", "``")}`"
+    def quoted(c: String) = graft.plans.SqlIdent.quote(c)
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     def rendered(c: Column, dt: DataType): Column = dt match {
       case DoubleType | FloatType =>

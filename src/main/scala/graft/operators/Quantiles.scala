@@ -92,7 +92,7 @@ object Quantiles {
       hiP: Double = 0.95): DataFrame = {
     require(valCols.nonEmpty, "winsorize needs at least one value column")
     require(0 <= loP && loP <= hiP && hiP <= 1, s"need 0 <= lo <= hi <= 1, got [$loP, $hiP]")
-    def quoted(c: String) = s"`${c.replace("`", "``")}`"
+    def quoted(c: String) = graft.plans.SqlIdent.quote(c)
     val stackArgs = valCols
       .map(c => s"'${c.replace("'", "''")}', CAST(${quoted(c)} AS DOUBLE)")
       .mkString(", ")

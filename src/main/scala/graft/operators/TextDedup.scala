@@ -50,7 +50,24 @@ object TextDedup {
       numHashes: Int = 12,
       bands: Int = 4,
       shingleN: Int = 2,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8): DataFrame =
+    minhashLshPairsReleasable(df, idCol, textCol, numHashes, bands, shingleN, threshold)._1
+
+  /** [[minhashLshPairs]] plus a release handle that unpersists the
+    * internal shingle/signature cache — call it once the pairs frame
+    * has been fully consumed, so loop-driven callers (e.g.
+    * [[Curation.curateCorpus]]) don't accumulate a corpus-sized cached
+    * frame per invocation. Actions on the pairs frame after release
+    * still succeed (they recompute the lineage).
+    */
+  def minhashLshPairsReleasable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      shingleN: Int = 2,
+      threshold: Double = 0.8): (DataFrame, () => Unit) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     GraftFunctions.register(df.sparkSession)
@@ -87,12 +104,13 @@ object TextDedup {
       .distinct()
 
     val shOnly = sh.select(col("doc_id"), col("sh"))
-    candidates
+    val pairs = candidates
       .join(shOnly.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shOnly.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    (pairs, () => { sh.unpersist(); () })
   }
 
   /** Compute each row's 60-bit simhash over word shingles:
