@@ -31,8 +31,16 @@ object Verify {
     // AQE stage turnaround) cuts the gate's wall-clock ~4x. Failures
     // stay per-query, like the sequential loop.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    // SPARK_GRAFT_ONLY=a,b,c — builder-side iteration filter, same as
+    // Bench; the driver never sets it, so the gate always runs all
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
     try {
-      val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      val tasks = selected.toSeq.map { case (name, fn) =>
         pool.submit(new Runnable {
           override def run(): Unit =
             try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

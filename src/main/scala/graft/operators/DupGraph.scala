@@ -98,6 +98,159 @@ object DupGraph {
     out.select(col("node"), col("label").as("component"))
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — converges in O(log n) rounds regardless
+    * of graph DIAMETER, where [[connectedComponents]]' min-label
+    * propagation needs O(diameter) rounds. Near-dup clusters are
+    * shallow, so label propagation wins there; this is the operator
+    * for deep graphs (web-link chains, citation paths, long
+    * co-occurrence strings) where diameter ~ n would make propagation
+    * unusable at 100 TB.
+    *
+    * Each round is two star operations; a star op is one hash
+    * aggregate (per-node min over the symmetric neighborhood) plus one
+    * shuffle join back on the same key — Catalyst reuses the exchange —
+    * and a distinct to keep the edge set bounded by the input size
+    * (the paper's Lemma: neither op grows the edge count).
+    *
+    * Same output contract as [[connectedComponents]]: (node,
+    * component = min reachable id), only nodes appearing in an edge.
+    * The result is certified before returning: no original edge may
+    * span two components (fail-loud, never a silent partial answer).
+    */
+  def connectedComponentsStars(
+      edges: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxRounds: Int = 30): DataFrame = {
+    val input = edges
+      .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+
+    // large-star: every node u links its LARGER neighbors to
+    // m = min(neighborhood ∪ self); emitted edges are (bigger, smaller)
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // small-star: on a (bigger → smaller)-directed edge set, every
+    // node u re-links its smaller neighbors AND itself to the min
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min("v").as("m"))
+      e.join(mins, "u").select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // one orientation pass so round 1's small-star sees (big, small).
+    // localCheckpoint (NOT persist): a star op references its input
+    // 2-4 times, so chained rounds grow the LOGICAL plan exponentially
+    // — persist only dedupes physical execution, and plan analysis
+    // alone OOMs the driver after ~12 rounds. Eager checkpointing
+    // truncates lineage to the materialized blocks each round.
+    var cur = largeStar(input).localCheckpoint(true)
+    // edge-set signature (count + order-independent hash XOR — a sum
+    // would overflow long under ANSI): equal consecutive signatures
+    // mean both star ops are fixpoints — the edge set is a forest of
+    // depth-1 stars rooted at component minima. The correctness
+    // certificate below is what's load-bearing; the signature only
+    // decides when to stop iterating.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = signature(cur)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val next = largeStar(smallStar(cur)).localCheckpoint(true)
+      val nextSig = signature(next)
+      cur = next
+      converged = nextSig == sig
+      sig = nextSig
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalArgumentException(
+        s"requirement failed: connectedComponentsStars did not converge within $maxRounds " +
+          "rounds; raise maxRounds")
+
+    // stars → labels: every edge is (node, root); roots label themselves
+    val nodes = input.select(col("u").as("node"))
+      .union(input.select(col("v").as("node"))).distinct()
+    val labels = nodes
+      .join(cur.select(col("u").as("node"), col("v").as("component")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // a non-star edge set (possible only on a signature hash
+    // collision) would fan the left join out to >1 row per node —
+    // certify cardinality alongside edge consistency
+    val nLabels = labels.count()
+    val nNodes = nodes.count()
+    if (nLabels != nNodes) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponentsStars stopped on a non-star edge set ($nLabels labels for $nNodes nodes)")
+    }
+    // certify: no input edge spans two components
+    val inconsistent = input
+      .join(labels.select(col("node").as("u"), col("component").as("l_u")), "u")
+      .join(labels.select(col("node").as("v"), col("component").as("l_v")), "v")
+      .filter(col("l_u") =!= col("l_v")).limit(1).count()
+    if (inconsistent != 0) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        "connectedComponentsStars produced an inconsistent labeling (internal error)")
+    }
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
+    out
+  }
+
+  /** One representative row per duplicate cluster: resolve the pair
+    * graph to components, then keep, per component, the first row
+    * under `ordering` (e.g. highest quality score, longest text —
+    * callers append the id column for a deterministic tiebreak).
+    * Returns the representative's full row plus `component` and
+    * `n_members`. Rows in no pair are their own singleton clusters.
+    *
+    * Scale shape: components via [[connectedComponents]] (pair graphs
+    * are shallow), one broadcast-sized label frame joined to the
+    * corpus, one window over component — the corpus shuffles once on
+    * the component key and never self-joins.
+    */
+  def pickRepresentatives(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      ordering: Seq[org.apache.spark.sql.Column],
+      idA: String = "id_a",
+      idB: String = "id_b"): DataFrame = {
+    require(ordering.nonEmpty, "pickRepresentatives needs at least one ordering column")
+    val cc = connectedComponents(pairs, idA, idB)
+      .withColumnRenamed("node", idCol)
+    val labeled = df
+      .join(cc, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol).cast("long")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component")).orderBy(ordering: _*)
+    labeled
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("component"))))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
   /** End-to-end near-dedup: given the corpus and its near-dup PAIRS
     * (from any dedup family), keep exactly one canonical row per
     * duplicate cluster — the component's min id — plus every row in no

@@ -202,4 +202,44 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Edit-distance-≤1 string pairs WITHOUT a cross join, via deletion
+    * neighborhoods (the SymSpell/FastSS family): each string keys on
+    * itself plus each single-character deletion; any two strings
+    * within one edit (substitute / insert / delete) provably share a
+    * key, so candidates come from an equi-join on the derived key and
+    * are then exactly verified with `levenshtein`. Candidate
+    * generation is one explode (|s|+1 keys per string) + one shuffle
+    * on the key — never strings × strings, so it survives a 100 TB
+    * vocabulary where the exhaustive `q29`-style pair space cannot.
+    *
+    * Input should be DISTINCT strings (a vocabulary); emits
+    * (word_a < word_b, dist).
+    */
+  def editDistance1Pairs(vocab: DataFrame, strCol: String): DataFrame = {
+    // rename FIRST, derive keys in a second select: a generator whose
+    // argument resolves to a same-select-list alias trips Spark 4's
+    // lateral-column-alias rewrite (LateralColumnAliasReference
+    // internal error)
+    val base = vocab.select(col(strCol).as("w"))
+    val w = col("w")
+    // the string itself + every single-char deletion, deduplicated
+    // (adjacent equal chars make equal deletion variants);
+    // sequence(1, 0) DESCENDS in Spark — guard the empty string
+    val deletions = when(length(w) >= 1,
+      array_distinct(transform(
+        sequence(lit(1), length(w)),
+        i => concat(w.substr(lit(1), i - 1), w.substr(i + 1, length(w))))))
+      .otherwise(array(lit("")))
+    val keys = array_union(array(w), deletions)
+    val keyed = base.select(w, explode(keys).as("k"))
+    val a = keyed.select(col("k"), col("w").as("word_a"))
+    val b = keyed.select(col("k"), col("w").as("word_b"))
+    a.join(b, "k")
+      .filter(col("word_a") < col("word_b"))
+      .dropDuplicates("word_a", "word_b")
+      .withColumn("dist", levenshtein(col("word_a"), col("word_b")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("word_a"), col("word_b"), col("dist"))
+  }
 }

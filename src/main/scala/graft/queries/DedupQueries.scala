@@ -168,6 +168,149 @@ object DedupQueries {
       val pairs = Similarity.cosineDupPairs(emb, "vec_id", "embedding", threshold = 0.40)
       val (survivors, _) = DupGraph.nearDedupSurvivors(emb, "vec_id", pairs)
       survivors.select($"vec_id").orderBy($"vec_id")
+    },
+
+    // the O(log n)-round star-contraction CC (for graphs whose
+    // DIAMETER rules out label propagation), certified against the
+    // same recursive-CTE transitive closure — here over the MinHash
+    // near-dup pair graph of the documents table, so the whole
+    // shingle→signature→band→verify→cluster chain is replayed in SQL
+    Q.sql(
+      "q72_cc_stars",
+      """WITH RECURSIVE
+        |tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]),
+        |      s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT))) AS sh
+        |  FROM tok WHERE len(w) >= 2),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(range(0, 12), j ->
+        |      list_min(list_transform(sh, h ->
+        |        ((xor(h, CAST(('0x'||substr(md5('a#'||j),1,15)) AS BIGINT))
+        |          + CAST(('0x'||substr(md5('b#'||j),1,15)) AS BIGINT))
+        |         & 1152921504606846975)))) AS sig
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, sh, b,
+        |    md5(CAST(sig[b*3+1] AS VARCHAR) || '_' || CAST(sig[b*3+2] AS VARCHAR)
+        |        || '_' || CAST(sig[b*3+3] AS VARCHAR)) AS bkey
+        |  FROM sig, range(0,4) r(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |p AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.id_a
+        |  JOIN sh sb ON sb.doc_id = c.id_b
+        |  WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh)), 4) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        |walk AS (
+        |  SELECT a AS node, a AS label FROM edges
+        |  UNION
+        |  SELECT e2.a AS node, w2.label AS label FROM edges e2 JOIN walk w2 ON w2.node = e2.b
+        |)
+        |SELECT node, CAST(min(label) AS BIGINT) AS component
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val pairs = TextDedup.minhashLshPairs(
+        Tables.documents(s, d), "doc_id", "text",
+        numHashes = 12, bands = 4, shingleN = 2, threshold = 0.8)
+      DupGraph.connectedComponentsStars(pairs).orderBy($"node")
+    },
+
+    // clusters → curation: keep the LONGEST member of each near-dup
+    // family (deterministic doc_id tiebreak) — representative
+    // selection by quality rather than by min id
+    Q.sql(
+      "q73_cluster_reps",
+      """WITH RECURSIVE
+        |tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]),
+        |      s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT))) AS sh
+        |  FROM tok WHERE len(w) >= 2),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(range(0, 12), j ->
+        |      list_min(list_transform(sh, h ->
+        |        ((xor(h, CAST(('0x'||substr(md5('a#'||j),1,15)) AS BIGINT))
+        |          + CAST(('0x'||substr(md5('b#'||j),1,15)) AS BIGINT))
+        |         & 1152921504606846975)))) AS sig
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, sh, b,
+        |    md5(CAST(sig[b*3+1] AS VARCHAR) || '_' || CAST(sig[b*3+2] AS VARCHAR)
+        |        || '_' || CAST(sig[b*3+3] AS VARCHAR)) AS bkey
+        |  FROM sig, range(0,4) r(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |p AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.id_a
+        |  JOIN sh sb ON sb.doc_id = c.id_b
+        |  WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh)), 4) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        |walk AS (
+        |  SELECT a AS node, a AS label FROM edges
+        |  UNION
+        |  SELECT e2.a AS node, w2.label AS label FROM edges e2 JOIN walk w2 ON w2.node = e2.b
+        |),
+        |comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node),
+        |lab AS (
+        |  SELECT d.doc_id, d.n_chars, CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component
+        |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+        |SELECT component, doc_id AS rep_id, n_members FROM (
+        |  SELECT component, doc_id,
+        |    row_number() OVER (PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
+        |  FROM lab) WHERE rn = 1 AND n_members >= 2
+        |ORDER BY component""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val pairs = TextDedup.minhashLshPairs(
+        docs, "doc_id", "text", numHashes = 12, bands = 4, shingleN = 2, threshold = 0.8)
+      DupGraph.pickRepresentatives(
+        docs, "doc_id", pairs, Seq(col("n_chars").desc, col("doc_id").asc))
+        .filter($"n_members" >= 2)
+        .select($"component", $"doc_id".as("rep_id"), $"n_members")
+        .orderBy($"component")
+    },
+
+    // fuzzy vocabulary join WITHOUT a cross product: deletion
+    // neighborhoods (SymSpell/FastSS) — candidates from an equi-join
+    // on (word ∪ single-char deletions), exact levenshtein verify.
+    // q29's exhaustive pair space is the baseline this replaces at
+    // scale.
+    Q.sql(
+      "q74_edit1_join",
+      """WITH vv AS (SELECT DISTINCT c_name AS w FROM customer),
+        |k AS (
+        |  SELECT w, unnest(list_distinct(list_prepend(w,
+        |    list_transform(range(1, len(w)+1),
+        |      i -> substr(w, 1, i-1) || substr(w, i+1, len(w)))))) AS key
+        |  FROM vv),
+        |cand AS (
+        |  SELECT DISTINCT a.w AS word_a, b.w AS word_b
+        |  FROM k a JOIN k b ON a.key = b.key AND a.w < b.w)
+        |SELECT word_a, word_b, CAST(levenshtein(word_a, word_b) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(word_a, word_b) <= 1
+        |ORDER BY word_a, word_b""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val vocab = Tables.customer(s, d).select($"c_name".as("w")).distinct()
+      TextDedup.editDistance1Pairs(vocab, "w").orderBy($"word_a", $"word_b")
     }
   )
 }

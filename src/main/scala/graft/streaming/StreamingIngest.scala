@@ -80,4 +80,45 @@ object StreamingIngest {
       }
       .start()
   }
+
+  /** Streaming NEAR-duplicate suppression: every micro-batch flows
+    * through [[graft.operators.IncrementalDedup.ingestBatchNearDup]] —
+    * cross-batch dedup against the simhash ledger (8 bytes per
+    * document ever admitted), then within-batch pigeonhole pairs +
+    * connected components. Survivors land under
+    * `outDir/batch_<id>`; the ledger grows by the admitted hashes.
+    *
+    * Why foreachBatch and not a stateful operator: near-dup state is
+    * the FULL history of admitted signatures — unbounded, so it can't
+    * live in watermark-evicted streaming state. The ledger is that
+    * state made durable and cheap (a probe is a block equi-join, never
+    * batch × history), and the two-marker commit protocol makes each
+    * batch idempotent: a replay after a crash resumes exactly where
+    * the markers say, so the stream is effectively-once end to end.
+    */
+  def startNearDup(
+      source: DataFrame,
+      idCol: String,
+      textCol: String,
+      outDir: String,
+      ledgerPath: String,
+      checkpoint: String,
+      maxHamming: Int = 10,
+      shingleN: Int = 2): StreamingQuery = {
+    require(source.isStreaming, "startNearDup needs a streaming DataFrame (readStream)")
+    source.writeStream
+      .queryName("graft-near-dup")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.IncrementalDedup.ingestBatchNearDup(
+            batch, idCol, textCol, ledgerPath,
+            outputDir = s"$outDir/batch_$batchId",
+            maxHamming = maxHamming, shingleN = shingleN)
+          ()
+        }
+      }
+      .start()
+  }
 }
