@@ -69,6 +69,58 @@ object Curation {
         hash60(concat_ws(" ", col("chunk"))).as("chunk_hash"))
   }
 
+  /** Content-defined chunking (the CDC/rolling-hash family backup
+    * systems and chunk-level dedup use): a chunk boundary falls after
+    * position i whenever the hash of the `window`-gram ending at i has
+    * its low `mask` bits zero — so boundaries depend only on LOCAL
+    * content, and an insertion early in a document shifts chunk
+    * boundaries only until the next boundary resynchronizes (fixed-size
+    * chunking ([[chunkTokens]]) would shift every subsequent chunk).
+    * Average chunk length ≈ mask+1 characters.
+    *
+    * Emits one row per (doc, chunk): chunk_idx, chunk_len, and the
+    * chunk's 60-bit content hash for cross-document chunk-level dedup.
+    * Everything is per-row expression work — no shuffle, no UDF.
+    */
+  def cdcChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 8,
+      mask: Long = 15L): DataFrame = {
+    require(window >= 1, "window must be positive")
+    require(mask >= 0, "mask must be non-negative")
+    val base = df.select(col(idCol), col(textCol).as("_t"))
+      .filter(length(col("_t")) >= 1)
+    val n = length(col("_t"))
+    val t = col("_t")
+    // boundary positions: i ∈ [window, n] with (hash60(gram) & mask)=0.
+    // sequence(a, b) DESCENDS when a > b — guard the short-doc case.
+    val positions = filter(
+      transform(
+        when(n >= window, sequence(lit(window), n)).otherwise(array().cast("array<int>")),
+        i => when(hash60(t.substr(i - (window - 1), lit(window)))
+          .bitwiseAND(lit(mask)) === 0, i)),
+      x => x.isNotNull)
+    // no array_distinct: a boundary AT position n duplicates the final
+    // bound and yields an empty chunk, filtered below — Spark and
+    // DuckDB disagree on distinct's order guarantees, so we avoid it
+    val bounds = concat(array(lit(0)), positions, array(n))
+    val chunks = transform(
+      sequence(lit(1), size(bounds) - 1),
+      j => t.substr(
+        element_at(bounds, j) + 1,
+        element_at(bounds, j + 1) - element_at(bounds, j)))
+    base
+      .select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .filter(length(col("chunk")) > 0)
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        hash60(col("chunk")).as("chunk_hash"))
+  }
+
   /** Per-group sampling weights that reshape the observed group mix
     * into a target mix: weight(g) = target_frac(g) / observed_frac(g)
     * (so sampling each row with probability ∝ its group weight yields

@@ -267,4 +267,82 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
+
+  /** Product-quantization ADC top-k (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI'11): vectors are
+    * split into `subvectors` blocks of `subDim` dims; each block is
+    * coded as its nearest of `numCentroids` per-block centroids, so a
+    * 64-dim float vector compresses to `subvectors` small codes.
+    * Queries score candidates with Asymmetric Distance Computation:
+    * the exact query-to-centroid distance table (subvectors ×
+    * numCentroids entries, broadcast) is summed along each candidate's
+    * codes — no full-vector math per candidate.
+    *
+    * The codebook is the deterministic stride quantizer (every
+    * `centroidStep`-th vector donates its blocks; [[kmeansCodebook]]'s
+    * trained centers drop into the same shape). Scale: encoding is one
+    * scan × broadcast(codebook); search touches only the code table
+    * (n × subvectors tiny rows) plus a broadcast ADC table — the
+    * original vectors are never read at query time.
+    *
+    * @return (query_id, neighbor_id, adc, rank) — adc rounded to 4
+    *         decimals before ranking, ties broken by neighbor id.
+    */
+  def pqTopK(
+      emb: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      subvectors: Int = 4,
+      subDim: Int = 16,
+      numCentroids: Int = 16,
+      centroidStep: Int = 20): DataFrame = {
+    val dvec = col(vecCol).cast("array<double>")
+    val cents = emb
+      .filter(pmod(col(idCol), lit(centroidStep)) === 0)
+      .select(expr(s"CAST(${graft.plans.SqlIdent.quote(idCol)} div $centroidStep AS BIGINT)")
+        .as("cid"), dvec.as("cv"))
+      .filter(col("cid") < numCentroids)
+    val subIdx = spark_range_subvectors(emb, subvectors)
+    // per-(vector, block) and per-(centroid, block) slices
+    val es = emb.select(col(idCol).as("vec_id"), dvec.as("v"))
+      .crossJoin(subIdx)
+      .select(col("vec_id"), col("j"), slice(col("v"), col("j") * subDim + 1, lit(subDim)).as("vs"))
+    val cs = cents.crossJoin(subIdx)
+      .select(col("cid"), col("j"), slice(col("cv"), col("j") * subDim + 1, lit(subDim)).as("csv"))
+    // exact block distances; sequential index-order sum (cross-engine
+    // deterministic, matches DuckDB list_sum over list_transform)
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    val dist = es.join(broadcast(cs), Seq("j"))
+      .select(col("vec_id"), col("j"), col("cid"), l2sq(col("vs"), col("csv")).as("d"))
+    // encode: nearest centroid per block (deterministic cid tiebreak)
+    val codeW = Window.partitionBy(col("vec_id"), col("j")).orderBy(col("d").asc, col("cid").asc)
+    val codes = dist.withColumn("rn", row_number().over(codeW))
+      .filter(col("rn") === 1).select(col("vec_id"), col("j"), col("cid"))
+    // ADC table for the (small, broadcast) query set: ALL block
+    // distances, not just the nearest
+    val queryIds = queries.select(col(idCol).as("query_id"))
+    val qd = dist.join(
+      broadcast(queryIds), dist("vec_id") === queryIds("query_id"))
+      .select(col("query_id"), col("j"), col("cid"), col("d"))
+    codes.join(broadcast(qd), Seq("j", "cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(round(sum(col("d")), 4).as("adc"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc"), col("rank").cast("long").as("rank"))
+  }
+
+  /** One row per subvector index 0..subvectors-1 (tiny; broadcast into
+    * the slice cross joins).
+    */
+  private def spark_range_subvectors(df: DataFrame, subvectors: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    (0 until subvectors).map(_.toLong).toDF("j")
+  }
 }

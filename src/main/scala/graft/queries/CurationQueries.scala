@@ -203,6 +203,42 @@ object CurationQueries {
       import s.implicits._
       DataProfiler.profile(Tables.orders(s, d), minMax = true)
         .orderBy($"column_name")
+    },
+
+    // content-defined chunking → cross-document shared chunks: the
+    // rolling-hash boundary rule is replayed gram-by-gram in SQL, so
+    // the hash-match certifies identical chunking, not just counts
+    Q.sql(
+      "q75_cdc_chunks",
+      """WITH t AS (
+        |  SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) >= 1),
+        |b AS (
+        |  SELECT doc_id, text,
+        |    [0] || list_filter(list_transform(range(8, n+1), i ->
+        |      CASE WHEN (CAST(('0x'||substr(md5(substr(text, i-7, 8)),1,15)) AS BIGINT) & 15) = 0 THEN i END),
+        |      x -> x IS NOT NULL) || [n] AS bounds
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(bounds)), j ->
+        |    substr(text, bounds[j]+1, bounds[j+1]-bounds[j]))) AS chunk
+        |  FROM b),
+        |h AS (
+        |  SELECT doc_id, ('0x'||substr(md5(chunk),1,15))::BIGINT AS chunk_hash
+        |  FROM c WHERE len(chunk) > 0)
+        |SELECT chunk_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occ, min(doc_id) AS min_doc
+        |FROM h GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY chunk_hash""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Curation.cdcChunks(Tables.documents(s, d), "doc_id", "text", window = 8, mask = 15L)
+        .groupBy($"chunk_hash")
+        .agg(
+          countDistinct($"doc_id").as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          min($"doc_id").as("min_doc"))
+        .filter($"n_docs" >= 2)
+        .orderBy($"chunk_hash")
     }
   )
 }

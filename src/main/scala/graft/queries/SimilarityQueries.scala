@@ -188,6 +188,47 @@ object SimilarityQueries {
       import s.implicits._
       Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
         .orderBy($"vec_id", $"dim")
+    },
+
+    // product-quantization ADC top-k: codebook build, per-block
+    // encoding, and the asymmetric distance sum are all replayed in
+    // SQL — the hash-match certifies identical codes and ranking
+    Q.sql(
+      "q76_pq_topk",
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |cent AS (
+        |  SELECT CAST(vec_id // 20 AS BIGINT) AS cid, v AS cv
+        |  FROM e WHERE vec_id % 20 = 0 AND vec_id // 20 < 16),
+        |sub AS (SELECT j FROM range(0, 4) r(j)),
+        |es AS (SELECT vec_id, j, v[j*16+1 : j*16+16] AS vs FROM e, sub),
+        |cs AS (SELECT cid, j, cv[j*16+1 : j*16+16] AS csv FROM cent, sub),
+        |dist AS (
+        |  SELECT es.vec_id, es.j, cs.cid,
+        |    list_sum(list_transform(range(1, 17), t -> (es.vs[t]-cs.csv[t])*(es.vs[t]-cs.csv[t]))) AS d
+        |  FROM es JOIN cs ON es.j = cs.j),
+        |codes AS (
+        |  SELECT vec_id, j, cid FROM (
+        |    SELECT vec_id, j, cid, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |qd AS (SELECT vec_id AS query_id, j, cid, d FROM dist WHERE vec_id < 5),
+        |adc AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id, round(sum(q.d), 4) AS adc
+        |  FROM codes c JOIN qd q ON q.j = c.j AND q.cid = c.cid
+        |  WHERE q.query_id <> c.vec_id
+        |  GROUP BY q.query_id, c.vec_id)
+        |SELECT query_id, neighbor_id, adc, rank FROM (
+        |  SELECT query_id, neighbor_id, adc,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+        |  FROM adc) t WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(
+        emb, emb.filter($"vec_id" < 5), "vec_id", "embedding",
+        k = 3, subvectors = 4, subDim = 16, numCentroids = 16, centroidStep = 20)
+        .orderBy($"query_id", $"rank")
     }
   )
 }

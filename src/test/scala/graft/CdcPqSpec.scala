@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Curation, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Round-5 operators: content-defined chunking and product
+  * quantization. The DuckDB oracles (q75/q76) certify cross-engine
+  * value equality; these tests certify the algorithmic PROPERTIES the
+  * operators exist for — boundary resynchronization for CDC, minimal
+  * quantized distance for PQ.
+  */
+class CdcPqSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and keeps on running far away"),
+    (2L, "entirely different content with its own boundaries somewhere in here too"),
+    (3L, "x")
+  ).toDF("doc_id", "text")
+
+  test("cdcChunks partitions each document: lengths sum to the doc, indexes contiguous") {
+    val chunks = Curation.cdcChunks(docs, "doc_id", "text", window = 4, mask = 3L)
+    val spans = chunks.groupBy("doc_id")
+      .agg(sum("chunk_len").as("total"), count(lit(1)).as("n_chunks"),
+        min("chunk_idx").as("first_idx"), max("chunk_idx").as("last_idx"))
+      .join(docs.select(col("doc_id"), length(col("text")).cast("long").as("n")), "doc_id")
+    assert(spans.filter(col("total") =!= col("n")).count() == 0,
+      "chunk lengths must partition the document")
+    assert(spans.filter(col("first_idx") =!= 0 || col("last_idx") =!= col("n_chunks") - 1)
+      .count() == 0, "chunk indexes must be contiguous from 0")
+  }
+
+  test("cdcChunks boundaries resynchronize after an insertion (the CDC property)") {
+    val original = "abcdefgh " * 12 + "tail of stable content that should rechunk identically"
+    val shifted = "INSERTED-PREFIX " + original
+    val two = Seq((1L, original), (2L, shifted)).toDF("doc_id", "text")
+    val ch = Curation.cdcChunks(two, "doc_id", "text", window = 4, mask = 3L)
+      .select("doc_id", "chunk_hash").as[(Long, Long)].collect()
+    val h1 = ch.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = ch.filter(_._1 == 2L).map(_._2).toSet
+    // fixed-size chunking would share ~nothing after the shift; CDC
+    // re-syncs at the first content-defined boundary past the edit
+    val shared = h1.intersect(h2).size.toDouble / h1.size
+    assert(shared > 0.5, s"expected most chunks shared after resync, got $shared")
+  }
+
+  test("cdcChunks emits the whole doc as one chunk when no boundary fires") {
+    val ch = Curation.cdcChunks(docs.filter($"doc_id" === 3L), "doc_id", "text",
+      window = 8, mask = 15L)
+    assert(ch.select("chunk_len").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("pqTopK ranks an exact duplicate vector at the minimum possible ADC") {
+    // 40 vectors, 8 dims; vec 20 duplicates vec 0 exactly
+    val vecs = (0 until 40).map { i =>
+      val base = if (i == 20) 0 else i
+      (i.toLong, (0 until 8).map(dimj => ((base * 7 + dimj * 3) % 13).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val res = Similarity.pqTopK(
+      vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding",
+      k = 3, subvectors = 2, subDim = 4, numCentroids = 8, centroidStep = 5)
+    val top = res.orderBy("rank").select("neighbor_id", "adc").as[(Long, Double)].collect()
+    assert(top.length == 3)
+    // the duplicate's codes equal the query's own argmin codes, so its
+    // ADC is the global minimum — nothing can rank strictly above it
+    val dupAdc = top.find(_._1 == 20L)
+    assert(dupAdc.nonEmpty, s"duplicate not in top-3: ${top.toSeq}")
+    assert(top.forall(_._2 >= dupAdc.get._2 - 1e-9))
+  }
+
+  test("pqTopK is layout-invariant and returns k rows per query") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter($"vec_id" < 3)
+    val a = Similarity.pqTopK(emb, q, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val b = Similarity.pqTopK(emb.repartition(9), q, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+    assert(a.groupBy(_._1).forall(_._2.size == 3))
+  }
+}
