@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{CosineSim, Hash60Array, HashedShingles, HyperplaneBuckets, MinHashSig, SimHash60, WinnowFingerprints}
+import graft.plans.{CdcChunks, CosineSim, Hash60Array, HashedShingles, HyperplaneBuckets, MinHashSig, SimHash60, WinnowFingerprints}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -23,6 +23,13 @@ object GraftFunctions {
       s"$name expects a literal int argument, got $other")
   }
 
+  private def longArg(e: Expression, name: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal long argument, got $other")
+  }
+
   val functions: Map[String, Seq[Expression] => Expression] = Map(
     "graft_hash60_array" -> (es => Hash60Array(es(0))),
     "graft_hashed_shingles" -> (es => HashedShingles(es(0), intArg(es(1), "graft_hashed_shingles"))),
@@ -32,7 +39,9 @@ object GraftFunctions {
       es(0), intArg(es(1), "graft_lsh_buckets"), intArg(es(2), "graft_lsh_buckets"))),
     "graft_cosine" -> (es => CosineSim(es(0), es(1))),
     "graft_winnow_fp" -> (es => WinnowFingerprints(
-      es(0), intArg(es(1), "graft_winnow_fp"), intArg(es(2), "graft_winnow_fp"))))
+      es(0), intArg(es(1), "graft_winnow_fp"), intArg(es(2), "graft_winnow_fp"))),
+    "graft_cdc_chunks" -> (es => CdcChunks(
+      es(0), intArg(es(1), "graft_cdc_chunks"), longArg(es(2), "graft_cdc_chunks"))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>
@@ -79,4 +88,10 @@ object GraftFunctions {
     */
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
     call_function("graft_winnow_fp", text, lit(k), lit(w))
+
+  /** Content-defined chunks: array<struct<chunk_len, chunk_hash>>
+    * (fast path; == Curation.cdcChunksComposed's per-chunk values).
+    */
+  def cdcChunksFast(text: Column, window: Int, mask: Long): Column =
+    call_function("graft_cdc_chunks", text, lit(window), lit(mask))
 }

@@ -90,6 +90,31 @@ object Curation {
       mask: Long = 15L): DataFrame = {
     require(window >= 1, "window must be positive")
     require(mask >= 0, "mask must be non-negative")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val chunks = graft.functions.GraftFunctions.cdcChunksFast(col("_t"), window, mask)
+    df.select(col(idCol), col(textCol).as("_t"))
+      .filter(length(col("_t")) >= 1)
+      .select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "c")))
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.chunk_len").as("chunk_len"),
+        col("c.chunk_hash").as("chunk_hash"))
+  }
+
+  /** Composed-builtin form of [[cdcChunks]] — value-identical (the
+    * equivalence is spec-enforced) and the shape the DuckDB oracle
+    * mirrors gram-by-gram; [[cdcChunks]]' native expression is the
+    * production path.
+    */
+  def cdcChunksComposed(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 8,
+      mask: Long = 15L): DataFrame = {
+    require(window >= 1, "window must be positive")
+    require(mask >= 0, "mask must be non-negative")
     val base = df.select(col(idCol), col(textCol).as("_t"))
       .filter(length(col("_t")) >= 1)
     val n = length(col("_t"))

@@ -232,14 +232,23 @@ object TextDedup {
         i => concat(w.substr(lit(1), i - 1), w.substr(i + 1, length(w))))))
       .otherwise(array(lit("")))
     val keys = array_union(array(w), deletions)
+    // join on the 8-byte hash of the key, not the key string: halves
+    // shuffle bytes; a hash collision only ADDS a candidate pair,
+    // which the exact levenshtein filter below removes
     val keyed = base.select(w, explode(keys).as("k"))
-    val a = keyed.select(col("k"), col("w").as("word_a"))
-    val b = keyed.select(col("k"), col("w").as("word_b"))
-    a.join(b, "k")
+      .select(col("w"), xxhash64(col("k")).as("kh"))
+    val a = keyed.select(col("kh"), col("w").as("word_a"))
+    val b = keyed.select(col("kh"), col("w").as("word_b"))
+    a.join(b, "kh")
       .filter(col("word_a") < col("word_b"))
+      // verify BEFORE deduplicating: filtering first shrinks the dedup
+      // shuffle to the verified pairs (a pair can share several keys).
+      // The threshold overload computes a banded O(len) distance and
+      // early-exits with -1 past the bound — the full O(len²) matrix
+      // was the candidate-verification hot spot.
+      .withColumn("dist", levenshtein(col("word_a"), col("word_b"), 1).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= 1)
       .dropDuplicates("word_a", "word_b")
-      .withColumn("dist", levenshtein(col("word_a"), col("word_b")).cast("long"))
-      .filter(col("dist") <= 1)
       .select(col("word_a"), col("word_b"), col("dist"))
   }
 }

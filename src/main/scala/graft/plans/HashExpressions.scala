@@ -322,6 +322,61 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Content-defined chunking in one pass: boundary after codepoint i
+  * (window <= i <= n) whenever hash60 of the window-gram ending at i
+  * has its `mask` bits zero; emits (chunk_len, chunk_hash) per
+  * non-empty chunk between consecutive bounds {0, boundaries…, n}.
+  * Value-identical to the composed transform/sequence/substr form in
+  * Curation.cdcChunksComposed and its DuckDB mirror, but one reused
+  * digest and zero per-gram Column machinery — the composed
+  * higher-order-function chain is interpreted per element and was the
+  * chunking query's hot spot.
+  */
+case class CdcChunks(child: Expression, window: Int, mask: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(window >= 1 && mask >= 0)
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("chunk_len", LongType, nullable = false),
+      StructField("chunk_hash", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_cdc_chunks"
+
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(input: Any): Any = {
+    // codepoints, like WinnowFingerprints: DuckDB substr/len are
+    // per-character, and UTF-16 unit slicing would desync after any
+    // non-BMP character
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cps.length
+    val bounds = scala.collection.mutable.ArrayBuffer(0)
+    var i = window
+    while (i <= n) {
+      val gram = new String(cps, i - window, window)
+      if ((Md5Util.hash60(md, gram.getBytes("UTF-8")) & mask) == 0L) bounds += i
+      i += 1
+    }
+    bounds += n
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var j = 1
+    while (j < bounds.length) {
+      val len = bounds(j) - bounds(j - 1)
+      if (len > 0) {
+        val chunk = new String(cps, bounds(j - 1), len)
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](len.toLong, Md5Util.hash60(md, chunk.getBytes("UTF-8"))))
+      }
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
 /** Cosine similarity of two float arrays in double precision, summing
   * in index order — identical to Similarity.cosine and DuckDB
   * list_dot_product over double-cast lists, one fused pass.

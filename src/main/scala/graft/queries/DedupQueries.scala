@@ -310,7 +310,12 @@ object DedupQueries {
     ) { (s, d) =>
       import s.implicits._
       val vocab = Tables.customer(s, d).select($"c_name".as("w")).distinct()
-      TextDedup.editDistance1Pairs(vocab, "w").orderBy($"word_a", $"word_b")
+      // materialize the verified pairs before the total sort: orderBy's
+      // range partitioner SAMPLES its child, which would re-run the
+      // whole neighborhood join a second time just to pick bounds
+      TextDedup.editDistance1Pairs(vocab, "w")
+        .localCheckpoint(true)
+        .orderBy($"word_a", $"word_b")
     }
   )
 }

@@ -96,6 +96,15 @@ class HashExprSpec extends SparkSpec {
     assert(pairs.filter($"fast" =!= $"slow").count() == 0)
   }
 
+  test("CdcChunks == composed cdcChunks, row for row") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val fast = graft.operators.Curation.cdcChunks(d, "doc_id", "text", window = 8, mask = 15L)
+    val slow = graft.operators.Curation.cdcChunksComposed(d, "doc_id", "text", window = 8, mask = 15L)
+    assert(fast.count() == slow.count())
+    assert(fast.exceptAll(slow).count() == 0)
+    assert(slow.exceptAll(fast).count() == 0)
+  }
+
   test("functions are SQL-callable after registration") {
     docs.createOrReplaceTempView("hx_docs")
     val n = spark.sql(
