@@ -146,6 +146,33 @@ object Curation {
         hash60(col("chunk")).as("chunk_hash"))
   }
 
+  /** Greedy contiguous sequence packing (the batch-construction step
+    * training pipelines run after chunking): within each group, walk
+    * rows in `orderCol` order accumulating `weightCol` (token counts)
+    * and assign `seq_id = floor(preceding_weight / capacity)` — each
+    * sequence holds consecutive rows until the capacity boundary is
+    * crossed. Deterministic, one window shuffle keyed by the group; a
+    * row heavier than `capacity` simply spans its own sequence ids.
+    */
+  def packSequences(
+      df: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      weightCol: String,
+      capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(orderCol))
+    import graft.plans.SqlIdent.quote
+    df.withColumn("_cum", sum(col(weightCol)).over(w))
+      // exact integer floor-div (Column./ is double division — wrong
+      // past 2^53): cum and weight are integral, div truncates, and
+      // the numerator is non-negative, so truncation == floor
+      .withColumn("seq_id",
+        expr(s"CAST((_cum - ${quote(weightCol)}) div $capacity AS BIGINT)"))
+      .drop("_cum")
+  }
+
   /** Per-group sampling weights that reshape the observed group mix
     * into a target mix: weight(g) = target_frac(g) / observed_frac(g)
     * (so sampling each row with probability ∝ its group weight yields

@@ -337,6 +337,43 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("adc"), col("rank").cast("long").as("rank"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, compare
+    * cosine similarity only WITHIN each cluster, resolve the
+    * above-threshold pair graph to components, and keep one canonical
+    * row per semantic group (plus everything unpaired).
+    *
+    * Scale shape: assignment is corpus × broadcast(k centroids) — the
+    * published algorithm's cost, embarrassingly parallel; the pair
+    * stage is an equi-join on the cluster id, so the quadratic term is
+    * per-cluster (n/k)², never n² — k is the dial that bounds it.
+    * Returns (survivors, removed).
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numClusters: Int,
+      threshold: Double,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
+    GraftFunctions.register(emb.sparkSession)
+    val cents = kmeansCodebook(emb, vecCol, numClusters, seed)
+    val sim = GraftFunctions.cosineFast(col("_v"), col("cv"))
+    val assigned = emb.select(col(idCol), col(vecCol).as("_v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("_crank", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(sim.desc, col("cell").asc)))
+      .filter(col("_crank") === 1)
+      .select(col(idCol), col("_v"), col("cell"))
+    val a = assigned.select(col("cell"), col(idCol).as("id_a"), col("_v").as("_va"))
+    val b = assigned.select(col("cell"), col(idCol).as("id_b"), col("_v").as("_vb"))
+    val pairs = a.join(b, "cell")
+      .filter(col("id_a") < col("id_b"))
+      .filter(GraftFunctions.cosineFast(col("_va"), col("_vb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    DupGraph.nearDedupSurvivors(emb, idCol, pairs)
+  }
+
   /** One row per subvector index 0..subvectors-1 (tiny; broadcast into
     * the slice cross joins).
     */

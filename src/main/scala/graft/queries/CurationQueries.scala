@@ -239,6 +239,34 @@ object CurationQueries {
           min($"doc_id").as("min_doc"))
         .filter($"n_docs" >= 2)
         .orderBy($"chunk_hash")
+    },
+
+    // greedy contiguous sequence packing: per-source token cumsum →
+    // capacity-boundary sequence ids — the training-batch construction
+    // step, one window shuffle
+    Q.sql(
+      "q77_seq_pack",
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, w,
+        |    CAST(sum(w) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT source, CAST((cum - w) // 256 AS BIGINT) AS seq_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(w) AS BIGINT) AS tokens
+        |FROM c GROUP BY source, seq_id
+        |ORDER BY source, seq_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      import graft.functions.TextFunctions
+      val t = Tables.documents(s, d)
+        .select($"source", $"doc_id", TextFunctions.tokenCount($"text").as("w"))
+      Curation.packSequences(t, "source", "doc_id", "w", capacity = 256L)
+        .groupBy($"source", $"seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"w").as("tokens"))
+        .orderBy($"source", $"seq_id")
     }
   )
 }

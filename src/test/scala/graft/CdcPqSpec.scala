@@ -69,6 +69,38 @@ class CdcPqSpec extends SparkSpec {
     assert(top.forall(_._2 >= dupAdc.get._2 - 1e-9))
   }
 
+  test("semanticDedup removes duplicate directions, keeps orthogonal ones") {
+    // 16 orthogonal unit vectors + exact duplicates of the first four
+    // (identical points land in the same k-means cell by construction;
+    // orthogonal vectors have cosine 0, so no spurious pairs)
+    val vecs = (0 until 20).map { i =>
+      val unit = if (i < 16) i else i - 16
+      (i.toLong, (0 until 16).map(dimj => if (dimj == unit) 1.0f else 0.0f).toArray)
+    }.toDF("vec_id", "embedding")
+    val (survivors, removed) = Similarity.semanticDedup(
+      vecs, "vec_id", "embedding", numClusters = 4, threshold = 0.99)
+    val removedIds = removed.select("vec_id").as[Long].collect().toSet
+    // each duplicate loses to the smaller id of its component
+    assert(removedIds == Set(16L, 17L, 18L, 19L), s"got $removedIds")
+    assert(survivors.count() == 16)
+  }
+
+  test("packSequences fills sequences greedily and respects group boundaries") {
+    val rows = Seq(
+      ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 100L), // seq 0: 100+100, seq... cum walk
+      ("a", 4L, 300L), // oversized row
+      ("b", 1L, 10L), ("b", 2L, 10L)
+    ).toDF("g", "ord", "w")
+    val m = Curation.packSequences(rows, "g", "ord", "w", capacity = 256L)
+      .select("g", "ord", "seq_id").as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // group a: preceding weights 0,100,200,300 -> seq 0,0,0,1
+    assert(m(("a", 1L)) == 0L && m(("a", 2L)) == 0L && m(("a", 3L)) == 0L)
+    assert(m(("a", 4L)) == 1L)
+    // group b restarts at seq 0
+    assert(m(("b", 1L)) == 0L && m(("b", 2L)) == 0L)
+  }
+
   test("pqTopK is layout-invariant and returns k rows per query") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter($"vec_id" < 3)

@@ -69,6 +69,19 @@ class EmptyInputSpec extends SparkSpec {
       "s2", "e2", 5L).count() == 0)
   }
 
+  test("round-5 operators handle empty inputs") {
+    val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(DupGraph.connectedComponentsStars(edges).count() == 0)
+    val corpus = Seq((1L, "t", 2L)).toDF("doc_id", "text", "n_chars")
+    val reps = DupGraph.pickRepresentatives(
+      corpus, "doc_id", edges, Seq(col("n_chars").desc, col("doc_id").asc))
+    assert(reps.count() == 1) // singleton cluster of itself
+    assert(TextDedup.editDistance1Pairs(Seq.empty[String].toDF("w"), "w").count() == 0)
+    assert(Curation.cdcChunks(emptyDocs, "doc_id", "text").count() == 0)
+    val e = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.pqTopK(e, e, "vec_id", "embedding", k = 3).count() == 0)
+  }
+
   test("sinks handle empty frames") {
     val dir = tmpDir("empty-sinks")
     val e = Seq.empty[(Long, String)].toDF("id", "split")
