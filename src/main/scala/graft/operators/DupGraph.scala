@@ -158,25 +158,28 @@ object DupGraph {
     // alone OOMs the driver after ~12 rounds. Eager checkpointing
     // truncates lineage to the materialized blocks each round.
     var cur = largeStar(input).localCheckpoint(true)
-    // edge-set signature (count + order-independent hash XOR — a sum
-    // would overflow long under ANSI): equal consecutive signatures
-    // mean both star ops are fixpoints — the edge set is a forest of
-    // depth-1 stars rooted at component minima. The correctness
-    // certificate below is what's load-bearing; the signature only
-    // decides when to stop iterating.
-    def signature(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    // convergence = the edge set IS a star forest: no node appears as
+    // both a source and a target, and every source has exactly one
+    // target. A star forest is a fixpoint of both star ops, and the
+    // paper's connectivity-preservation lemma means a star forest can
+    // never under-merge (two stars for one original component would
+    // have broken current-edge connectivity, which never happens) —
+    // so this detects convergence THE ROUND it occurs, where a
+    // stability signature needs one extra all-quiet round to notice.
+    // Both probes run on the round's checkpointed blocks (cheap).
+    def isStarForest(e: DataFrame): Boolean = {
+      val multiTarget = e.groupBy("u").agg(countDistinct("v").as("nv"))
+        .filter(col("nv") > 1).limit(1).count()
+      if (multiTarget != 0) return false
+      val chained = e.select(col("v").as("u")).distinct()
+        .join(e.select(col("u")).distinct(), "u").limit(1).count()
+      chained == 0
     }
-    var sig = signature(cur)
     var round = 0
-    var converged = false
+    var converged = isStarForest(cur)
     while (!converged && round < maxRounds) {
-      val next = largeStar(smallStar(cur)).localCheckpoint(true)
-      val nextSig = signature(next)
-      cur = next
-      converged = nextSig == sig
-      sig = nextSig
+      cur = largeStar(smallStar(cur)).localCheckpoint(true)
+      converged = isStarForest(cur)
       round += 1
     }
     if (!converged)

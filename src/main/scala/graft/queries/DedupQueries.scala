@@ -285,6 +285,9 @@ object DedupQueries {
         docs, "doc_id", pairs, Seq(col("n_chars").desc, col("doc_id").asc))
         .filter($"n_members" >= 2)
         .select($"component", $"doc_id".as("rep_id"), $"n_members")
+        // materialize before the total sort (the range partitioner's
+        // sampling pass would otherwise re-run CC + windows)
+        .localCheckpoint(true)
         .orderBy($"component")
     },
 
