@@ -315,8 +315,11 @@ object Similarity {
     // deterministic, matches DuckDB list_sum over list_transform)
     def l2sq(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    // materialize once: both the code assignment and the query ADC
+    // table read this frame — without the cut it computes twice
     val dist = es.join(broadcast(cs), Seq("j"))
       .select(col("vec_id"), col("j"), col("cid"), l2sq(col("vs"), col("csv")).as("d"))
+      .localCheckpoint(true)
     // encode: nearest centroid per block (deterministic cid tiebreak)
     val codeW = Window.partitionBy(col("vec_id"), col("j")).orderBy(col("d").asc, col("cid").asc)
     val codes = dist.withColumn("rn", row_number().over(codeW))
