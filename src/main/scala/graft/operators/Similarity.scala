@@ -358,21 +358,50 @@ object Similarity {
       vecCol: String,
       numClusters: Int,
       threshold: Double,
-      seed: Long = 42L): (DataFrame, DataFrame) = {
+      seed: Long = 42L): (DataFrame, DataFrame) =
+    semanticDedupWith(emb, idCol, vecCol,
+      kmeansCodebook(emb, vecCol, numClusters, seed), threshold)
+
+  /** [[semanticDedup]] with the deterministic stride codebook (every
+    * `centroidStep`-th vector, cell = its id) — same pipeline, but
+    * SQL-replayable end to end, so the DuckDB oracle certifies the
+    * full cluster→pair→component→survivor chain (the k-means variant
+    * can only be spec-checked).
+    */
+  def semanticDedupStride(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidStep: Int,
+      threshold: Double): (DataFrame, DataFrame) = {
+    val cents = emb
+      .filter(pmod(col(idCol), lit(centroidStep)) === 0)
+      .select(col(idCol).as("cell"), col(vecCol).as("cv"))
+    semanticDedupWith(emb, idCol, vecCol, cents, threshold)
+  }
+
+  /** Shared SemDeDup core against any `(cell, cv)` codebook. */
+  def semanticDedupWith(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      threshold: Double): (DataFrame, DataFrame) = {
     GraftFunctions.register(emb.sparkSession)
-    val cents = kmeansCodebook(emb, vecCol, numClusters, seed)
     val sim = GraftFunctions.cosineFast(col("_v"), col("cv"))
     val assigned = emb.select(col(idCol), col(vecCol).as("_v"))
-      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(centroids))
       .withColumn("_crank", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(sim.desc, col("cell").asc)))
       .filter(col("_crank") === 1)
       .select(col(idCol), col("_v"), col("cell"))
     val a = assigned.select(col("cell"), col(idCol).as("id_a"), col("_v").as("_va"))
     val b = assigned.select(col("cell"), col(idCol).as("id_b"), col("_v").as("_vb"))
+    // round-to-6 before the threshold, like the pair oracles — keeps
+    // the cut deterministic cross-engine
     val pairs = a.join(b, "cell")
       .filter(col("id_a") < col("id_b"))
-      .filter(GraftFunctions.cosineFast(col("_va"), col("_vb")) >= threshold)
+      .filter(round(GraftFunctions.cosineFast(col("_va"), col("_vb")), 6) >= threshold)
       .select(col("id_a"), col("id_b"))
     DupGraph.nearDedupSurvivors(emb, idCol, pairs)
   }

@@ -229,6 +229,46 @@ object SimilarityQueries {
         emb, emb.filter($"vec_id" < 5), "vec_id", "embedding",
         k = 3, subvectors = 4, subDim = 16, numCentroids = 16, centroidStep = 20)
         .orderBy($"query_id", $"rank")
+    },
+
+    // SemDeDup end to end with the deterministic stride codebook:
+    // cluster assignment, within-cell cosine pairs, connected
+    // components, canonical survivors — the full semantic-dedup chain
+    // replayed in SQL
+    Q.sql(
+      "q78_semantic_dedup",
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |asgn AS (
+        |  SELECT n.vec_id, n.v, c.cell,
+        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |      list_dot_product(n.v, c.cv)/sqrt(list_dot_product(n.v, n.v))/sqrt(list_dot_product(c.cv, c.cv)) DESC,
+        |      c.cell) AS crank
+        |  FROM e n, c),
+        |m AS (SELECT vec_id, v, cell FROM asgn WHERE crank = 1),
+        |p AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib
+        |  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v)
+        |        / sqrt(list_dot_product(a.v, a.v))
+        |        / sqrt(list_dot_product(b.v, b.v)), 6) >= 0.40),
+        |edges AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+        |walk AS (
+        |  SELECT a AS node, a AS label FROM edges
+        |  UNION
+        |  SELECT e2.a AS node, w2.label AS label FROM edges e2 JOIN walk w2 ON w2.node = e2.b
+        |)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (
+        |  SELECT node FROM walk GROUP BY node HAVING min(label) <> node)
+        |ORDER BY vec_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val (survivors, _) = Similarity.semanticDedupStride(
+        emb, "vec_id", "embedding", centroidStep = 50, threshold = 0.40)
+      survivors.select($"vec_id").orderBy($"vec_id")
     }
   )
 }

@@ -85,6 +85,17 @@ class CdcPqSpec extends SparkSpec {
     assert(survivors.count() == 16)
   }
 
+  test("semanticDedupStride partitions the corpus; survivors and removed are disjoint") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (s, r) = Similarity.semanticDedupStride(emb, "vec_id", "embedding",
+      centroidStep = 50, threshold = 0.40)
+    assert(s.count() + r.count() == emb.count())
+    assert(s.join(r, "vec_id").count() == 0)
+    // every removed row has a surviving representative with a smaller id
+    assert(r.select(min("vec_id")).as[Long].head() >
+      s.select(min("vec_id")).as[Long].head())
+  }
+
   test("packSequences fills sequences greedily and respects group boundaries") {
     val rows = Seq(
       ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 100L), // seq 0: 100+100, seq... cum walk

@@ -16,7 +16,8 @@ class PlanAuditSpec extends SparkSpec {
   private val bnlAllowed = Set(
     "ann_topk_brute", "ann_topk_ivf", "embedding_cosine_dup", "dup_components",
     "ngram_jaccard_pairs", "q14_above_avg", "q29_levenshtein", "q37_band_range_join",
-    "q55_tfidf", "q59_profile_typed", "q66_unigram_logprob", "q76_pq_topk")
+    "q55_tfidf", "q59_profile_typed", "q66_unigram_logprob", "q76_pq_topk",
+    "q78_semantic_dedup")
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
