@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.TextFunctions.{hash60, tokens}
+import graft.functions.TextFunctions.{avgWordLen, hash60, punctRatio, stopwordRatio, tokenCount, tokens}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -144,6 +144,40 @@ object Curation {
         col("chunk_idx").cast("long").as("chunk_idx"),
         length(col("chunk")).cast("long").as("chunk_len"),
         hash60(col("chunk")).as("chunk_hash"))
+  }
+
+  /** Composite document-quality gate (the C4/Gopher-style rule family):
+    * token-count bounds, mean-word-length band, stopword floor,
+    * punctuation ceiling — evaluated per row in one pass, emitting the
+    * list of FAILED rule names so downstream curation can report *why*
+    * documents were dropped, not just how many. Thresholds compare
+    * against 4-decimal-rounded ratios so the cut is deterministic
+    * cross-engine.
+    */
+  def qualityFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Long = 30L,
+      maxTokens: Long = 1000L): DataFrame = {
+    val t = col(textCol)
+    val nt = tokenCount(t)
+    val awl = round(avgWordLen(t), 4)
+    val sr = round(stopwordRatio(t), 4)
+    val pr = round(punctRatio(t), 4)
+    val reasons = filter(
+      array(
+        when(nt < minTokens, lit("too_short")),
+        when(nt > maxTokens, lit("too_long")),
+        when(awl < 3.0 || awl > 10.0, lit("word_len")),
+        when(sr < 0.02, lit("low_stopword")),
+        when(pr > 0.2, lit("high_punct"))),
+      x => x.isNotNull)
+    df.select(
+      col(idCol),
+      nt.as("n_tokens"),
+      concat_ws(";", reasons).as("reasons"),
+      (size(reasons) === 0).as("keep"))
   }
 
   /** Greedy contiguous sequence packing (the batch-construction step

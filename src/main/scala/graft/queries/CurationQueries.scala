@@ -267,6 +267,39 @@ object CurationQueries {
         .groupBy($"source", $"seq_id")
         .agg(count(lit(1)).as("n_docs"), sum($"w").as("tokens"))
         .orderBy($"source", $"seq_id")
+    },
+
+    // composite C4/Gopher-style quality gate WITH per-rule reasons —
+    // the failed-rule list is certified, not just the keep bit
+    Q.sql(
+      "q79_quality_filter",
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    round(list_sum(list_transform(string_split_regex(trim(text), '\s+'), x -> length(x)))::DOUBLE
+        |      / len(string_split_regex(trim(text), '\s+')), 4) AS awl,
+        |    round(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      w -> list_contains(['the','a','an','of','to','and','in','is','it','that'], w)))::DOUBLE
+        |      / len(string_split_regex(trim(lower(text)), '\s+')), 4) AS sr,
+        |    round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+        |      / greatest(length(text), 1), 4) AS pr
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |    list_filter([
+        |      CASE WHEN n_tokens < 30 THEN 'too_short' END,
+        |      CASE WHEN n_tokens > 1000 THEN 'too_long' END,
+        |      CASE WHEN awl < 3.0 OR awl > 10.0 THEN 'word_len' END,
+        |      CASE WHEN sr < 0.02 THEN 'low_stopword' END,
+        |      CASE WHEN pr > 0.2 THEN 'high_punct' END], x -> x IS NOT NULL) AS rs
+        |  FROM s)
+        |SELECT doc_id, n_tokens,
+        |  COALESCE(array_to_string(rs, ';'), '') AS reasons, len(rs) = 0 AS keep
+        |FROM r ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Curation.qualityFilter(Tables.documents(s, d), "doc_id", "text")
+        .orderBy($"doc_id")
     }
   )
 }

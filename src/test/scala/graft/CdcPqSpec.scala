@@ -96,6 +96,25 @@ class CdcPqSpec extends SparkSpec {
       s.select(min("vec_id")).as[Long].head())
   }
 
+  test("qualityFilter: keep iff no reason fired; thresholds hit the right rules") {
+    val d = Seq(
+      (1L, ("the and that " * 20).trim),           // 60 tokens, stopword-rich, avg len 3.33 -> keep
+      (2L, "tiny doc"),                            // too_short
+      (3L, ("zzzz " * 40).trim)                    // 40 tokens, no stopwords -> low_stopword
+    ).toDF("doc_id", "text")
+    val r = Curation.qualityFilter(d, "doc_id", "text")
+      .select("doc_id", "reasons", "keep").as[(Long, String, Boolean)].collect()
+      .map(x => x._1 -> (x._2, x._3)).toMap
+    assert(r(1L) == ("", true))
+    assert(r(2L)._1.contains("too_short") && !r(2L)._2)
+    assert(r(3L) == (("low_stopword", false)))
+    // invariant: keep == reasons empty
+    val bad = Curation.qualityFilter(Tables.documents(spark, "/root/testdata/sf0.001"),
+      "doc_id", "text")
+      .filter((col("reasons") === "") =!= col("keep")).count()
+    assert(bad == 0)
+  }
+
   test("packSequences fills sequences greedily and respects group boundaries") {
     val rows = Seq(
       ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 100L), // seq 0: 100+100, seq... cum walk
