@@ -124,9 +124,11 @@ object DupGraph {
       idA: String = "id_a",
       idB: String = "id_b",
       maxRounds: Int = 30): DataFrame = {
-    val input = edges
+    val raw = edges
       .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
+    // self-loops carry no connectivity but their nodes still count as
+    // "appearing in an edge" (same contract as [[connectedComponents]])
+    val input = raw.filter(col("u") =!= col("v"))
 
     // large-star: every node u links its LARGER neighbors to
     // m = min(neighborhood ∪ self); emitted edges are (bigger, smaller)
@@ -188,8 +190,8 @@ object DupGraph {
           "rounds; raise maxRounds")
 
     // stars → labels: every edge is (node, root); roots label themselves
-    val nodes = input.select(col("u").as("node"))
-      .union(input.select(col("v").as("node"))).distinct()
+    val nodes = raw.select(col("u").as("node"))
+      .union(raw.select(col("v").as("node"))).distinct()
     val labels = nodes
       .join(cur.select(col("u").as("node"), col("v").as("component")), Seq("node"), "left")
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))

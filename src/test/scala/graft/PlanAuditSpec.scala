@@ -60,4 +60,26 @@ class PlanAuditSpec extends SparkSpec {
         "self-check failed: lineitem ReadSchema not visible to the audit")
     } finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
   }
+
+  test("documents scans prune columns (the 100 TB corpus table)") {
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try {
+      val schemaRe = "ReadSchema: struct<([^>]*)>".r
+      // documents has 5 columns (doc_id, text, lang, source, n_chars);
+      // a scan reading all 5 for a query that uses fewer is a pruning
+      // regression — at 100 TB the text column alone dominates I/O, so
+      // queries not touching text must never read it
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val docReads = plan.linesIterator
+          .filter(_.contains("documents.parquet"))
+          .flatMap(l => schemaRe.findFirstMatchIn(l))
+          .map(_.group(1)).toSeq
+        val wide = docReads.exists(s => s.count(_ == ',') + 1 >= 5)
+        if (wide) Some(name) else None
+      }
+      assert(offenders.isEmpty, s"queries scanning all documents columns: $offenders")
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+  }
 }

@@ -51,8 +51,9 @@ class StarCCSpec extends SparkSpec {
 
   test("connectedComponentsStars matches label propagation on the same edges") {
     val rnd = new scala.util.Random(7)
-    val edges = List.fill(40)((rnd.nextLong(60), rnd.nextLong(60)))
-      .filter(e => e._1 != e._2).toDF("id_a", "id_b")
+    // keep self-loops in: both implementations must agree that a
+    // self-loop node appears in the output as its own component
+    val edges = List.fill(40)((rnd.nextLong(60), rnd.nextLong(60))).toDF("id_a", "id_b")
     val a = DupGraph.connectedComponentsStars(edges).as[(Long, Long)].collect().toMap
     val b = DupGraph.connectedComponents(edges).as[(Long, Long)].collect().toMap
     assert(a == b)
