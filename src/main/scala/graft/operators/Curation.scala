@@ -227,6 +227,90 @@ object Curation {
       .select(col(groupCol), col("n_docs"), col("weight"))
   }
 
+  /** Temperature-scaled mixture fractions (the multi-corpus sampling
+    * scheme multilingual/multi-source pretraining uses): the sampling
+    * share of group g is n_g^τ normalized over all groups. τ=1
+    * reproduces the observed mix, τ=0 is uniform, τ∈(0,1) upsamples
+    * the tail without letting any head group dominate. One tiny
+    * aggregate (a row per group) plus an unpartitioned window over it.
+    */
+  def temperatureMixtureWeights(df: DataFrame, groupCol: String, tau: Double): DataFrame = {
+    require(tau >= 0.0 && tau <= 1.0, s"tau must be in [0,1], got $tau")
+    val w = Window.partitionBy()
+    df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+      .select(
+        col(groupCol), col("n_docs"),
+        round(pow(col("n_docs"), tau) / sum(pow(col("n_docs"), tau)).over(w), 6)
+          .as("mix_frac"))
+  }
+
+  /** Sliding-window token chunking WITH overlap (the context-window
+    * prep RAG and long-context training pipelines use): windows of
+    * `chunkSize` tokens starting every `stride` tokens, so consecutive
+    * chunks share `chunkSize - stride` tokens; the final window may be
+    * shorter. stride == chunkSize degenerates to [[chunkTokens]].
+    * Narrow (no shuffle), same output shape as [[chunkTokens]].
+    */
+  def chunkTokensOverlap(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      stride: Int): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(stride > 0 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize], got $stride")
+    val nChunks = greatest(
+      expr(s"(size(toks) + ${stride - 1}) div $stride").cast("long"), lit(1L))
+    df.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), nChunks - 1)))
+      .withColumn("chunk", slice(col("toks"), col("chunk_idx") * stride + 1, lit(chunkSize)))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        size(col("chunk")).cast("long").as("chunk_len"),
+        hash60(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+  }
+
+  /** Cap rows per group at `cap`, chosen by salted-hash order rather
+    * than [[groupQuota]]'s lowest-id order — an UNBIASED deterministic
+    * downsample (id order usually correlates with crawl time/source
+    * position; hash order doesn't). One window shuffle on the group
+    * key; the id tiebreak makes the kept set total-order stable.
+    */
+  def groupCapByHash(df: DataFrame, groupCol: String, idCol: String, cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val h = hash60(concat_ws("@", col(idCol).cast("string"), col(groupCol)))
+    val w = Window.partitionBy(col(groupCol)).orderBy(h, col(idCol))
+    df.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= cap)
+  }
+
+  /** Corpus snapshot diff by content hash: given two versions of a
+    * corpus keyed by `idCol`, classify every id as `added` (only in
+    * the new version), `removed` (only in the old), `changed` (both,
+    * different content), or `unchanged`. The workhorse of incremental
+    * corpus refreshes — downstream stages re-run only on
+    * added/changed ids instead of the full 100 TB. Each side reduces
+    * to (id, 60-bit content hash) before the single full-outer
+    * shuffle join, so the join never carries document bodies.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val oldH = oldDf.select(col(idCol).as("_old_id"), hash60(col(textCol)).as("_old_h"))
+    val newH = newDf.select(col(idCol).as("_new_id"), hash60(col(textCol)).as("_new_h"))
+    oldH.join(newH, col("_old_id") === col("_new_id"), "full_outer")
+      .select(
+        coalesce(col("_old_id"), col("_new_id")).as(idCol),
+        when(col("_old_id").isNull, "added")
+          .when(col("_new_id").isNull, "removed")
+          .when(col("_old_h") =!= col("_new_h"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Uniform-target special case: weight(g) = N / (G · n_g). */
   def uniformMixtureWeights(df: DataFrame, groupCol: String): DataFrame = {
     val w = Window.partitionBy()

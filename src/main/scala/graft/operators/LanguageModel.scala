@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained n-gram language-model scoring — the KenLM-shaped
+  * quality signal (CCNet-style filtering buckets documents by LM
+  * perplexity). This is the self-trained variant: the corpus itself
+  * supplies the counts, so no external model file is needed and the
+  * whole computation is three hash aggregates plus two equi-joins.
+  *
+  * Scale shape: unigram and bigram count tables are one row per
+  * distinct (bi)gram — the heavy frame is the exploded token stream,
+  * which shuffles once per count table and once for the score join.
+  * The vocabulary-size scalar rides along as a broadcast 1-row frame,
+  * never a driver collect.
+  */
+object LanguageModel {
+
+  /** Per-document average negative log-probability under an add-one
+    * smoothed bigram model trained on the corpus itself:
+    * P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V), with c(·) corpus counts
+    * over lowercased whitespace tokens and V the distinct-token count.
+    * High scores flag improbable token sequences (noise, boilerplate
+    * tables, wrong-language spans); near-zero flags verbatim
+    * repetition. Documents with fewer than two tokens are not scored.
+    *
+    * Returns (idCol, n_bigrams, avg_neg_logprob) with the score
+    * rounded to 4 decimals (deterministic cross-engine).
+    */
+  def bigramNegLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), tokens(lower(col(textCol))).as("w"))
+    // parallel-slice zip: (w[i], w[i+1]) pairs without an index explode
+    val bigrams = toks.filter(size(col("w")) >= 2)
+      .select(col(idCol),
+        explode(arrays_zip(
+          slice(col("w"), lit(1), size(col("w")) - 1).as("w1"),
+          slice(col("w"), lit(2), size(col("w")) - 1).as("w2"))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = toks.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val bi = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // vocabulary size from the unigram frame — no extra corpus scan
+    val v = uni.agg(count(lit(1)).as("v"))
+    bigrams
+      .join(bi, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("tok", "w1"), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(-log((col("c12") + 1.0) / (col("c1") + col("v")))), 4)
+          .as("avg_neg_logprob"))
+  }
+}

@@ -300,6 +300,98 @@ object CurationQueries {
       import s.implicits._
       Curation.qualityFilter(Tables.documents(s, d), "doc_id", "text")
         .orderBy($"doc_id")
+    },
+
+    // temperature-scaled mixture: sampling share ∝ n_g^0.7 — the
+    // multilingual/multi-source rebalancing scheme (τ<1 upsamples
+    // tail sources); complements q47's uniform target
+    Q.sql(
+      "q80_temperature_mix",
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source)
+        |SELECT source, n_docs,
+        |  round(pow(n_docs, 0.7) / sum(pow(n_docs, 0.7)) OVER (), 6) AS mix_frac
+        |FROM c ORDER BY source""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Curation.temperatureMixtureWeights(Tables.documents(s, d), "source", tau = 0.7)
+        .orderBy($"source")
+    },
+
+    // sliding-window chunking WITH overlap (32-token windows every 24
+    // tokens — consecutive chunks share 8 tokens): the context-window
+    // prep shape; q43 is the stride==size special case
+    Q.sql(
+      "q81_overlap_chunks",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |c AS (
+        |  SELECT doc_id, w,
+        |    unnest(range(greatest((len(w) + 23) // 24, 1))) AS chunk_idx
+        |  FROM t)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(len(w[chunk_idx*24+1 : chunk_idx*24+32]) AS BIGINT) AS chunk_len,
+        |  ('0x' || substr(md5(array_to_string(w[chunk_idx*24+1 : chunk_idx*24+32], ' ')), 1, 15))::BIGINT AS chunk_hash
+        |FROM c
+        |ORDER BY doc_id, chunk_idx""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Curation.chunkTokensOverlap(Tables.documents(s, d), "doc_id", "text",
+        chunkSize = 32, stride = 24)
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+
+    // per-source cap in salted-HASH order — unbiased deterministic
+    // downsampling (q42's quota keeps the lowest ids, which biases
+    // toward early-crawled documents)
+    Q.sql(
+      "q82_group_cap",
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '@' || source), 1, 15))::BIGINT, doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, rn FROM r WHERE rn <= 15
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Curation.groupCapByHash(Tables.documents(s, d), "source", "doc_id", cap = 15)
+        .select($"doc_id", $"source", $"rn")
+        .orderBy($"doc_id")
+    },
+
+    // corpus snapshot diff by content hash: two simulated versions of
+    // the documents table (v1 drops doc_id%7==0; v2 drops %5==0 and
+    // edits %11==0) → added/removed/changed ids — the incremental-
+    // refresh primitive; the join carries (id, hash), never bodies
+    Q.sql(
+      "q83_snapshot_diff",
+      """WITH v1 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |h1 AS (SELECT doc_id, ('0x'||substr(md5(text),1,15))::BIGINT AS h FROM v1),
+        |h2 AS (SELECT doc_id, ('0x'||substr(md5(text),1,15))::BIGINT AS h FROM v2),
+        |d AS (
+        |  SELECT COALESCE(h1.doc_id, h2.doc_id) AS doc_id,
+        |    CASE WHEN h1.doc_id IS NULL THEN 'added'
+        |         WHEN h2.doc_id IS NULL THEN 'removed'
+        |         WHEN h1.h <> h2.h THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM h1 FULL JOIN h2 ON h1.doc_id = h2.doc_id)
+        |SELECT doc_id, status FROM d WHERE status <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val v1 = docs.filter($"doc_id" % 7 =!= 0).select($"doc_id", $"text")
+      val v2 = docs.filter($"doc_id" % 5 =!= 0).select($"doc_id",
+        when($"doc_id" % 11 === 0, concat($"text", lit(" [rev2]")))
+          .otherwise($"text").as("text"))
+      Curation.snapshotDiff(v1, v2, "doc_id", "text")
+        .filter($"status" =!= "unchanged")
+        .orderBy($"doc_id")
     }
   )
 }

@@ -294,6 +294,33 @@ object QualityQueries {
           count("*").as("n_distinct_chars"),
           round(-sum(p * log(p)), 4).as("entropy_nats"))
         .orderBy($"doc_id")
+    },
+
+    // self-trained add-one bigram LM scoring (the KenLM/CCNet quality
+    // signal, one model order above q66's unigram): the full count →
+    // smooth → score chain replayed in SQL, so the hash-match
+    // certifies identical smoothing arithmetic
+    Q.sql(
+      "q84_bigram_logprob",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |bb AS (
+        |  SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+        |  FROM t WHERE len(w) >= 2),
+        |uni AS (
+        |  SELECT tok, count(*) AS c1 FROM (SELECT unnest(w) AS tok FROM t) GROUP BY tok),
+        |bi AS (SELECT w1, w2, count(*) AS c12 FROM bb GROUP BY w1, w2),
+        |v AS (SELECT count(*) AS v FROM uni)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(-ln((c12 + 1.0) / (c1 + v))), 4) AS avg_neg_logprob
+        |FROM bb JOIN bi USING (w1, w2) JOIN uni ON uni.tok = bb.w1 CROSS JOIN v
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      graft.operators.LanguageModel.bigramNegLogProb(
+        Tables.documents(s, d), "doc_id", "text")
+        .orderBy($"doc_id")
     }
   )
 }

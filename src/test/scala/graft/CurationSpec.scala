@@ -345,6 +345,94 @@ class CurationSpec extends SparkSpec {
     assert(src0 < src0In)
   }
 
+  test("temperatureMixtureWeights: tau endpoints and normalization") {
+    // fractions always sum to 1
+    val t07 = Curation.temperatureMixtureWeights(docs, "source", tau = 0.7)
+    val total = t07.agg(sum("mix_frac")).as[Double].head()
+    assert(math.abs(total - 1.0) < 1e-4, s"fractions sum to $total")
+    // tau=1 reproduces the observed mix
+    val t1 = Curation.temperatureMixtureWeights(docs, "source", tau = 1.0)
+      .withColumnRenamed("mix_frac", "f").withColumnRenamed("n_docs", "n")
+    val n = docs.count().toDouble
+    val off = t1.filter(abs($"f" - $"n" / n) > 1e-5).count()
+    assert(off == 0, "tau=1 must equal observed fractions")
+    // tau=0 is uniform over groups
+    val groups = docs.select("source").distinct().count()
+    val t0 = Curation.temperatureMixtureWeights(docs, "source", tau = 0.0)
+    assert(t0.filter(abs($"mix_frac" - 1.0 / groups) > 1e-5).count() == 0)
+    // tau in (0,1) sits between: tail groups gain share vs observed
+    intercept[IllegalArgumentException] {
+      Curation.temperatureMixtureWeights(docs, "source", tau = 1.5)
+    }
+  }
+
+  test("chunkTokensOverlap: stride==size degenerates to chunkTokens; windows overlap") {
+    val plain = Curation.chunkTokens(docs, "doc_id", "text", chunkSize = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val degenerate = Curation.chunkTokensOverlap(docs, "doc_id", "text",
+      chunkSize = 32, stride = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(degenerate == plain)
+    // with stride < size, consecutive full windows overlap by size-stride:
+    // total emitted tokens exceed the doc's token count for multi-chunk docs
+    val over = Curation.chunkTokensOverlap(docs, "doc_id", "text", chunkSize = 32, stride = 24)
+    val sums = over.groupBy("doc_id")
+      .agg(sum("chunk_len").as("emitted"), count(lit(1)).as("n_chunks"))
+    val toks = docs.select($"doc_id",
+      size(graft.functions.TextFunctions.tokens($"text")).cast("long").as("n"))
+    val bad = sums.join(toks, "doc_id")
+      .filter($"n_chunks" > 1 && $"emitted" <= $"n").count()
+    assert(bad == 0, "multi-chunk docs must emit overlapping (duplicated) tokens")
+    // every window starts at a stride multiple and is never longer than size
+    assert(over.filter($"chunk_len" > 32).count() == 0)
+    intercept[IllegalArgumentException] {
+      Curation.chunkTokensOverlap(docs, "doc_id", "text", chunkSize = 32, stride = 33)
+    }
+  }
+
+  test("groupCapByHash: caps per group, layout-invariant, unbiased vs id order") {
+    val capped = Curation.groupCapByHash(docs, "source", "doc_id", cap = 10)
+    val maxPer = capped.groupBy("source").count().agg(max("count")).as[Long].head()
+    assert(maxPer <= 10)
+    // deterministic under repartition
+    val again = Curation.groupCapByHash(docs.repartition(11), "source", "doc_id", cap = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == capped.select("doc_id").as[Long].collect().toSet)
+    // hash order is NOT id order: at least one source keeps a non-prefix set
+    val idOrder = Curation.groupQuota(docs, "source", "doc_id", quota = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again != idOrder, "hash-ordered cap should differ from lowest-id quota")
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "text")
+    val neu = Seq((2L, "beta"), (3L, "GAMMA"), (4L, "delta")).toDF("id", "text")
+    val d = Curation.snapshotDiff(old, neu, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("bigramNegLogProb: hand-computed add-one smoothing on a toy corpus") {
+    import graft.operators.LanguageModel
+    // corpus: "a b a b" and "a b"; V = {a, b} -> 2
+    // unigrams: a=3, b=3
+    // bigrams in doc1: (a,b) (b,a) (a,b); doc2: (a,b); c(a,b)=4? no — across corpus:
+    // c(a,b)=3, c(b,a)=1
+    // doc1 score = -( ln((3+1)/(3+2)) + ln((1+1)/(3+2)) + ln((3+1)/(3+2)) ) / 3
+    val df = Seq((1L, "a b a b"), (2L, "a b")).toDF("id", "text")
+    val out = LanguageModel.bigramNegLogProb(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val pab = -math.log(4.0 / 5.0)
+    val pba = -math.log(2.0 / 5.0)
+    val exp1 = BigDecimal((pab + pba + pab) / 3).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp2 = BigDecimal(pab).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._1 == 3 && math.abs(out(1L)._2 - exp1) < 1e-9)
+    assert(out(2L)._1 == 1 && math.abs(out(2L)._2 - exp2) < 1e-9)
+    // single-token docs are not scored
+    val single = LanguageModel.bigramNegLogProb(Seq((9L, "solo")).toDF("id", "text"), "id", "text")
+    assert(single.count() == 0)
+  }
+
   test("vocabTopK returns k most frequent tokens, deterministically") {
     val v = Curation.vocabTopK(docs, "text", k = 20).collect()
     assert(v.length == 20)
