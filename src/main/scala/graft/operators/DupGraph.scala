@@ -168,14 +168,25 @@ object DupGraph {
     // have broken current-edge connectivity, which never happens) —
     // so this detects convergence THE ROUND it occurs, where a
     // stability signature needs one extra all-quiet round to notice.
-    // Both probes run on the round's checkpointed blocks (cheap).
+    // Both conditions fold into ONE aggregation pass over the node
+    // roles (each edge contributes a source row and a target row):
+    // a violation is a node with >1 distinct target, or a node seen
+    // as both source and target — a single shuffle + job per round,
+    // where probing the two conditions separately cost three.
+    // The probe runs on the round's checkpointed blocks (cheap).
     def isStarForest(e: DataFrame): Boolean = {
-      val multiTarget = e.groupBy("u").agg(countDistinct("v").as("nv"))
-        .filter(col("nv") > 1).limit(1).count()
-      if (multiTarget != 0) return false
-      val chained = e.select(col("v").as("u")).distinct()
-        .join(e.select(col("u")).distinct(), "u").limit(1).count()
-      chained == 0
+      val roles = e.select(col("u").as("node"), col("v"), lit(1).as("is_src"))
+        .union(e.select(col("v").as("node"), lit(null).cast("long").as("v"),
+          lit(0).as("is_src")))
+      val violations = roles.groupBy("node")
+        .agg(
+          countDistinct(col("v")).as("nv"),
+          max(col("is_src")).as("ever_src"),
+          min(col("is_src")).as("never_tgt"))
+        .filter(col("nv") > 1 ||
+          (col("ever_src") === 1 && col("never_tgt") === 0))
+        .limit(1).count()
+      violations == 0
     }
     var round = 0
     var converged = isStarForest(cur)

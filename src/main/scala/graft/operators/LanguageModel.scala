@@ -53,4 +53,47 @@ object LanguageModel {
         round(avg(-log((col("c12") + 1.0) / (col("c1") + col("v")))), 4)
           .as("avg_neg_logprob"))
   }
+
+  /** Top-k collocations by pointwise mutual information:
+    * PMI(w1,w2) = ln( (c12/N_bi) / ((c1/N_uni)·(c2/N_uni)) ) — bigrams
+    * whose components co-occur far more than independence predicts
+    * (multi-word entities, idioms; the classic phrase-mining signal).
+    * `minCount` floors c12 so rare-pair noise (which maximizes raw
+    * PMI) is excluded. Ties at equal rounded PMI break on (w1, w2).
+    * Two count aggregates + one broadcast of corpus totals; the join
+    * back to unigram counts touches only the ≥minCount bigrams.
+    */
+  def pmiCollocations(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long,
+      k: Int): DataFrame = {
+    require(minCount >= 1, "minCount must be at least 1")
+    require(k >= 1, "k must be at least 1")
+    val toks = df.select(col(idCol), tokens(lower(col(textCol))).as("w"))
+    val bigrams = toks.filter(size(col("w")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1).as("w1"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("w2"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = toks.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val bi = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val totals = uni.agg(sum(col("c")).as("n_uni"))
+      .crossJoin(bigrams.groupBy().agg(count(lit(1)).as("n_bi")))
+    bi
+      .join(uni.select(col("tok").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("w1"), col("w2"), col("c12"),
+        round(
+          log((col("c12").cast("double") / col("n_bi")) /
+            ((col("c1").cast("double") / col("n_uni")) *
+              (col("c2").cast("double") / col("n_uni")))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }
