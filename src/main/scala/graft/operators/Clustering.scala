@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Oracle-certifiable Lloyd's k-means over an embedding column.
+  *
+  * [[Similarity.kmeansCodebook]] wraps Spark ML's trainer (the
+  * production path); this trainer re-expresses the same algorithm in
+  * pure relational arithmetic so every step — init, assignment,
+  * centroid update — replays exactly in SQL on another engine, giving
+  * the k-means loop itself a hard DuckDB oracle instead of a
+  * spec-only check. Determinism conventions (SURVEY §8.4): distances
+  * round to 6 decimals before the argmin (tie-broken by cell id) and
+  * centroid components round to 6 after each mean, so iteration N's
+  * input is bit-identical cross-engine regardless of summation order.
+  *
+  * Scale shape per iteration: one corpus scan × broadcast(k
+  * centroids) for assignment (the published algorithm's cost,
+  * embarrassingly parallel), then a two-level aggregation
+  * (cell,dim)→cell for the update — the per-dimension partial means
+  * combine map-side, so the shuffle carries k·dim rows, not the
+  * corpus. Centroid frames are k rows; `localCheckpoint` truncates
+  * the per-iteration lineage so the plan does not deepen with iters.
+  */
+object Clustering {
+
+  /** Squared L2 distance of two array<double> columns, summed in
+    * index order (matches DuckDB's list_sum over list_transform).
+    */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Deterministic stride init: every `centroidStep`-th row by id,
+    * cell = id / centroidStep. Returns (cell: long, cv: array<double>).
+    */
+  def strideInit(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidStep: Int): DataFrame = {
+    require(centroidStep > 0, "centroidStep must be positive")
+    emb.filter(pmod(col(idCol), lit(centroidStep)) === 0)
+      .select((col(idCol) / centroidStep).cast("long").as("cell"),
+        col(vecCol).cast("array<double>").as("cv"))
+  }
+
+  /** Nearest-centroid assignment: (idCol, _v, cell, d) with d the
+    * round-6 squared distance to the winning cell, ties to the lower
+    * cell id. `centroids` must be (cell: long, cv: array<double>).
+    */
+  def assignCells(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("d").asc, col("cell").asc)
+    emb.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d", round(sqDist(col("_v"), col("cv")), 6))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col("_v"), col("cell"), col("d"))
+  }
+
+  /** `iters` Lloyd iterations from the stride init; returns the final
+    * codebook (cell, cv) in the shape [[Similarity.ivfTopKCodebook]]
+    * and [[Similarity.semanticDedupWith]] consume. Cells that lose
+    * all members disappear (standard Lloyd's on relational form).
+    */
+  def kmeansLloyd(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidStep: Int,
+      iters: Int): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    var cents = strideInit(emb, idCol, vecCol, centroidStep)
+    for (_ <- 0 until iters) {
+      cents = assignCells(emb, idCol, vecCol, cents)
+        .select(col("cell"), posexplode(col("_v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(round(avg(col("x")), 6).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("s"))
+        .select(col("cell"), transform(col("s"), p => p.getField("m")).as("cv"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** Per-cell membership count and round-3 inertia of an assignment —
+    * the convergence scoreboard (total inertia is non-increasing over
+    * Lloyd iterations).
+    */
+  def cellSummary(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), round(sum(col("d")), 3).as("inertia"))
+}

@@ -286,6 +286,29 @@ object Curation {
       .filter(col("rn") <= cap)
   }
 
+  /** Deterministic epoch shuffle for training-order assignment: each
+    * row lands in shard `hash60(seed:id) mod numShards` at position
+    * `row_number` by hash order within the shard. One window shuffle
+    * on the shard key; changing the seed (e.g. per epoch) produces an
+    * independent order while staying bit-reproducible across runs and
+    * cluster layouts — the property a dataloader manifest needs.
+    * Returns (idCol, shard, pos).
+    */
+  def epochShuffle(
+      df: DataFrame,
+      idCol: String,
+      seed: String,
+      numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    // hash60 is non-negative (60-bit), so % and pmod agree cross-engine
+    val h = hash60(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_hv"), col(idCol))
+    df.select(col(idCol), h.as("_hv"))
+      .withColumn("shard", (col("_hv") % numShards).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** Corpus snapshot diff by content hash: given two versions of a
     * corpus keyed by `idCol`, classify every id as `added` (only in
     * the new version), `removed` (only in the old), `changed` (both,

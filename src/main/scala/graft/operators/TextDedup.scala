@@ -251,4 +251,76 @@ object TextDedup {
       .dropDuplicates("word_a", "word_b")
       .select(col("word_a"), col("word_b"), col("dist"))
   }
+
+  /** Token stream with 0-based positions: (idCol, pos, tok). */
+  private def positionedTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "tok")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("tok"))
+
+  /** Start positions of word n-grams that occur more than once in the
+    * whole corpus (counting repeats inside one document), as
+    * (idCol, s, e) coverage windows s..s+n-1. N-grams are formed with
+    * window leads (no per-row array blowup), and the global
+    * count/join runs on the 8-byte hash60 of the n-gram, not the
+    * string — the shuffle carries longs.
+    */
+  private def dupNgramWindows(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, "duplicate-span n-grams need n >= 2")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val parts = col("tok") +: (1 until n).map(i => lead(col("tok"), i).over(w))
+    // build the n-gram and its tail guard in ONE projection over the
+    // full token stream — filtering first would recompute the leads
+    // over the filtered rows
+    val ng = positionedTokens(df, idCol, textCol)
+      .select(col(idCol), col("pos"),
+        concat_ws(" ", parts: _*).as("_ng"),
+        lead(col("tok"), n - 1).over(w).as("_last"))
+      .filter(col("_last").isNotNull)
+      .select(col(idCol), col("pos"), hash60(col("_ng")).as("nh"))
+    val dup = ng.groupBy(col("nh"))
+      .agg(count(lit(1)).as("_c")).filter(col("_c") > 1).select(col("nh"))
+    ng.join(dup, "nh")
+      .select(col(idCol), col("pos").as("s"), (col("pos") + (n - 1)).as("e"))
+  }
+
+  /** Duplicated-substring spans, Lee et al. 2022 (arXiv:2107.06499)
+    * shape: every maximal token range covered by word n-grams that
+    * appear elsewhere in the corpus. Overlapping/adjacent windows
+    * merge into islands with the classic running-max window (per-doc
+    * partitions — no global sort). Returns (idCol, span_start,
+    * span_end) in token positions.
+    */
+  def duplicateNgramSpans(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("s"), col("e"))
+    val prevMax = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    dupNgramWindows(df, idCol, textCol, n)
+      .withColumn("_brk",
+        when(col("s") > coalesce(prevMax, lit(-1L)), 1).otherwise(0))
+      .withColumn("_g", sum(col("_brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("_g"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+      .drop("_g")
+  }
+
+  /** The scrub step of substring dedup: drop every token covered by a
+    * duplicated n-gram window and stitch the survivors back together
+    * in position order. Documents losing all tokens disappear.
+    * Returns (idCol, n_kept, clean_text).
+    */
+  def removeDuplicateSpans(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val cov = dupNgramWindows(df, idCol, textCol, n)
+      .select(col(idCol), explode(sequence(col("s"), col("e"))).as("pos"))
+      .distinct()
+    positionedTokens(df, idCol, textCol)
+      .join(cov, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            p => p.getField("tok"))).as("clean_text"))
+  }
 }

@@ -392,6 +392,25 @@ object CurationQueries {
       Curation.snapshotDiff(v1, v2, "doc_id", "text")
         .filter($"status" =!= "unchanged")
         .orderBy($"doc_id")
+    },
+
+    // deterministic epoch shuffle: seeded hash → shard + position, the
+    // dataloader manifest for one training epoch — bit-reproducible
+    // across engines, runs, and cluster layouts
+    Q.sql(
+      "q91_epoch_shuffle",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('ep0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM documents)
+        |SELECT doc_id, CAST(hv % 8 AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS BIGINT) AS pos
+        |FROM h
+        |ORDER BY shard, pos""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Curation.epochShuffle(Tables.documents(s, d), "doc_id", "ep0", numShards = 8)
+        .orderBy($"shard", $"pos")
     }
   )
 }

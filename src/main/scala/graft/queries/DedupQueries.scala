@@ -319,6 +319,85 @@ object DedupQueries {
       TextDedup.editDistance1Pairs(vocab, "w")
         .localCheckpoint(true)
         .orderBy($"word_a", $"word_b")
+    },
+
+    // Lee et al. substring-dedup, detection half: maximal token spans
+    // covered by word 8-grams occurring >1× corpus-wide. The oracle
+    // replays the Spark pipeline exactly — same hash60 n-gram keys
+    // (so even a hash collision would reproduce), same running-max
+    // island merge
+    Q.sql(
+      "q89_dup_ngram_spans",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |toks AS (
+        |  SELECT doc_id, CAST(unnest(range(0, len(w))) AS BIGINT) AS pos, unnest(w) AS tok
+        |  FROM t),
+        |ng AS (
+        |  SELECT doc_id, pos,
+        |    CAST(('0x' || substr(md5(
+        |      tok || ' ' || lead(tok,1) OVER w2 || ' ' || lead(tok,2) OVER w2
+        |          || ' ' || lead(tok,3) OVER w2 || ' ' || lead(tok,4) OVER w2
+        |          || ' ' || lead(tok,5) OVER w2 || ' ' || lead(tok,6) OVER w2
+        |          || ' ' || lead(tok,7) OVER w2), 1, 15)) AS BIGINT) AS nh
+        |  FROM toks WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok,7) OVER w2 IS NOT NULL),
+        |dup AS (SELECT nh FROM ng GROUP BY nh HAVING count(*) > 1),
+        |hits AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM ng JOIN dup USING (nh)),
+        |isl AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+        |  FROM hits),
+        |grp AS (
+        |  SELECT doc_id, s, e,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS g
+        |  FROM isl)
+        |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start, CAST(max(e) AS BIGINT) AS span_end
+        |FROM grp GROUP BY doc_id, g
+        |ORDER BY doc_id, span_start""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      TextDedup.duplicateNgramSpans(Tables.documents(s, d), "doc_id", "text", n = 8)
+        .orderBy($"doc_id", $"span_start")
+    },
+
+    // substring-dedup, scrub half: drop covered tokens, stitch the
+    // rest in position order; certified by token count + a 12-hex md5
+    // of the reassembled text (fully-covered documents vanish)
+    Q.sql(
+      "q90_span_scrub",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |toks AS (
+        |  SELECT doc_id, CAST(unnest(range(0, len(w))) AS BIGINT) AS pos, unnest(w) AS tok
+        |  FROM t),
+        |ng AS (
+        |  SELECT doc_id, pos,
+        |    CAST(('0x' || substr(md5(
+        |      tok || ' ' || lead(tok,1) OVER w2 || ' ' || lead(tok,2) OVER w2
+        |          || ' ' || lead(tok,3) OVER w2 || ' ' || lead(tok,4) OVER w2
+        |          || ' ' || lead(tok,5) OVER w2 || ' ' || lead(tok,6) OVER w2
+        |          || ' ' || lead(tok,7) OVER w2), 1, 15)) AS BIGINT) AS nh
+        |  FROM toks WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok,7) OVER w2 IS NOT NULL),
+        |dup AS (SELECT nh FROM ng GROUP BY nh HAVING count(*) > 1),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + off AS pos
+        |  FROM ng JOIN dup USING (nh), range(0, 8) r(off)),
+        |kept AS (
+        |  SELECT t2.doc_id, t2.pos, t2.tok FROM toks t2
+        |  ANTI JOIN cov c ON t2.doc_id = c.doc_id AND t2.pos = c.pos)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  substr(md5(string_agg(tok, ' ' ORDER BY pos)), 1, 12) AS clean_sig
+        |FROM kept GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      TextDedup.removeDuplicateSpans(Tables.documents(s, d), "doc_id", "text", n = 8)
+        .select($"doc_id", $"n_kept",
+          substring(md5($"clean_text"), 1, 12).as("clean_sig"))
+        .orderBy($"doc_id")
     }
   )
 }

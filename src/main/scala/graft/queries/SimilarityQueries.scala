@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.operators.Similarity
+import graft.operators.{Clustering, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over the embeddings table.
@@ -269,6 +269,43 @@ object SimilarityQueries {
       val (survivors, _) = Similarity.semanticDedupStride(
         emb, "vec_id", "embedding", centroidStep = 50, threshold = 0.40)
       survivors.select($"vec_id").orderBy($"vec_id")
+    },
+
+    // Lloyd's k-means, oracle-certified end to end: stride init, one
+    // full assign→update iteration, final re-assignment — per-cell
+    // membership and inertia replayed in SQL (round-6 distances and
+    // centroid means make every iteration bit-identical cross-engine)
+    Q.sql(
+      "q88_kmeans_lloyd",
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id // 50 AS BIGINT) AS cell, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |a1 AS (SELECT vec_id, v, cell FROM (
+        |  SELECT e.vec_id, e.v, c.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      round(list_sum(list_transform(range(1,65), i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))), 6),
+        |      c.cell) AS rn
+        |  FROM e, c0 c) WHERE rn = 1),
+        |c1 AS (SELECT cell, list(m ORDER BY dim) AS cv FROM (
+        |  SELECT cell, dim, round(avg(v[dim]), 6) AS m
+        |  FROM a1, range(1,65) r(dim) GROUP BY cell, dim) GROUP BY cell),
+        |a2 AS (SELECT vec_id, cell, d FROM (
+        |  SELECT e.vec_id, c.cell,
+        |    round(list_sum(list_transform(range(1,65), i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))), 6) AS d,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      round(list_sum(list_transform(range(1,65), i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))), 6),
+        |      c.cell) AS rn
+        |  FROM e, c1 c) WHERE rn = 1)
+        |SELECT cell, CAST(count(*) AS BIGINT) AS n_members, round(sum(d), 3) AS inertia
+        |FROM a2 GROUP BY cell
+        |ORDER BY cell""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val cents = Clustering.kmeansLloyd(emb, "vec_id", "embedding",
+        centroidStep = 50, iters = 1)
+      Clustering.cellSummary(Clustering.assignCells(emb, "vec_id", "embedding", cents))
+        .orderBy($"cell")
     }
   )
 }

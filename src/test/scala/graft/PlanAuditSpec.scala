@@ -12,12 +12,16 @@ class PlanAuditSpec extends SparkSpec {
   // the intentional broadcast-small-side nested-loop shapes
   // (ANN query sets, IVF centroids, guarded pair baselines, scalar
   // thresholds incl. the 1-row corpus size N in tf-idf, range-capped
-  // levenshtein, 5-row band dimension, PQ's 4-row subvector index)
+  // levenshtein, 5-row band dimension, PQ's 4-row subvector index,
+  // and the 1-row corpus-stats frames in the LM/retrieval scorers:
+  // bigram-LM and BM25 broadcast (N, avgdl)-style scalar aggregates,
+  // PMI broadcasts the total token count, RRF inherits BM25's)
   private val bnlAllowed = Set(
     "ann_topk_brute", "ann_topk_ivf", "embedding_cosine_dup", "dup_components",
     "ngram_jaccard_pairs", "q14_above_avg", "q29_levenshtein", "q37_band_range_join",
     "q55_tfidf", "q59_profile_typed", "q66_unigram_logprob", "q76_pq_topk",
-    "q78_semantic_dedup")
+    "q78_semantic_dedup", "q84_bigram_logprob", "q85_bm25", "q86_rrf_fusion",
+    "q87_pmi_collocations", "q88_kmeans_lloyd")
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
