@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions.{avgWordLen, hash60, punctRatio, stopwordRatio, tokenCount, tokens}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -307,6 +307,23 @@ object Curation {
       .withColumn("shard", (col("_hv") % numShards).cast("long"))
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** Deterministic importance sampling (the DSIR-style reweighting
+    * step without RNG): keep a row iff hash60(seed:id)/2^60 < its
+    * weight, weight clamped to [0,1]. The md5-derived uniform makes
+    * acceptance exact and layout-independent, E[kept] = Σ weights,
+    * and a seed change draws an independent sample. Narrow (no
+    * shuffle) — the filter rides the scan.
+    */
+  def importanceSample(
+      df: DataFrame,
+      idCol: String,
+      weight: Column,
+      seed: String): DataFrame = {
+    val u = hash60(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    df.filter(u < least(greatest(weight.cast("double"), lit(0.0)), lit(1.0)))
   }
 
   /** Corpus snapshot diff by content hash: given two versions of a

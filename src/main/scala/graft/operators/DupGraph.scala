@@ -284,4 +284,75 @@ object DupGraph {
     (df.join(nonCanonical, Seq(idCol), "left_anti"),
       df.join(nonCanonical, Seq(idCol), "left_semi"))
   }
+
+  /** Fixed-iteration PageRank over a directed edge list (power
+    * iteration) — graph-structured quality propagation for, e.g., a
+    * kNN similarity graph or a source-link graph.
+    *
+    * Arithmetic is FIXED-POINT: ranks are integers scaled by 1e9 and
+    * the damping factor is the exact rational dampNum/dampDen
+    * (default 17/20 = 0.85), so every step is integer floor-division
+    * — no floating sums, no rounding grain, and the whole trajectory
+    * is bit-exact on any engine, layout, or summation order (floating
+    * round-to-N can still flip on values a ULP from the grain
+    * boundary; integers cannot):
+    *   r_0 = S div N
+    *   r_{t+1} = (1−d)·S div N + d·(Σ_{in} r_t div outdeg + dm div N)
+    * with d applied as ·dampNum div dampDen, dm = dangling mass.
+    *
+    * Scale shape per iteration: contributions are one equi-join
+    * (edges ⋈ ranks on src) plus one partial-then-final sum on dst; N
+    * and the dangling mass ride along as broadcast 1-row frames. Rank
+    * frames are `localCheckpoint`ed so the plan stays one iteration
+    * deep. Returns (node, pagerank_e9: long, pagerank: double).
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      iters: Int = 3,
+      dampNum: Int = 17,
+      dampDen: Int = 20): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      "damping must be a rational in [0,1]")
+    val scale = 1000000000L
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n1 = nodes.agg(count(lit(1)).as("n")) // 1-row, broadcast below
+
+    var ranks = nodes.crossJoin(broadcast(n1))
+      .select(col("node"), expr(s"$scale div n").as("rr"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val withDeg = ranks.join(outdeg, Seq("node"), "left")
+      val contrib = withDeg.filter(col("outdeg").isNotNull)
+        .join(e, col("node") === col("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("rr div outdeg")).as("c"))
+      // dangling nodes (no out-edges) spread their mass uniformly
+      val dangling = withDeg.filter(col("outdeg").isNull)
+        .agg(coalesce(sum(col("rr")), lit(0L)).as("dm"))
+      // precompute (1-d)·S in Scala so no SQL-side int multiply can
+      // overflow (Spark 4 runs ANSI mode: int overflow throws)
+      val teleportNum = (dampDen - dampNum).toLong * scale
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(n1)).crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (expr(s"${teleportNum}L div (${dampDen}L * n)") +
+            expr(s"(${dampNum}L * (coalesce(c, 0L) + dm div n)) div ${dampDen}L"))
+            .as("rr"))
+        .localCheckpoint()
+    }
+    e.unpersist(); nodes.unpersist(); outdeg.unpersist()
+    ranks.select(col("node"), col("rr").as("pagerank_e9"),
+      (col("rr").cast("double") / scale).as("pagerank"))
+  }
 }

@@ -411,6 +411,26 @@ object CurationQueries {
       import s.implicits._
       Curation.epochShuffle(Tables.documents(s, d), "doc_id", "ep0", numShards = 8)
         .orderBy($"shard", $"pos")
+    },
+
+    // deterministic importance sampling: acceptance = md5-uniform <
+    // per-row weight (here length-derived, clamped to [0,1]) — the
+    // quality-weighted downsample, RNG-free so the kept set is exact
+    // on any engine/layout
+    Q.sql(
+      "q92_importance_sample",
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE ('0x' || substr(md5('is0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT::DOUBLE
+        |      / 1152921504606846976::DOUBLE
+        |  < least(greatest(CAST(n_chars AS DOUBLE) / 500, 0.0::DOUBLE), 1.0::DOUBLE)
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Curation.importanceSample(
+        Tables.documents(s, d).select($"doc_id", $"n_chars".cast("long").as("n_chars")),
+        "doc_id", $"n_chars".cast("double") / 500, "is0")
+        .orderBy($"doc_id")
     }
   )
 }

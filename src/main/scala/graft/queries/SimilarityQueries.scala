@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.operators.{Clustering, Similarity}
+import graft.operators.{Clustering, DupGraph, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over the embeddings table.
@@ -306,6 +306,65 @@ object SimilarityQueries {
         centroidStep = 50, iters = 1)
       Clustering.cellSummary(Clustering.assignCells(emb, "vec_id", "embedding", cents))
         .orderBy($"cell")
+    },
+
+    // PageRank over the exact cosine 3-NN graph of the first 500
+    // embeddings: 3 power iterations, damping 17/20, FIXED-POINT
+    // integer arithmetic (scale 1e9, floor divisions) — the whole
+    // trajectory is bit-exact in SQL, no floating rounding grain to
+    // flip on. Graph-centrality scoring for similarity graphs.
+    Q.sql(
+      "q93_pagerank",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings WHERE vec_id < 500),
+        |scored AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    round(list_dot_product(a.v, b.v)
+        |          / sqrt(list_dot_product(a.v, a.v))
+        |          / sqrt(list_dot_product(b.v, b.v)), 6) AS sim
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |edges AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rnk
+        |    FROM scored) WHERE rnk <= 3),
+        |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+        |r0 AS (SELECT node, 1000000000 // n AS rr FROM nodes, nn),
+        |r1 AS (
+        |  SELECT n2.node,
+        |    3000000000 // (20 * n2.n) + (17 * coalesce(c.c, 0)) // 20 AS rr
+        |  FROM (SELECT node, n FROM nodes, nn) n2
+        |  LEFT JOIN (
+        |    SELECT ed.dst AS node, sum(ra.rr // d.outdeg) AS c
+        |    FROM edges ed JOIN r0 ra ON ed.src = ra.node JOIN deg d ON ed.src = d.node
+        |    GROUP BY ed.dst) c ON n2.node = c.node),
+        |r2 AS (
+        |  SELECT n2.node,
+        |    3000000000 // (20 * n2.n) + (17 * coalesce(c.c, 0)) // 20 AS rr
+        |  FROM (SELECT node, n FROM nodes, nn) n2
+        |  LEFT JOIN (
+        |    SELECT ed.dst AS node, sum(ra.rr // d.outdeg) AS c
+        |    FROM edges ed JOIN r1 ra ON ed.src = ra.node JOIN deg d ON ed.src = d.node
+        |    GROUP BY ed.dst) c ON n2.node = c.node),
+        |r3 AS (
+        |  SELECT n2.node,
+        |    3000000000 // (20 * n2.n) + (17 * coalesce(c.c, 0)) // 20 AS rr
+        |  FROM (SELECT node, n FROM nodes, nn) n2
+        |  LEFT JOIN (
+        |    SELECT ed.dst AS node, sum(ra.rr // d.outdeg) AS c
+        |    FROM edges ed JOIN r2 ra ON ed.src = ra.node JOIN deg d ON ed.src = d.node
+        |    GROUP BY ed.dst) c ON n2.node = c.node)
+        |SELECT node, CAST(rr AS BIGINT) AS pagerank_e9 FROM r3
+        |ORDER BY node""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d).filter($"vec_id" < 500)
+      val edges = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 3)
+        .select($"query_id".as("src"), $"neighbor_id".as("dst"))
+      DupGraph.pageRank(edges, "src", "dst", iters = 3)
+        .select($"node", $"pagerank_e9")
+        .orderBy($"node")
     }
   )
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Clustering, Curation, TextDedup}
+import graft.operators.{Clustering, Curation, DupGraph, TextDedup}
 import org.apache.spark.sql.functions._
 
 /** Round-5 operators: relational Lloyd's k-means, duplicated-n-gram
@@ -95,6 +95,39 @@ class ClusteringSpanSpec extends SparkSpec {
     val o0 = e0.orderBy($"shard", $"pos").select($"doc_id").as[Long].collect().toSeq
     val o1 = e1.orderBy($"shard", $"pos").select($"doc_id").as[Long].collect().toSeq
     assert(o0 != o1)
+  }
+
+  test("importanceSample: weight 1 keeps all, 0 keeps none, expectation ~ sum of weights") {
+    val df = (0L until 1000L).toDF("doc_id")
+    assert(Curation.importanceSample(df, "doc_id", lit(1.0), "s").count() == 1000)
+    assert(Curation.importanceSample(df, "doc_id", lit(0.0), "s").count() == 0)
+    val half = Curation.importanceSample(df, "doc_id", lit(0.5), "s").count()
+    assert(half > 400 && half < 600, s"kept $half of expected ~500")
+    // deterministic: same seed = same set; different seed = different set
+    val a = Curation.importanceSample(df, "doc_id", lit(0.5), "s").as[Long].collect().toSet
+    val b = Curation.importanceSample(df, "doc_id", lit(0.5), "s").as[Long].collect().toSet
+    val c = Curation.importanceSample(df, "doc_id", lit(0.5), "t").as[Long].collect().toSet
+    assert(a == b && a != c)
+  }
+
+  test("pageRank: uniform on a cycle, sink-heavy on a star, mass conserved") {
+    import spark.implicits._
+    // 4-cycle: perfectly symmetric → all ranks equal
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    val cr = DupGraph.pageRank(cycle).select($"pagerank_e9").as[Long].collect()
+    assert(cr.toSet.size == 1 && cr.length == 4)
+    // star into node 9 (+ return edges so nothing dangles): center wins
+    val star = (0L until 5L).flatMap(i => Seq((i, 9L), (9L, i))).toDF("src", "dst")
+    val sr = DupGraph.pageRank(star)
+      .select($"node", $"pagerank_e9").as[(Long, Long)].collect().toMap
+    assert((0L until 5L).forall(i => sr(9L) > sr(i)))
+    // fixed-point floor division only leaks mass downward: total within
+    // iters * nodes ulps of the scale
+    assert(math.abs(sr.values.sum - 1000000000L) <= 3 * 6)
+    // dangling node: 0→1, 1 has no out-edges; mass must not vanish
+    val dang = Seq((0L, 1L)).toDF("src", "dst")
+    val dr = DupGraph.pageRank(dang).select($"pagerank_e9").as[Long].collect()
+    assert(dr.sum > 900000000L, s"dangling mass lost: ${dr.toSeq}")
   }
 
   private implicit class TupleMap(rows: Array[(Long, Long, String)]) {
