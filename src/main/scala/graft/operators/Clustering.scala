@@ -65,6 +65,20 @@ object Clustering {
       .select(col(idCol), col("_v"), col("cell"), col("d"))
   }
 
+  /** Per-key centroid: the round-6 per-dimension mean of each key
+    * group's vectors, rebuilt in dimension order. Two-level
+    * aggregation — (key,dim) partials combine map-side, so the
+    * shuffle carries keys·dim rows, never the corpus. Returns
+    * (keyCol, cv: array<double>).
+    */
+  def centroidsByKey(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
+    df.select(col(keyCol), posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col(keyCol), col("dim"))
+      .agg(round(avg(col("x")), 6).as("m"))
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("s"))
+      .select(col(keyCol), transform(col("s"), p => p.getField("m")).as("cv"))
+
   /** `iters` Lloyd iterations from the stride init; returns the final
     * codebook (cell, cv) in the shape [[Similarity.ivfTopKCodebook]]
     * and [[Similarity.semanticDedupWith]] consume. Cells that lose
@@ -79,16 +93,32 @@ object Clustering {
     require(iters >= 0, "iters must be non-negative")
     var cents = strideInit(emb, idCol, vecCol, centroidStep)
     for (_ <- 0 until iters) {
-      cents = assignCells(emb, idCol, vecCol, cents)
-        .select(col("cell"), posexplode(col("_v")).as(Seq("dim", "x")))
-        .groupBy(col("cell"), col("dim"))
-        .agg(round(avg(col("x")), 6).as("m"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("s"))
-        .select(col("cell"), transform(col("s"), p => p.getField("m")).as("cv"))
+      cents = centroidsByKey(
+        assignCells(emb, idCol, vecCol, cents), "cell", "_v")
         .localCheckpoint()
     }
     cents
+  }
+
+  /** Nearest-centroid (Rocchio) classification: class centroids are
+    * the per-label round-6 means, every vector is assigned to its
+    * nearest centroid by round-6 squared distance (ties to the lower
+    * label), and the confusion matrix comes back as (labelCol, pred,
+    * n). Broadcast centroids × one corpus scan — the cheapest useful
+    * labeler over 100 TB of embeddings.
+    */
+  def nearestCentroidConfusion(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String): DataFrame = {
+    val cents = centroidsByKey(
+      emb.select(col(labelCol).cast("long").as("cell"), col(vecCol).as("_v")),
+      "cell", "_v")
+    assignCells(emb, idCol, vecCol, cents)
+      .join(emb.select(col(idCol), col(labelCol).cast("long").as(labelCol)), Seq(idCol))
+      .groupBy(col(labelCol), col("cell").as("pred"))
+      .agg(count(lit(1)).as("n"))
   }
 
   /** Per-cell membership count and round-3 inertia of an assignment —

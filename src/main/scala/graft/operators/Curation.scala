@@ -309,6 +309,29 @@ object Curation {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Cumulative vocabulary coverage curve: the top-k tokens by corpus
+    * frequency with each rank's running share of ALL token
+    * occurrences — the "how many types cover 90% of tokens" question
+    * that sizes vocabularies and spots degenerate corpora. One
+    * partial-then-final token count; the rank/cumsum windows run over
+    * the VOCABULARY (types, not occurrences), which is tiny relative
+    * to the corpus. Returns (rnk, tok, c, cum_share).
+    */
+  def vocabCoverage(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val cnt = df.select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val wAll = Window.orderBy(col("c").desc, col("tok"))
+    cnt
+      .withColumn("_tot", sum(col("c")).over(Window.partitionBy()))
+      .withColumn("rnk", row_number().over(wAll).cast("long"))
+      .withColumn("cum_share",
+        round(sum(col("c")).over(wAll.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double") / col("_tot"), 6))
+      .filter(col("rnk") <= k)
+      .select(col("rnk"), col("tok"), col("c"), col("cum_share"))
+  }
+
   /** Deterministic importance sampling (the DSIR-style reweighting
     * step without RNG): keep a row iff hash60(seed:id)/2^60 < its
     * weight, weight clamped to [0,1]. The md5-derived uniform makes

@@ -340,6 +340,37 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("adc"), col("rank").cast("long").as("rank"))
   }
 
+  /** k-NN majority-vote classification: each query's label is the
+    * mode of its k nearest neighbors' labels (exact cosine, round-6,
+    * neighbor-id tiebreak; vote ties go to the smaller label — fully
+    * deterministic). Returns (query_id, true_label, pred_label,
+    * votes). The label-propagation primitive for weak supervision
+    * over an embedded corpus; neighbor search cost is whatever the
+    * chosen kNN path costs — this baseline uses the broadcast
+    * brute-force.
+    */
+  def knnClassify(
+      emb: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val labels = emb.select(col(idCol), col(labelCol).cast("long").as("_lbl"))
+    val votes = bruteForceTopK(emb, queries, idCol, vecCol, k)
+      .join(labels.withColumnRenamed(idCol, "neighbor_id"), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("_lbl"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("_lbl").asc)
+    votes.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .join(labels.withColumnRenamed(idCol, "query_id")
+        .withColumnRenamed("_lbl", "true_label"), Seq("query_id"))
+      .select(col("query_id"), col("true_label"),
+        col("_lbl").as("pred_label"), col("votes"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embedding space, compare
     * cosine similarity only WITHIN each cluster, resolve the

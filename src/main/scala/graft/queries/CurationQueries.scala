@@ -431,6 +431,26 @@ object CurationQueries {
         Tables.documents(s, d).select($"doc_id", $"n_chars".cast("long").as("n_chars")),
         "doc_id", $"n_chars".cast("double") / 500, "is0")
         .orderBy($"doc_id")
+    },
+
+    // cumulative vocabulary coverage: top-50 tokens with their running
+    // share of all occurrences — the vocabulary-sizing curve; the
+    // rank/cumsum windows run over types, not the corpus
+    Q.sql(
+      "q94_vocab_coverage",
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents),
+        |cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(c) AS t FROM cnt),
+        |r AS (SELECT tok, c, CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rnk FROM cnt)
+        |SELECT rnk, tok, c,
+        |  round(CAST(sum(c) OVER (ORDER BY rnk) AS DOUBLE) / tot.t, 6) AS cum_share
+        |FROM r, tot WHERE rnk <= 50
+        |ORDER BY rnk""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Curation.vocabCoverage(Tables.documents(s, d), "text", k = 50)
+        .orderBy($"rnk")
     }
   )
 }

@@ -365,6 +365,67 @@ object SimilarityQueries {
       DupGraph.pageRank(edges, "src", "dst", iters = 3)
         .select($"node", $"pagerank_e9")
         .orderBy($"node")
+    },
+
+    // k-NN majority-vote classification of the first 50 vectors
+    // against the labeled corpus (5-NN, vote ties to the smaller
+    // label) — the weak-supervision/label-propagation primitive
+    Q.sql(
+      "q95_knn_classify",
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |nn AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(list_dot_product(q.v, n.v)/sqrt(list_dot_product(q.v, q.v))/sqrt(list_dot_product(n.v, n.v)), 6) DESC,
+        |        n.vec_id) AS rank
+        |    FROM e q JOIN e n ON q.vec_id <> n.vec_id
+        |    WHERE q.vec_id < 50) WHERE rank <= 5),
+        |votes AS (
+        |  SELECT nn.query_id, CAST(e.label AS BIGINT) AS lbl, CAST(count(*) AS BIGINT) AS votes
+        |  FROM nn JOIN e ON e.vec_id = nn.neighbor_id
+        |  GROUP BY nn.query_id, e.label),
+        |win AS (
+        |  SELECT query_id, lbl, votes,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, lbl) AS rn
+        |  FROM votes)
+        |SELECT w.query_id, CAST(e.label AS BIGINT) AS true_label, w.lbl AS pred_label, w.votes
+        |FROM win w JOIN e ON e.vec_id = w.query_id
+        |WHERE w.rn = 1
+        |ORDER BY w.query_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      Similarity.knnClassify(
+        emb, emb.filter($"vec_id" < 50), "vec_id", "embedding", "label", k = 5)
+        .orderBy($"query_id")
+    },
+
+    // nearest-centroid (Rocchio) classification: per-label round-6
+    // mean centroids, round-6 squared-distance assignment, confusion
+    // matrix — broadcast centroids × one corpus scan
+    Q.sql(
+      "q96_centroid_confusion",
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |cent AS (SELECT label AS cl, list(m ORDER BY dim) AS cv FROM (
+        |  SELECT label, dim, round(avg(v[dim]), 6) AS m
+        |  FROM e, range(1,65) r(dim) GROUP BY label, dim) GROUP BY label),
+        |asgn AS (SELECT vec_id, cl FROM (
+        |  SELECT e.vec_id, c.cl,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      round(list_sum(list_transform(range(1,65), i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))), 6),
+        |      c.cl) AS rn
+        |  FROM e, cent c) WHERE rn = 1)
+        |SELECT e.label, a.cl AS pred, CAST(count(*) AS BIGINT) AS n
+        |FROM asgn a JOIN e ON e.vec_id = a.vec_id
+        |GROUP BY e.label, a.cl
+        |ORDER BY e.label, pred""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Clustering.nearestCentroidConfusion(
+        Tables.embeddings(s, d), "vec_id", "embedding", "label")
+        .orderBy($"label", $"pred")
     }
   )
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Clustering, Curation, DupGraph, TextDedup}
+import graft.operators.{Clustering, Curation, DupGraph, Similarity, TextDedup}
 import org.apache.spark.sql.functions._
 
 /** Round-5 operators: relational Lloyd's k-means, duplicated-n-gram
@@ -128,6 +128,35 @@ class ClusteringSpanSpec extends SparkSpec {
     val dang = Seq((0L, 1L)).toDF("src", "dst")
     val dr = DupGraph.pageRank(dang).select($"pagerank_e9").as[Long].collect()
     assert(dr.sum > 900000000L, s"dangling mass lost: ${dr.toSeq}")
+  }
+
+  test("knnClassify: separable blobs classify perfectly; vote ties break low") {
+    val blobA = (0L until 4L).map(i => (i, Seq(0.0 + i * 0.01, 0.0), 0L))
+    val blobB = (4L until 8L).map(i => (i, Seq(5.0 + i * 0.01, 5.0), 1L))
+    val df = (blobA ++ blobB).toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
+    val out = Similarity.knnClassify(df, df, "vec_id", "embedding", "label", k = 3)
+      .select($"query_id", $"pred_label").as[(Long, Long)].collect().toMap
+    assert((0L until 4L).forall(out(_) == 0L))
+    assert((4L until 8L).forall(out(_) == 1L))
+  }
+
+  test("nearestCentroidConfusion: separable labels give a diagonal matrix") {
+    val rows = (0L until 4L).map(i => (i, Seq(0.0, 0.1 * i), 0L)) ++
+      (4L until 8L).map(i => (i, Seq(9.0, 0.1 * i), 1L))
+    val df = rows.toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
+    val conf = Clustering.nearestCentroidConfusion(df, "vec_id", "embedding", "label")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(conf == Set((0L, 0L, 4L), (1L, 1L, 4L)))
+  }
+
+  test("vocabCoverage: ranks by frequency, cum_share reaches 1 at full vocab") {
+    val df = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val cov = Curation.vocabCoverage(df, "text", k = 10)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(cov == Seq(
+      (1L, "a", 3L, 0.5), (2L, "b", 2L, 0.833333), (3L, "c", 1L, 1.0)))
   }
 
   private implicit class TupleMap(rows: Array[(Long, Long, String)]) {

@@ -21,7 +21,8 @@ class PlanAuditSpec extends SparkSpec {
     "ngram_jaccard_pairs", "q14_above_avg", "q29_levenshtein", "q37_band_range_join",
     "q55_tfidf", "q59_profile_typed", "q66_unigram_logprob", "q76_pq_topk",
     "q78_semantic_dedup", "q84_bigram_logprob", "q85_bm25", "q86_rrf_fusion",
-    "q87_pmi_collocations", "q88_kmeans_lloyd")
+    "q87_pmi_collocations", "q88_kmeans_lloyd", "q93_pagerank",
+    "q94_vocab_coverage", "q95_knn_classify", "q96_centroid_confusion")
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
