@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.operators.{Curation, DataProfiler}
+import graft.operators.{BpeTrainer, Curation, DataProfiler}
 import org.apache.spark.sql.functions._
 
 /** Training-data curation over `documents`: deterministic dataset
@@ -451,6 +451,105 @@ object CurationQueries {
       import s.implicits._
       Curation.vocabCoverage(Tables.documents(s, d), "text", k = 50)
         .orderBy($"rnk")
+    },
+
+    // distributed BPE merge training (Sennrich 2016): 3 merges over the
+    // word-frequency table plus the post-merge best pair (it = 4), so
+    // every merge APPLICATION is certified, not just its selection;
+    // replayed move-for-move in SQL (pair counts -> argmax -> greedy
+    // leftmost non-overlap merge via gaps-and-islands parity)
+    Q.sql(
+      "q97_bpe_merges",
+      """WITH w0 AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq, regexp_extract_all(word, '.') AS syms
+        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word FROM documents)
+        |  GROUP BY word),
+        |p1 AS (
+        |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM w0)
+        |  GROUP BY 1, 2),
+        |b1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+        |t1 AS (
+        |  SELECT word, freq, i AS pos, syms[i] AS sym, syms[i+1] AS nxt
+        |  FROM (SELECT word, freq, syms, unnest(range(1, len(syms)+1)) AS i FROM w0)),
+        |m1 AS (
+        |  SELECT word, pos,
+        |    pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+        |  FROM t1, b1 WHERE t1.sym = b1.l AND t1.nxt = b1.r),
+        |k1 AS (
+        |  SELECT word, pos FROM (
+        |    SELECT word, pos, min(pos) OVER (PARTITION BY word, grp) AS mn FROM m1)
+        |  WHERE (pos - mn) % 2 = 0),
+        |w1 AS (
+        |  SELECT t.word, min(t.freq) AS freq,
+        |    list(CASE WHEN k.pos IS NOT NULL THEN t.sym || t.nxt ELSE t.sym END ORDER BY t.pos) AS syms
+        |  FROM t1 t
+        |  LEFT JOIN k1 k ON t.word = k.word AND t.pos = k.pos
+        |  LEFT JOIN k1 d ON t.word = d.word AND t.pos = d.pos + 1
+        |  WHERE d.pos IS NULL
+        |  GROUP BY t.word),
+        |p2 AS (
+        |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM w1)
+        |  GROUP BY 1, 2),
+        |b2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+        |t2 AS (
+        |  SELECT word, freq, i AS pos, syms[i] AS sym, syms[i+1] AS nxt
+        |  FROM (SELECT word, freq, syms, unnest(range(1, len(syms)+1)) AS i FROM w1)),
+        |m2 AS (
+        |  SELECT word, pos,
+        |    pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+        |  FROM t2, b2 WHERE t2.sym = b2.l AND t2.nxt = b2.r),
+        |k2 AS (
+        |  SELECT word, pos FROM (
+        |    SELECT word, pos, min(pos) OVER (PARTITION BY word, grp) AS mn FROM m2)
+        |  WHERE (pos - mn) % 2 = 0),
+        |w2 AS (
+        |  SELECT t.word, min(t.freq) AS freq,
+        |    list(CASE WHEN k.pos IS NOT NULL THEN t.sym || t.nxt ELSE t.sym END ORDER BY t.pos) AS syms
+        |  FROM t2 t
+        |  LEFT JOIN k2 k ON t.word = k.word AND t.pos = k.pos
+        |  LEFT JOIN k2 d ON t.word = d.word AND t.pos = d.pos + 1
+        |  WHERE d.pos IS NULL
+        |  GROUP BY t.word),
+        |p3 AS (
+        |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM w2)
+        |  GROUP BY 1, 2),
+        |b3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
+        |t3 AS (
+        |  SELECT word, freq, i AS pos, syms[i] AS sym, syms[i+1] AS nxt
+        |  FROM (SELECT word, freq, syms, unnest(range(1, len(syms)+1)) AS i FROM w2)),
+        |m3 AS (
+        |  SELECT word, pos,
+        |    pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+        |  FROM t3, b3 WHERE t3.sym = b3.l AND t3.nxt = b3.r),
+        |k3 AS (
+        |  SELECT word, pos FROM (
+        |    SELECT word, pos, min(pos) OVER (PARTITION BY word, grp) AS mn FROM m3)
+        |  WHERE (pos - mn) % 2 = 0),
+        |w3 AS (
+        |  SELECT t.word, min(t.freq) AS freq,
+        |    list(CASE WHEN k.pos IS NOT NULL THEN t.sym || t.nxt ELSE t.sym END ORDER BY t.pos) AS syms
+        |  FROM t3 t
+        |  LEFT JOIN k3 k ON t.word = k.word AND t.pos = k.pos
+        |  LEFT JOIN k3 d ON t.word = d.word AND t.pos = d.pos + 1
+        |  WHERE d.pos IS NULL
+        |  GROUP BY t.word),
+        |p4 AS (
+        |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM w3)
+        |  GROUP BY 1, 2),
+        |b4 AS (SELECT l, r, cnt FROM p4 ORDER BY cnt DESC, l, r LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS it, l, r, cnt FROM b1
+        |UNION ALL SELECT 2, l, r, cnt FROM b2
+        |UNION ALL SELECT 3, l, r, cnt FROM b3
+        |UNION ALL SELECT 4, l, r, cnt FROM b4
+        |ORDER BY it""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      BpeTrainer.merges(Tables.documents(s, d), "text", iterations = 3)
+        .orderBy($"it")
     }
   )
 }
