@@ -355,4 +355,46 @@ object DupGraph {
     ranks.select(col("node"), col("rr").as("pagerank_e9"),
       (col("rr").cast("double") / scale).as("pagerank"))
   }
+
+  /** Per-node triangle count and local clustering coefficient over an
+    * undirected graph — the density probe for near-dup clusters (a
+    * dup cluster from pair emission should be near-clique; coefficient
+    * ≪ 1 flags chaining, i.e. transitivity violations worth a higher
+    * similarity threshold).
+    *
+    * The classic distributed shape: canonicalize each edge to
+    * (a < b), then count each triangle exactly once as
+    * (a,b) ⋈ (b,c) ⋈ (a,c) with a < b < c — every step an equi-join
+    * keyed on node ids, no node's whole neighborhood ever collected.
+    * Skew note: the join fan-out is bounded by the max degree; for
+    * power-law graphs at 100 TB, pre-drop super-nodes (degree cap) or
+    * salt the heavy keys with [[SkewTools]].
+    *
+    * Returns (node, degree, triangles, clustering_coeff) with
+    * coefficient = 2·T / (deg·(deg−1)) rounded to 6, 0 for deg < 2.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tri = e
+      .join(e.select(col("a").as("b"), col("b").as("c")), "b")
+      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    val triPerNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    deg.join(triPerNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        round(
+          when(col("degree") >= 2,
+            lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+              (col("degree") * (col("degree") - lit(1L))))
+            .otherwise(lit(0.0)), 6).as("clustering_coeff"))
+  }
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.functions.TextFunctions.hash60
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch (Cormode & Muthukrishnan 2005) as a DataFrame
+  * aggregate: fixed-size frequency summaries for heavy-hitter queries
+  * over unbounded token streams.
+  *
+  * The sketch is `rows × width` counters — here materialized as a
+  * (row_id, bucket, cnt) frame of at most rows·width records,
+  * regardless of input size. Building it is ONE partial-aggregated
+  * groupBy over the exploded (row, bucket) pairs: each executor
+  * pre-merges its local counters map-side, so the shuffle carries at
+  * most rows·width records per partition — the whole point of a
+  * sketch at 100 TB. Estimates never undercount (min over rows of an
+  * always-over-counting cell), and the hash family is the library's
+  * seeded 60-bit md5 convention, so DuckDB replays bit-identically.
+  */
+object Sketches {
+
+  private def rowBuckets(tok: org.apache.spark.sql.Column, rows: Int, width: Int) =
+    array((0 until rows).map { j =>
+      struct(lit(j.toLong).as("row_id"),
+        pmod(hash60(tok, j), lit(width.toLong)).as("bucket"))
+    }: _*)
+
+  /** Build the sketch from one token per input row:
+    * (row_id, bucket, cnt) with cnt = number of tokens hashing there.
+    */
+  def countMinSketch(
+      df: DataFrame, tokCol: String, rows: Int = 4, width: Int = 64): DataFrame = {
+    require(rows >= 1 && width >= 1, "sketch needs rows >= 1, width >= 1")
+    df.select(explode(rowBuckets(col(tokCol), rows, width)).as("rb"))
+      .groupBy(col("rb.row_id").as("row_id"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates for a (small) set of query tokens:
+    * est(t) = min over sketch rows of the counter at t's bucket.
+    * Never an undercount; collisions only inflate. The query side is
+    * exploded to (tok, row_id, bucket) and equi-joined against the
+    * sketch — both sides tiny, the corpus is never re-read.
+    */
+  def cmsEstimate(
+      sketch: DataFrame, items: DataFrame, tokCol: String,
+      rows: Int = 4, width: Int = 64): DataFrame =
+    items.select(col(tokCol), explode(rowBuckets(col(tokCol), rows, width)).as("rb"))
+      .select(col(tokCol), col("rb.row_id").as("row_id"), col("rb.bucket").as("bucket"))
+      .join(sketch, Seq("row_id", "bucket"))
+      .groupBy(col(tokCol))
+      .agg(min(col("cnt")).as("cms_est"))
+}

@@ -265,20 +265,30 @@ object TextDedup {
     * count/join runs on the 8-byte hash60 of the n-gram, not the
     * string — the shuffle carries longs.
     */
-  private def dupNgramWindows(
+  /** Every word n-gram window as (idCol, pos, nh): start position and
+    * the 60-bit hash of the space-joined gram, built with window leads
+    * (no per-row array blowup) — the shared frame under span dedup and
+    * novelty scoring.
+    */
+  private def ngramHashes(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    require(n >= 2, "duplicate-span n-grams need n >= 2")
+    require(n >= 2, "n-gram windows need n >= 2")
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val parts = col("tok") +: (1 until n).map(i => lead(col("tok"), i).over(w))
     // build the n-gram and its tail guard in ONE projection over the
     // full token stream — filtering first would recompute the leads
     // over the filtered rows
-    val ng = positionedTokens(df, idCol, textCol)
+    positionedTokens(df, idCol, textCol)
       .select(col(idCol), col("pos"),
         concat_ws(" ", parts: _*).as("_ng"),
         lead(col("tok"), n - 1).over(w).as("_last"))
       .filter(col("_last").isNotNull)
       .select(col(idCol), col("pos"), hash60(col("_ng")).as("nh"))
+  }
+
+  private def dupNgramWindows(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val ng = ngramHashes(df, idCol, textCol, n)
     val dup = ng.groupBy(col("nh"))
       .agg(count(lit(1)).as("_c")).filter(col("_c") > 1).select(col("nh"))
     ng.join(dup, "nh")
@@ -322,5 +332,31 @@ object TextDedup {
         concat_ws(" ",
           transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
             p => p.getField("tok"))).as("clean_text"))
+  }
+
+  /** Per-document n-gram novelty: how much of a document is NOT seen
+    * elsewhere in the corpus — the memorization/boilerplate signal
+    * dual to [[duplicateNgramSpans]]. A window is "shared" when its
+    * n-gram occurs in at least one OTHER document (distinct-doc count
+    * > 1; in-document repetition alone stays novel — that is
+    * repetition scoring's job, not novelty's).
+    *
+    * Returns (idCol, n_grams, shared_grams, novelty) with novelty =
+    * 1 − shared/total rounded to 6. Documents shorter than n tokens
+    * emit no row (no windows to judge). Scale: the document-frequency
+    * aggregate and the join back both key on the 8-byte gram hash.
+    */
+  def ngramNovelty(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val ng = ngramHashes(df, idCol, textCol, n)
+    val docFreq = ng.groupBy(col("nh"))
+      .agg(countDistinct(col(idCol)).as("_ddf"))
+    ng.join(docFreq, "nh")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("_ddf") > 1, 1L).otherwise(0L)).as("shared_grams"))
+      .withColumn("novelty",
+        round(lit(1.0) - col("shared_grams").cast("double") / col("n_grams"), 6))
   }
 }

@@ -398,6 +398,38 @@ object DedupQueries {
         .select($"doc_id", $"n_kept",
           substring(md5($"clean_text"), 1, 12).as("clean_sig"))
         .orderBy($"doc_id")
+    },
+
+    // per-doc 8-gram novelty: share of windows also seen in ANOTHER
+    // document (distinct-doc frequency > 1) — the memorization /
+    // boilerplate signal dual to the q89 span detector
+    Q.sql(
+      "q99_ngram_novelty",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |toks AS (
+        |  SELECT doc_id, CAST(unnest(range(0, len(w))) AS BIGINT) AS pos, unnest(w) AS tok
+        |  FROM t),
+        |ng AS (
+        |  SELECT doc_id, pos,
+        |    CAST(('0x' || substr(md5(
+        |      tok || ' ' || lead(tok,1) OVER w2 || ' ' || lead(tok,2) OVER w2
+        |          || ' ' || lead(tok,3) OVER w2 || ' ' || lead(tok,4) OVER w2
+        |          || ' ' || lead(tok,5) OVER w2 || ' ' || lead(tok,6) OVER w2
+        |          || ' ' || lead(tok,7) OVER w2), 1, 15)) AS BIGINT) AS nh
+        |  FROM toks WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY lead(tok,7) OVER w2 IS NOT NULL),
+        |ddf AS (SELECT nh, count(DISTINCT doc_id) AS d FROM ng GROUP BY nh)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_grams,
+        |  round(1.0 - CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
+        |FROM ng JOIN ddf USING (nh)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      TextDedup.ngramNovelty(Tables.documents(s, d), "doc_id", "text", n = 8)
+        .orderBy($"doc_id")
     }
   )
 }

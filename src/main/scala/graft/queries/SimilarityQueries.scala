@@ -426,6 +426,52 @@ object SimilarityQueries {
       Clustering.nearestCentroidConfusion(
         Tables.embeddings(s, d), "vec_id", "embedding", "label")
         .orderBy($"label", $"pred")
+    },
+
+    // triangle count + local clustering coefficient over the exact
+    // cosine 3-NN graph (same edge set as q93): near-dup transitivity
+    // probe, each triangle counted once as an oriented 3-way equi-join
+    Q.sql(
+      "q98_triangles",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings WHERE vec_id < 500),
+        |scored AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    round(list_dot_product(a.v, b.v)
+        |          / sqrt(list_dot_product(a.v, a.v))
+        |          / sqrt(list_dot_product(b.v, b.v)), 6) AS sim
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |edges AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rnk
+        |    FROM scored) WHERE rnk <= 3),
+        |ue AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+        |tri AS (
+        |  SELECT e1.a, e1.b, e2.c
+        |  FROM ue e1
+        |  JOIN (SELECT a AS b, b AS c FROM ue) e2 USING (b)
+        |  JOIN (SELECT a, b AS c FROM ue) e3 USING (a, c)),
+        |tpn AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+        |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |  GROUP BY node),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT a AS node FROM ue UNION ALL SELECT b FROM ue)
+        |  GROUP BY node)
+        |SELECT d.node AS node, d.degree, coalesce(t.triangles, 0) AS triangles,
+        |  round(CASE WHEN d.degree >= 2
+        |    THEN 2.0 * coalesce(t.triangles, 0) / (d.degree * (d.degree - 1))
+        |    ELSE 0.0 END, 6) AS clustering_coeff
+        |FROM deg d LEFT JOIN tpn t ON d.node = t.node
+        |ORDER BY node""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d).filter($"vec_id" < 500)
+      val edges = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 3)
+        .select($"query_id".as("src"), $"neighbor_id".as("dst"))
+      DupGraph.triangleCounts(edges, "src", "dst")
+        .orderBy($"node")
     }
   )
 }

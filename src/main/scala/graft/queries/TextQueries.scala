@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
-import graft.operators.TextDedup
+import graft.operators.{Sketches, TextDedup}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table: token counting
@@ -205,6 +205,40 @@ object TextQueries {
         Tables.documents(s, d).filter($"doc_id" < 200), "doc_id", "text",
         shingleN = 2, threshold = 0.8)
         .orderBy($"id_a", $"id_b")
+    },
+
+    // count-min sketch heavy hitters: 4x64 md5-seeded sketch, point
+    // estimates for the exact top-20 tokens — estimates can only
+    // overcount, and the whole sketch is 256 counters regardless of
+    // corpus size
+    Q.sql(
+      "q100_cms_heavy",
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents),
+        |ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM toks GROUP BY tok),
+        |top AS (SELECT tok, exact_cnt FROM ex ORDER BY exact_cnt DESC, tok LIMIT 20),
+        |rb AS (
+        |  SELECT tok, j,
+        |    ('0x' || substr(md5(tok || '#' || CAST(j AS VARCHAR)), 1, 15))::BIGINT % 64 AS bucket
+        |  FROM (SELECT tok, unnest(range(0, 4)) AS j FROM toks)),
+        |sk AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt FROM rb GROUP BY j, bucket),
+        |est AS (
+        |  SELECT q.tok, min(s.cnt) AS cms_est
+        |  FROM (SELECT tok, unnest(range(0, 4)) AS j FROM top) q
+        |  JOIN sk s ON s.j = q.j
+        |   AND s.bucket = ('0x' || substr(md5(q.tok || '#' || CAST(q.j AS VARCHAR)), 1, 15))::BIGINT % 64
+        |  GROUP BY q.tok)
+        |SELECT top.tok, top.exact_cnt, est.cms_est FROM top JOIN est USING (tok) ORDER BY tok""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(explode(tokens(lower($"text"))).as("tok"))
+      val exact = toks.groupBy($"tok").agg(count(lit(1)).as("exact_cnt"))
+      val top = exact.orderBy($"exact_cnt".desc, $"tok").limit(20)
+      val sketch = Sketches.countMinSketch(toks, "tok", rows = 4, width = 64)
+      top.join(Sketches.cmsEstimate(sketch, top, "tok", rows = 4, width = 64), "tok")
+        .select($"tok", $"exact_cnt", $"cms_est")
+        .orderBy($"tok")
     }
   )
 }
