@@ -119,4 +119,27 @@ object Quantiles {
     // not silently dropped by an inner equi-join
     df.join(broadcast(wide), Seq(groupCol), "left").select(clipped.toIndexedSeq: _*)
   }
+
+  /** Adaptive per-group quality gate: flag every row whose value falls
+    * BELOW its own group's p-quantile — per-language/per-source
+    * cutoffs instead of one global threshold (a fixed floor that's
+    * right for English prose over-prunes Chinese or code). Returns the
+    * flagged rows with the group threshold attached (rounded to 6,
+    * deterministic cross-engine); the complement view (rows to keep)
+    * is the caller's anti-join.
+    *
+    * Scale: thresholds are one row per group (broadcast); the fact
+    * side is filtered in place, no second shuffle.
+    */
+  def quantileGate(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      p: Double,
+      thresholdName: String = "threshold"): DataFrame = {
+    val bounds = groupPercentiles(df, groupCol, valCol, Seq(thresholdName -> p))
+      .withColumn(thresholdName, round(col(thresholdName), 6))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .filter(col(valCol).cast("double") < col(thresholdName))
+  }
 }

@@ -445,4 +445,34 @@ object Similarity {
     import spark.implicits._
     (0 until subvectors).map(_.toLong).toDF("j")
   }
+
+  /** Matryoshka-style dimension-truncation probe: per query, recall@k
+    * of the exact top-k computed on only the first `prefixDims`
+    * dimensions against the full-dimension top-k. The embedding-
+    * storage sizing question ("can we ship 16 of the 64 dims?")
+    * answered as one join of two [[bruteForceTopK]] runs — at scale,
+    * swap either side for the IVF/LSH/PQ path; the recall harness is
+    * unchanged.
+    *
+    * Returns (query_id, n_common, recall) with recall = n_common/k
+    * rounded to 6.
+    */
+  def truncationRecall(
+      emb: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      prefixDims: Int,
+      k: Int): DataFrame = {
+    require(prefixDims >= 1, "need at least one prefix dimension")
+    val full = bruteForceTopK(emb, queries, idCol, vecCol, k)
+    def truncate(df: DataFrame) =
+      df.withColumn(vecCol, slice(col(vecCol), 1, prefixDims))
+    val trunc = bruteForceTopK(truncate(emb), truncate(queries), idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("_hit"))
+    full.join(trunc, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(coalesce(sum(col("_hit")), lit(0L)).as("n_common"))
+      .withColumn("recall", round(col("n_common").cast("double") / k, 6))
+  }
 }

@@ -321,6 +321,30 @@ object QualityQueries {
       graft.operators.LanguageModel.bigramNegLogProb(
         Tables.documents(s, d), "doc_id", "text")
         .orderBy($"doc_id")
+    },
+
+    // adaptive per-language floor: flag docs under their OWN lang's
+    // p10 token count (a single global cutoff over/under-prunes
+    // mixed-language corpora); thresholds broadcast, fact filtered
+    // in place
+    Q.sql(
+      "q101_quantile_gate",
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |q AS (SELECT lang, round(quantile_cont(ntok, 0.1), 6) AS p10 FROM d GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.ntok, q.p10
+        |FROM d JOIN q USING (lang)
+        |WHERE CAST(d.ntok AS DOUBLE) < q.p10
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", $"lang", tokenCount($"text").as("ntok"))
+      graft.operators.Quantiles.quantileGate(docs, "lang", "ntok", 0.1, "p10")
+        .select($"doc_id", $"lang", $"ntok", $"p10")
+        .orderBy($"doc_id")
     }
   )
 }

@@ -472,6 +472,43 @@ object SimilarityQueries {
         .select($"query_id".as("src"), $"neighbor_id".as("dst"))
       DupGraph.triangleCounts(edges, "src", "dst")
         .orderBy($"node")
+    },
+
+    // matryoshka truncation probe: recall@10 of first-16-dims exact
+    // search vs full 64-dim exact search, per query — the
+    // embedding-storage sizing measurement
+    Q.sql(
+      "q103_mrl_recall",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0),
+        |fl AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(list_dot_product(q.v, n.v)/sqrt(list_dot_product(q.v, q.v))/sqrt(list_dot_product(n.v, n.v)), 6) DESC,
+        |        n.vec_id) AS rnk
+        |    FROM e n JOIN q ON q.vec_id <> n.vec_id) WHERE rnk <= 10),
+        |et AS (SELECT vec_id, v[1:16] AS v FROM e),
+        |qt AS (SELECT vec_id, v FROM et WHERE vec_id % 50 = 0),
+        |tr AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(list_dot_product(q.v, n.v)/sqrt(list_dot_product(q.v, q.v))/sqrt(list_dot_product(n.v, n.v)), 6) DESC,
+        |        n.vec_id) AS rnk
+        |    FROM et n JOIN qt q ON q.vec_id <> n.vec_id) WHERE rnk <= 10)
+        |SELECT fl.query_id AS query_id, CAST(count(tr.neighbor_id) AS BIGINT) AS n_common,
+        |  round(CAST(count(tr.neighbor_id) AS DOUBLE) / 10, 6) AS recall
+        |FROM fl LEFT JOIN tr ON fl.query_id = tr.query_id AND fl.neighbor_id = tr.neighbor_id
+        |GROUP BY fl.query_id
+        |ORDER BY query_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      Similarity.truncationRecall(
+        emb, emb.filter($"vec_id" % 50 === 0), "vec_id", "embedding",
+        prefixDims = 16, k = 10)
+        .orderBy($"query_id")
     }
   )
 }

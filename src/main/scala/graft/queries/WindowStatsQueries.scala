@@ -293,6 +293,44 @@ object WindowStatsQueries {
           bool_or($"o_orderstatus" === "F").as("any_f"),
           count_if($"o_totalprice" > 150000).as("n_big"))
         .orderBy($"o_orderpriority")
+    },
+
+    // trailing exponentially-weighted moving average per user (8
+    // terms, weight 1/2 — every coefficient an exact dyadic double,
+    // so the sums replay bit-identically cross-engine); early rows
+    // renormalize over their shorter history
+    Q.sql(
+      "q102_ewma",
+      """SELECT event_id, user_id,
+        |  round((
+        |    CASE WHEN lag(value, 0) OVER w IS NOT NULL THEN lag(value, 0) OVER w * 1.0 ELSE 0.0 END
+        |    + CASE WHEN lag(value, 1) OVER w IS NOT NULL THEN lag(value, 1) OVER w * 0.5 ELSE 0.0 END
+        |    + CASE WHEN lag(value, 2) OVER w IS NOT NULL THEN lag(value, 2) OVER w * 0.25 ELSE 0.0 END
+        |    + CASE WHEN lag(value, 3) OVER w IS NOT NULL THEN lag(value, 3) OVER w * 0.125 ELSE 0.0 END
+        |    + CASE WHEN lag(value, 4) OVER w IS NOT NULL THEN lag(value, 4) OVER w * 0.0625 ELSE 0.0 END
+        |    + CASE WHEN lag(value, 5) OVER w IS NOT NULL THEN lag(value, 5) OVER w * 0.03125 ELSE 0.0 END
+        |    + CASE WHEN lag(value, 6) OVER w IS NOT NULL THEN lag(value, 6) OVER w * 0.015625 ELSE 0.0 END
+        |    + CASE WHEN lag(value, 7) OVER w IS NOT NULL THEN lag(value, 7) OVER w * 0.0078125 ELSE 0.0 END
+        |  ) / (
+        |    CASE WHEN lag(value, 0) OVER w IS NOT NULL THEN 1.0 ELSE 0.0 END
+        |    + CASE WHEN lag(value, 1) OVER w IS NOT NULL THEN 0.5 ELSE 0.0 END
+        |    + CASE WHEN lag(value, 2) OVER w IS NOT NULL THEN 0.25 ELSE 0.0 END
+        |    + CASE WHEN lag(value, 3) OVER w IS NOT NULL THEN 0.125 ELSE 0.0 END
+        |    + CASE WHEN lag(value, 4) OVER w IS NOT NULL THEN 0.0625 ELSE 0.0 END
+        |    + CASE WHEN lag(value, 5) OVER w IS NOT NULL THEN 0.03125 ELSE 0.0 END
+        |    + CASE WHEN lag(value, 6) OVER w IS NOT NULL THEN 0.015625 ELSE 0.0 END
+        |    + CASE WHEN lag(value, 7) OVER w IS NOT NULL THEN 0.0078125 ELSE 0.0 END
+        |  ), 6) AS ewma
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_id", $"user_id",
+          graft.operators.SeriesStats.ewmaTrailing(
+            Seq("user_id"), Seq("ts", "event_id"), "value").as("ewma"))
+        .orderBy($"event_id")
     }
   )
 }
