@@ -348,14 +348,19 @@ object TextDedup {
     */
   def ngramNovelty(
       df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
-    val ng = ngramHashes(df, idCol, textCol, n)
-    val docFreq = ng.groupBy(col("nh"))
-      .agg(countDistinct(col(idCol)).as("_ddf"))
-    ng.join(docFreq, "nh")
+    // collapse to one row per (gram, doc) FIRST — the position stream
+    // never re-shuffles, and the distinct-doc frequency is a window
+    // count over the collapsed frame instead of a countDistinct plus a
+    // join back of the full stream
+    val perDoc = ngramHashes(df, idCol, textCol, n)
+      .groupBy(col("nh"), col(idCol))
+      .agg(count(lit(1)).as("_k"))
+    perDoc
+      .withColumn("_ddf", count(lit(1)).over(Window.partitionBy(col("nh"))))
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_grams"),
-        sum(when(col("_ddf") > 1, 1L).otherwise(0L)).as("shared_grams"))
+        sum(col("_k")).as("n_grams"),
+        sum(when(col("_ddf") > 1, col("_k")).otherwise(0L)).as("shared_grams"))
       .withColumn("novelty",
         round(lit(1.0) - col("shared_grams").cast("double") / col("n_grams"), 6))
   }
