@@ -96,4 +96,45 @@ object LanguageModel {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** Jelinek-Mercer interpolated bigram scoring:
+    * P(w2|w1) = λ·c(w1,w2)/c(w1) + (1−λ)·c(w2)/N — the smoothing
+    * family a KenLM-style filter actually ships (add-one is the
+    * pedagogical baseline; interpolation backs off gracefully to the
+    * unigram for unseen continuations instead of flattening the whole
+    * distribution). λ defaults to 1/2, an exact dyadic double.
+    *
+    * Same scale shape as [[bigramNegLogProb]]: two count aggregates,
+    * the corpus-total scalar as a broadcast 1-row frame, one score
+    * join. Returns (idCol, n_bigrams, avg_neg_logprob r4); documents
+    * with fewer than two tokens are not scored.
+    */
+  def interpolatedNegLogProb(
+      df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.5): DataFrame = {
+    require(lambda > 0 && lambda < 1, "lambda must be in (0, 1)")
+    val toks = df.select(col(idCol), tokens(lower(col(textCol))).as("w"))
+    val bigrams = toks.filter(size(col("w")) >= 2)
+      .select(col(idCol),
+        explode(arrays_zip(
+          slice(col("w"), lit(1), size(col("w")) - 1).as("w1"),
+          slice(col("w"), lit(2), size(col("w")) - 1).as("w2"))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = toks.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val bi = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val n = uni.agg(sum(col("c")).as("n"))
+    bigrams
+      .join(bi, Seq("w1", "w2"))
+      .join(uni.select(col("tok").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(-log(
+          lit(lambda) * col("c12").cast("double") / col("c1") +
+            lit(1 - lambda) * col("c2").cast("double") / col("n"))), 4)
+          .as("avg_neg_logprob"))
+  }
 }

@@ -142,4 +142,31 @@ object Quantiles {
     df.join(broadcast(bounds), Seq(groupCol))
       .filter(col(valCol).cast("double") < col(thresholdName))
   }
+
+  /** Robust per-group outlier flagging via median absolute deviation:
+    * flag rows with |v − median| > k·MAD, the estimator that (unlike
+    * mean/stddev z-scores) doesn't let the outliers themselves drag
+    * the threshold. Two exact distributed medians (value, then
+    * deviation) over the same machinery as [[groupPercentiles]];
+    * intermediate medians and deviations round to 6 so the cut
+    * replays identically cross-engine.
+    *
+    * Returns the flagged rows with (med, mad, dev) attached. Groups
+    * where MAD = 0 (over half the values identical) flag every
+    * deviating row — the conventional degenerate-MAD behavior.
+    */
+  def madOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      k: Double = 3.0): DataFrame = {
+    val med = groupPercentiles(df, groupCol, valCol, Seq("med" -> 0.5))
+      .withColumn("med", round(col("med"), 6))
+    val withMed = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("dev", round(abs(col(valCol).cast("double") - col("med")), 6))
+    val mad = groupPercentiles(withMed, groupCol, "dev", Seq("mad" -> 0.5))
+      .withColumn("mad", round(col("mad"), 6))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .filter(col("dev") > lit(k) * col("mad"))
+  }
 }

@@ -37,4 +37,40 @@ object SeriesStats {
     }
     round(lags.map(_._1).reduce(_ + _) / lags.map(_._2).reduce(_ + _), 6)
   }
+
+  /** Weekly cohort retention over an event stream: users are cohorted
+    * by the ISO week of their FIRST event; each (cohort_week,
+    * week_offset) cell reports how many of the cohort were active that
+    * week and the retained share — the standard engagement triangle.
+    *
+    * Shape: one aggregate for first-events (keyed by user), one
+    * distinct over (user, week) activity, one equi-join of the two on
+    * user (the activity side never re-shuffles wider than
+    * user×week), then a count keyed by the tiny (cohort, offset)
+    * space. All date arithmetic in whole days (exact cross-engine).
+    */
+  def cohortRetention(
+      events: org.apache.spark.sql.DataFrame,
+      userCol: String,
+      tsCol: String): org.apache.spark.sql.DataFrame = {
+    val week = to_date(date_trunc("week", col(tsCol)))
+    val firsts = events
+      .groupBy(col(userCol))
+      .agg(min(week).as("cohort_week"))
+    val active = events
+      .select(col(userCol), week.as("active_week"))
+      .distinct()
+    val cohortSize = firsts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_n"))
+    active.join(firsts, Seq(userCol))
+      .withColumn("week_offset",
+        (datediff(col("active_week"), col("cohort_week")) / 7).cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .join(broadcast(cohortSize), Seq("cohort_week"))
+      .withColumn("retention",
+        round(col("active_users").cast("double") / col("cohort_n"), 6))
+      .select(col("cohort_week"), col("week_offset"),
+        col("active_users"), col("cohort_n"), col("retention"))
+  }
 }

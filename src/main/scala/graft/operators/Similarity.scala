@@ -475,4 +475,30 @@ object Similarity {
       .agg(coalesce(sum(col("_hit")), lit(0L)).as("n_common"))
       .withColumn("recall", round(col("n_common").cast("double") / k, 6))
   }
+
+  /** Johnson-Lindenstrauss random projection with a DETERMINISTIC
+    * ±1 sign matrix derived from the seeded 60-bit hash (sign(k,i) =
+    * parity of hash60("jl_k_i")) — no RNG, no broadcast matrix
+    * object, any engine regenerates the identical matrix from the
+    * formula. y_k = Σ_i sign(k,i)·v_i / √outDims, the Achlioptas
+    * (2003) database-friendly construction.
+    *
+    * Narrow (per-row expression only): the projection rides the scan,
+    * so at 100 TB this is the cheap first stage before any
+    * shuffle-bearing ANN/dedup step.
+    */
+  def jlProject(
+      emb: DataFrame, idCol: String, vecCol: String, outDims: Int): DataFrame = {
+    require(outDims >= 1, "need at least one output dimension")
+    val v = col(vecCol)
+    val sign = (k: Column, i: Column) =>
+      when(pmod(hash60(concat(lit("jl_"), k, lit("_"), i)), lit(2L)) === 0L, lit(1.0))
+        .otherwise(lit(-1.0))
+    val proj = transform(sequence(lit(0), lit(outDims - 1)), k =>
+      aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x.cast("double") * sign(k, i)),
+        lit(0.0), (acc, t) => acc + t) / math.sqrt(outDims.toDouble))
+    emb.select(col(idCol), v, proj.as("jl"))
+  }
 }

@@ -68,6 +68,27 @@ object TextDedup {
       bands: Int = 4,
       shingleN: Int = 2,
       threshold: Double = 0.8): (DataFrame, () => Unit) = {
+    val (sh, candidates) = lshCandidates(df, idCol, textCol, numHashes, bands, shingleN)
+    val shOnly = sh.select(col("doc_id"), col("sh"))
+    val pairs = candidates
+      .join(shOnly.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shOnly.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    (pairs, () => { sh.unpersist(); () })
+  }
+
+  /** Shared LSH front half: the persisted (doc_id, sh, sig) frame and
+    * the distinct banded candidate pairs (id_a < id_b, bare ids only).
+    */
+  private def lshCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      bands: Int,
+      shingleN: Int): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     GraftFunctions.register(df.sparkSession)
@@ -102,15 +123,42 @@ object TextDedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+    (sh, candidates)
+  }
 
-    val shOnly = sh.select(col("doc_id"), col("sh"))
-    val pairs = candidates
-      .join(shOnly.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(shOnly.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+  /** Sketch-quality probe for the MinHash family: for every LSH
+    * candidate pair, the SIGNATURE-estimated Jaccard (matching
+    * positions / numHashes — what a production pipeline would trust at
+    * 100 TB, where exact shingle intersections are unaffordable)
+    * against the exact shingle Jaccard, plus the absolute error. The
+    * operator answers "how many hashes do we need" with data instead
+    * of the textbook 1/sqrt(k) bound.
+    *
+    * Returns (id_a, id_b, est_jaccard, jaccard, abs_err), all rounded
+    * to 4.
+    */
+  def minhashEstimateAccuracy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      shingleN: Int = 2): DataFrame = {
+    val (sh, candidates) = lshCandidates(df, idCol, textCol, numHashes, bands, shingleN)
+    val both = sh.select(col("doc_id"), col("sh"), col("sig"))
+    candidates
+      .join(both.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+        col("sig").as("sig_a")), Seq("id_a"))
+      .join(both.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+        col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard", round(
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).cast("double") / numHashes, 4))
       .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-    (pairs, () => { sh.unpersist(); () })
+      .withColumn("abs_err", round(abs(col("est_jaccard") - col("jaccard")), 4))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"), col("abs_err"))
   }
 
   /** Compute each row's 60-bit simhash over word shingles:

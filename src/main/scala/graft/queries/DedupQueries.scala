@@ -430,6 +430,53 @@ object DedupQueries {
       import s.implicits._
       TextDedup.ngramNovelty(Tables.documents(s, d), "doc_id", "text", n = 8)
         .orderBy($"doc_id")
+    },
+
+    // sketch-quality probe: signature-estimated Jaccard (matching
+    // minhash positions / 12) vs exact shingle Jaccard on every LSH
+    // candidate pair — the "how many hashes do we need" measurement
+    Q.sql(
+      "q105_minhash_acc",
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]),
+        |      s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT))) AS sh
+        |  FROM tok WHERE len(w) >= 2),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(range(0, 12), j ->
+        |      list_min(list_transform(sh, h ->
+        |        ((xor(h, CAST(('0x'||substr(md5('a#'||j),1,15)) AS BIGINT))
+        |          + CAST(('0x'||substr(md5('b#'||j),1,15)) AS BIGINT))
+        |         & 1152921504606846975)))) AS sig
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |    md5(CAST(sig[b*3+1] AS VARCHAR) || '_' || CAST(sig[b*3+2] AS VARCHAR)
+        |        || '_' || CAST(sig[b*3+3] AS VARCHAR)) AS bkey
+        |  FROM sig, range(0,4) r(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |scored AS (
+        |  SELECT c.id_a, c.id_b,
+        |    round(len(list_filter(range(0, 12), j -> sa.sig[j+1] = sb.sig[j+1]))::DOUBLE / 12, 4) AS est_jaccard,
+        |    round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh)), 4) AS jaccard
+        |  FROM cand c
+        |  JOIN sig sa ON sa.doc_id = c.id_a
+        |  JOIN sig sb ON sb.doc_id = c.id_b)
+        |SELECT id_a, id_b, est_jaccard, jaccard, round(abs(est_jaccard - jaccard), 4) AS abs_err
+        |FROM scored
+        |ORDER BY id_a, id_b""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      TextDedup.minhashEstimateAccuracy(
+        Tables.documents(s, d), "doc_id", "text",
+        numHashes = 12, bands = 4, shingleN = 2)
+        .orderBy($"id_a", $"id_b")
     }
   )
 }

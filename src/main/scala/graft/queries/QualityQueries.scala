@@ -345,6 +345,35 @@ object QualityQueries {
       graft.operators.Quantiles.quantileGate(docs, "lang", "ntok", 0.1, "p10")
         .select($"doc_id", $"lang", $"ntok", $"p10")
         .orderBy($"doc_id")
+    },
+
+    // Jelinek-Mercer interpolated bigram scoring (lambda = 1/2, exact
+    // dyadic): backoff-to-unigram smoothing, the production flavor of
+    // the q84 add-one baseline
+    Q.sql(
+      "q104_interp_logprob",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |bb AS (
+        |  SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+        |  FROM t WHERE len(w) >= 2),
+        |uni AS (
+        |  SELECT tok, count(*) AS c FROM (SELECT unnest(w) AS tok FROM t) GROUP BY tok),
+        |bi AS (SELECT w1, w2, count(*) AS c12 FROM bb GROUP BY w1, w2),
+        |n AS (SELECT sum(c) AS n FROM uni)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(-ln(0.5 * c12 / u1.c + 0.5 * u2.c / n.n)), 4) AS avg_neg_logprob
+        |FROM bb JOIN bi USING (w1, w2)
+        |JOIN uni u1 ON u1.tok = bb.w1
+        |JOIN uni u2 ON u2.tok = bb.w2
+        |CROSS JOIN n
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      graft.operators.LanguageModel.interpolatedNegLogProb(
+        Tables.documents(s, d), "doc_id", "text")
+        .orderBy($"doc_id")
     }
   )
 }

@@ -509,6 +509,44 @@ object SimilarityQueries {
         emb, emb.filter($"vec_id" % 50 === 0), "vec_id", "embedding",
         prefixDims = 16, k = 10)
         .orderBy($"query_id")
+    },
+
+    // Johnson-Lindenstrauss 64->16 projection with the deterministic
+    // +-1 hash-sign matrix; per-pair distance-preservation ratio on a
+    // bounded id range (the projection itself is narrow and unbounded)
+    Q.sql(
+      "q106_jl_ratio",
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id < 100),
+        |p AS (
+        |  SELECT vec_id, v,
+        |    list_transform(range(0, 16), k ->
+        |      list_sum(list_transform(range(1, len(v)+1), i ->
+        |        v[i] * (CASE WHEN ('0x'||substr(md5('jl_' || CAST(k AS VARCHAR) || '_' || CAST(i-1 AS VARCHAR)),1,15))::BIGINT % 2 = 0
+        |          THEN 1.0 ELSE -1.0 END))) / 4.0) AS jl
+        |  FROM e)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(
+        |    sqrt(list_sum(list_transform(range(1,17), i -> (a.jl[i]-b.jl[i])*(a.jl[i]-b.jl[i]))))
+        |    / sqrt(list_sum(list_transform(range(1,len(a.v)+1), i -> (a.v[i]-b.v[i])*(a.v[i]-b.v[i])))), 4) AS dist_ratio
+        |FROM p a JOIN p b ON a.vec_id < b.vec_id
+        |ORDER BY id_a, id_b""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      def l2(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        sqrt(aggregate(
+          zip_with(x, y, (p, q) =>
+            (p.cast("double") - q.cast("double")) * (p.cast("double") - q.cast("double"))),
+          lit(0.0), (acc, v) => acc + v))
+      val proj = Similarity.jlProject(
+        Tables.embeddings(s, d).filter($"vec_id" < 100), "vec_id", "embedding", outDims = 16)
+      val a = proj.select($"vec_id".as("id_a"), $"embedding".as("va"), $"jl".as("ja"))
+      val b = proj.select($"vec_id".as("id_b"), $"embedding".as("vb"), $"jl".as("jb"))
+      a.join(b, $"id_a" < $"id_b")
+        .select($"id_a", $"id_b",
+          round(l2($"ja", $"jb") / l2($"va", $"vb"), 4).as("dist_ratio"))
+        .orderBy($"id_a", $"id_b")
     }
   )
 }

@@ -331,6 +331,61 @@ object WindowStatsQueries {
           graft.operators.SeriesStats.ewmaTrailing(
             Seq("user_id"), Seq("ts", "event_id"), "value").as("ewma"))
         .orderBy($"event_id")
+    },
+
+    // robust per-type outliers: |v - median| > 3 x MAD — the
+    // estimator outliers cannot drag; two exact distributed medians
+    Q.sql(
+      "q107_mad_outliers",
+      """WITH m AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events GROUP BY event_type),
+        |d AS (
+        |  SELECT e.event_id, e.event_type, e.value, m.med,
+        |    round(abs(e.value - m.med), 6) AS dev
+        |  FROM events e JOIN m USING (event_type)),
+        |md AS (
+        |  SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad
+        |  FROM d GROUP BY event_type)
+        |SELECT d.event_id, d.event_type, round(d.value, 6) AS value, d.med, md.mad, d.dev
+        |FROM d JOIN md USING (event_type)
+        |WHERE d.dev > 3.0 * md.mad
+        |ORDER BY event_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      graft.operators.Quantiles.madOutliers(
+        Tables.events(s, d).select($"event_id", $"event_type", $"value"),
+        "event_type", "value", k = 3.0)
+        .select($"event_id", $"event_type",
+          round($"value", 6).as("value"), $"med", $"mad", $"dev")
+        .orderBy($"event_id")
+    },
+
+    // weekly cohort retention triangle: users cohorted by first-event
+    // week, per-cell active share — exact whole-day arithmetic
+    Q.sql(
+      "q108_retention",
+      """WITH f AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+        |  FROM events),
+        |cs AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_n FROM f GROUP BY cohort_week),
+        |cells AS (
+        |  SELECT f.cohort_week, CAST((a.active_week - f.cohort_week) // 7 AS BIGINT) AS week_offset,
+        |    CAST(count(*) AS BIGINT) AS active_users
+        |  FROM a JOIN f USING (user_id)
+        |  GROUP BY f.cohort_week, week_offset)
+        |SELECT c.cohort_week, c.week_offset, c.active_users, cs.cohort_n,
+        |  round(CAST(c.active_users AS DOUBLE) / cs.cohort_n, 6) AS retention
+        |FROM cells c JOIN cs USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      graft.operators.SeriesStats.cohortRetention(
+        Tables.events(s, d), "user_id", "ts")
+        .orderBy($"cohort_week", $"week_offset")
     }
   )
 }

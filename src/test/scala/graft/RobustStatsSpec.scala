@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.{LanguageModel, Quantiles, SeriesStats, Similarity, TextDedup}
+import org.apache.spark.sql.functions._
+
+/** Round-5 additions: interpolated LM smoothing, minhash estimate
+  * accuracy, JL projection, MAD outliers, cohort retention.
+  */
+class RobustStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("interpolatedNegLogProb matches hand arithmetic") {
+    // corpus "a b" + "a c": N=4, c(a)=2, c(b)=c(c)=1; both docs score
+    // one bigram with P = 0.5*(1/2) + 0.5*(1/4) = 0.375
+    val docs = Seq((0L, "a b"), (1L, "a c")).toDF("doc_id", "text")
+    val r = LanguageModel.interpolatedNegLogProb(docs, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect()
+    val expect = math.round(-math.log(0.375) * 1e4) / 1e4
+    assert(r.toSeq == Seq((0L, 1L, expect), (1L, 1L, expect)))
+  }
+
+  test("minhash estimate is exact for identical docs and stays in [0,1]") {
+    val same = "the quick brown fox jumps over the lazy dog again"
+    val docs = Seq((0L, same), (1L, same), (2L, "completely different words here entirely now")).toDF("doc_id", "text")
+    val r = TextDedup.minhashEstimateAccuracy(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    // identical docs must surface as a candidate with est = exact = 1
+    val ident = r.find(p => p._1 == 0L && p._2 == 1L).get
+    assert(ident._3 == 1.0 && ident._4 == 1.0 && ident._5 == 0.0)
+    assert(r.forall(p => p._3 >= 0 && p._3 <= 1 && p._5 >= 0))
+  }
+
+  test("jlProject is deterministic and linear") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 2.0f, -3.0f, 0.5f)),
+      (1L, Seq(2.0f, 4.0f, -6.0f, 1.0f)) // = 2 x vector 0
+    ).toDF("vec_id", "embedding")
+    val p1 = Similarity.jlProject(emb, "vec_id", "embedding", outDims = 3)
+      .select($"vec_id", $"jl").as[(Long, Seq[Double])].collect().toMap
+    val p2 = Similarity.jlProject(emb, "vec_id", "embedding", outDims = 3)
+      .select($"vec_id", $"jl").as[(Long, Seq[Double])].collect().toMap
+    assert(p1 == p2) // same hash-derived sign matrix every run
+    p1(0L).zip(p1(1L)).foreach { case (a, b) =>
+      assert(math.abs(b - 2 * a) < 1e-9) // projection is linear
+    }
+  }
+
+  test("madOutliers flags only beyond k x MAD, including the degenerate MAD=0 group") {
+    val df = (Seq.fill(4)(("a", 1.0)) :+ ("a", 100.0)) ++
+      (1 to 7).map(v => ("b", v.toDouble))
+    val r = Quantiles.madOutliers(df.toDF("grp", "v"), "grp", "v", k = 3.0)
+      .select($"grp", $"v").as[(String, Double)].collect().toSeq
+    // group a: med 1, MAD 0 → only the 100 deviates; group b: med 4,
+    // MAD 2 → max dev 3 < 6, nothing flagged
+    assert(r == Seq(("a", 100.0)))
+  }
+
+  test("cohortRetention builds the expected triangle") {
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-08 10:00:00"),
+      (2L, "2024-01-02 09:00:00")
+    ).toDF("user_id", "ts_s").select($"user_id", to_timestamp($"ts_s").as("ts"))
+    val r = SeriesStats.cohortRetention(events, "user_id", "ts")
+      .orderBy($"week_offset")
+      .select($"week_offset", $"active_users", $"cohort_n", $"retention")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(r.toSeq == Seq((0L, 2L, 2L, 1.0), (1L, 1L, 2L, 0.5)))
+  }
+}
