@@ -22,7 +22,11 @@ class PlanAuditSpec extends SparkSpec {
     "q55_tfidf", "q59_profile_typed", "q66_unigram_logprob", "q76_pq_topk",
     "q78_semantic_dedup", "q84_bigram_logprob", "q85_bm25", "q86_rrf_fusion",
     "q87_pmi_collocations", "q88_kmeans_lloyd", "q93_pagerank",
-    "q94_vocab_coverage", "q95_knn_classify", "q96_centroid_confusion")
+    "q94_vocab_coverage", "q95_knn_classify", "q96_centroid_confusion",
+    // round-5: q98/q103 ride bruteForceTopK's broadcast query set,
+    // q104 broadcasts the 1-row corpus total N, q106 is the bounded
+    // JL pair probe (non-equi id_a < id_b over 100 broadcast rows)
+    "q98_triangles", "q103_mrl_recall", "q104_interp_logprob", "q106_jl_ratio")
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
