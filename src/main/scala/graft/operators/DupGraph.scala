@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -373,6 +374,92 @@ object DupGraph {
     * Returns (node, degree, triangles, clustering_coeff) with
     * coefficient = 2·T / (deg·(deg−1)) rounded to 6, 0 for deg < 2.
     */
+  /** Semi-supervised label propagation over an undirected graph: each
+    * round, every still-unlabeled node adopts the majority label among
+    * its labeled neighbors (ties to the smaller label); nodes with no
+    * labeled neighbor stay unlabeled and may catch a label in a later
+    * round as the frontier advances. The weak-supervision primitive —
+    * spread a small trusted label set (seed quality ratings, verified
+    * languages) across the near-dup/kNN graph.
+    *
+    * Each round is one equi-join (frontier edges × current labels) +
+    * one count aggregate + one windowed argmax — all keyed shuffles,
+    * labels frame localCheckpoint'ed per round to keep lineage flat.
+    *
+    * @param seeds (node, label) trusted assignments
+    * @return (node, label, round) — round 0 for seeds, i for nodes
+    *         labeled in round i; unreached nodes absent.
+    */
+  def labelPropagate(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, nodeCol: String, labelCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, "need at least one propagation round")
+    // symmetrize once; neighbor lists as (node, nbr)
+    val sym = edges.select(col(srcCol).as("node"), col(dstCol).as("nbr"))
+      .union(edges.select(col(dstCol).as("node"), col(srcCol).as("nbr")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = seeds
+      .select(col(nodeCol).as("node"), col(labelCol).as("label"), lit(0L).as("round"))
+      .localCheckpoint(true)
+    for (it <- 1 to iters) {
+      val votes = sym
+        .join(labels.select(col("node").as("nbr"), col("label")), Seq("nbr"))
+        .join(labels.select(col("node"), lit(1).as("_has")), Seq("node"), "left_anti")
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("_v"))
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("_v").desc, col("label"))
+      val newly = votes
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("node"), col("label"), lit(it.toLong).as("round"))
+      labels = labels.unionByName(newly).localCheckpoint(true)
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** k-core decomposition by iterative peeling: drop every node whose
+    * (undirected) degree is below k, restrict the edges to survivors,
+    * repeat until stable or `maxIters` — the density filter that
+    * separates genuinely dense duplicate/spam clusters from incidental
+    * chains. Extra peels after the fixpoint are no-ops, so a
+    * fixed-round replay (the oracle) and the early-exit run agree.
+    *
+    * Returns the surviving nodes with their in-core degree
+    * (node, degree). Each peel is two keyed shuffles (degree count +
+    * survivor semi-joins); edge frames localCheckpoint'ed per round.
+    */
+  def kCore(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, maxIters: Int = 10): DataFrame = {
+    require(k >= 1 && maxIters >= 1)
+    var e = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .localCheckpoint(true)
+    var n = e.count()
+    var converged = false
+    var it = 0
+    while (it < maxIters && !converged && n > 0) {
+      val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("_d"))
+      val keep = deg.filter(col("_d") >= k).select(col("node"))
+      val e2 = e
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      val n2 = e2.count() // convergence probe — one scalar per round
+      converged = n2 == n
+      e = e2; n = n2; it += 1
+    }
+    e.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .filter(col("degree") >= k)
+  }
+
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),

@@ -547,6 +547,171 @@ object SimilarityQueries {
         .select($"id_a", $"id_b",
           round(l2($"ja", $"jb") / l2($"va", $"vb"), 4).as("dist_ratio"))
         .orderBy($"id_a", $"id_b")
+    },
+
+    // semi-supervised label propagation: 20 percent trusted seeds
+    // spread over the 3-NN graph for two frontier rounds (majority
+    // vote, ties to the smaller label) — the weak-supervision
+    // primitive; round column certifies WHEN each node was reached
+    Q.sql(
+      "q109_label_prop",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings WHERE vec_id < 500),
+        |scored AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    round(list_dot_product(a.v, b.v)
+        |          / sqrt(list_dot_product(a.v, a.v))
+        |          / sqrt(list_dot_product(b.v, b.v)), 6) AS sim
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |edges AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rnk
+        |    FROM scored) WHERE rnk <= 3),
+        |sym AS (SELECT DISTINCT node, nbr FROM (
+        |  SELECT src AS node, dst AS nbr FROM edges UNION ALL SELECT dst, src FROM edges)),
+        |l0 AS (
+        |  SELECT vec_id AS node, CAST(label AS BIGINT) AS label, CAST(0 AS BIGINT) AS round
+        |  FROM embeddings WHERE vec_id < 500 AND vec_id % 5 = 0),
+        |v1 AS (
+        |  SELECT s.node, l.label, count(*) AS v
+        |  FROM sym s JOIN l0 l ON l.node = s.nbr
+        |  WHERE s.node NOT IN (SELECT node FROM l0)
+        |  GROUP BY s.node, l.label),
+        |n1 AS (
+        |  SELECT node, label, CAST(1 AS BIGINT) AS round FROM (
+        |    SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY v DESC, label) AS rn
+        |    FROM v1) WHERE rn = 1),
+        |l1 AS (SELECT * FROM l0 UNION ALL SELECT * FROM n1),
+        |v2 AS (
+        |  SELECT s.node, l.label, count(*) AS v
+        |  FROM sym s JOIN l1 l ON l.node = s.nbr
+        |  WHERE s.node NOT IN (SELECT node FROM l1)
+        |  GROUP BY s.node, l.label),
+        |n2 AS (
+        |  SELECT node, label, CAST(2 AS BIGINT) AS round FROM (
+        |    SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY v DESC, label) AS rn
+        |    FROM v2) WHERE rn = 1),
+        |l2 AS (SELECT * FROM l1 UNION ALL SELECT * FROM n2)
+        |SELECT node, label, round FROM l2 ORDER BY node""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d).filter($"vec_id" < 500)
+      val edges = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 3)
+        .select($"query_id".as("src"), $"neighbor_id".as("dst"))
+      val seeds = emb.filter($"vec_id" % 5 === 0)
+        .select($"vec_id", $"label".cast("long").as("label"))
+      DupGraph.labelPropagate(edges, "src", "dst", seeds, "vec_id", "label", iters = 2)
+        .orderBy($"node")
+    },
+
+    // 3-core of the mutual-5NN graph by iterative peeling (9-round
+    // cascade at sf0.01; extra replay rounds are no-ops so the
+    // early-exit Spark run and the fixed-round oracle agree) — the
+    // density filter separating real duplicate clusters from chains
+    Q.sql(
+      "q110_kcore",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings WHERE vec_id < 500),
+        |scored AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    round(list_dot_product(a.v, b.v)
+        |          / sqrt(list_dot_product(a.v, a.v))
+        |          / sqrt(list_dot_product(b.v, b.v)), 6) AS sim
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |knn AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rnk
+        |    FROM scored) WHERE rnk <= 5),
+        |ue AS MATERIALIZED (
+        |  SELECT a.src AS a, a.dst AS b FROM knn a
+        |  JOIN knn b ON a.src = b.dst AND a.dst = b.src
+        |  WHERE a.src < a.dst),
+        |k1 AS MATERIALIZED (SELECT node FROM (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT a AS node FROM ue UNION ALL SELECT b FROM ue) GROUP BY node)
+        |  WHERE d >= 3),
+        |e1 AS MATERIALIZED (SELECT a, b FROM ue
+        |  WHERE a IN (SELECT node FROM k1) AND b IN (SELECT node FROM k1)),
+        |k2 AS MATERIALIZED (SELECT node FROM (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) GROUP BY node)
+        |  WHERE d >= 3),
+        |e2 AS MATERIALIZED (SELECT a, b FROM e1
+        |  WHERE a IN (SELECT node FROM k2) AND b IN (SELECT node FROM k2)),
+        |k3 AS MATERIALIZED (SELECT node FROM (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) GROUP BY node)
+        |  WHERE d >= 3),
+        |e3 AS MATERIALIZED (SELECT a, b FROM e2
+        |  WHERE a IN (SELECT node FROM k3) AND b IN (SELECT node FROM k3)),
+        |k4 AS MATERIALIZED (SELECT node FROM (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3) GROUP BY node)
+        |  WHERE d >= 3),
+        |e4 AS MATERIALIZED (SELECT a, b FROM e3
+        |  WHERE a IN (SELECT node FROM k4) AND b IN (SELECT node FROM k4)),
+        |k5 AS MATERIALIZED (SELECT node FROM (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4) GROUP BY node)
+        |  WHERE d >= 3),
+        |e5 AS MATERIALIZED (SELECT a, b FROM e4
+        |  WHERE a IN (SELECT node FROM k5) AND b IN (SELECT node FROM k5)),
+        |k6 AS MATERIALIZED (SELECT node FROM (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT a AS node FROM e5 UNION ALL SELECT b FROM e5) GROUP BY node)
+        |  WHERE d >= 3),
+        |e6 AS MATERIALIZED (SELECT a, b FROM e5
+        |  WHERE a IN (SELECT node FROM k6) AND b IN (SELECT node FROM k6)),
+        |k7 AS MATERIALIZED (SELECT node FROM (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT a AS node FROM e6 UNION ALL SELECT b FROM e6) GROUP BY node)
+        |  WHERE d >= 3),
+        |e7 AS MATERIALIZED (SELECT a, b FROM e6
+        |  WHERE a IN (SELECT node FROM k7) AND b IN (SELECT node FROM k7)),
+        |k8 AS MATERIALIZED (SELECT node FROM (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT a AS node FROM e7 UNION ALL SELECT b FROM e7) GROUP BY node)
+        |  WHERE d >= 3),
+        |e8 AS MATERIALIZED (SELECT a, b FROM e7
+        |  WHERE a IN (SELECT node FROM k8) AND b IN (SELECT node FROM k8)),
+        |k9 AS MATERIALIZED (SELECT node FROM (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT a AS node FROM e8 UNION ALL SELECT b FROM e8) GROUP BY node)
+        |  WHERE d >= 3),
+        |e9 AS MATERIALIZED (SELECT a, b FROM e8
+        |  WHERE a IN (SELECT node FROM k9) AND b IN (SELECT node FROM k9)),
+        |k10 AS MATERIALIZED (SELECT node FROM (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT a AS node FROM e9 UNION ALL SELECT b FROM e9) GROUP BY node)
+        |  WHERE d >= 3),
+        |e10 AS MATERIALIZED (SELECT a, b FROM e9
+        |  WHERE a IN (SELECT node FROM k10) AND b IN (SELECT node FROM k10)),
+        |k11 AS MATERIALIZED (SELECT node FROM (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT a AS node FROM e10 UNION ALL SELECT b FROM e10) GROUP BY node)
+        |  WHERE d >= 3),
+        |e11 AS MATERIALIZED (SELECT a, b FROM e10
+        |  WHERE a IN (SELECT node FROM k11) AND b IN (SELECT node FROM k11)),
+        |k12 AS MATERIALIZED (SELECT node FROM (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT a AS node FROM e11 UNION ALL SELECT b FROM e11) GROUP BY node)
+        |  WHERE d >= 3),
+        |e12 AS MATERIALIZED (SELECT a, b FROM e11
+        |  WHERE a IN (SELECT node FROM k12) AND b IN (SELECT node FROM k12))
+        |SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |  SELECT a AS node FROM e12 UNION ALL SELECT b FROM e12) GROUP BY node
+        |HAVING count(*) >= 3
+        |ORDER BY node""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d).filter($"vec_id" < 500)
+      val knn = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 5)
+        .select($"query_id".as("src"), $"neighbor_id".as("dst"))
+      val mutual = knn.select($"src".as("a"), $"dst".as("b"))
+        .join(knn.select($"dst".as("a"), $"src".as("b")), Seq("a", "b"), "left_semi")
+        .filter($"a" < $"b")
+      DupGraph.kCore(mutual, "a", "b", k = 3, maxIters = 12)
+        .orderBy($"node")
     }
   )
 }

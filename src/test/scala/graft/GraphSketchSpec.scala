@@ -56,6 +56,27 @@ class GraphSketchSpec extends SparkSpec {
     assert(r(2) == ((2L, 9L, 0L, 1.0)))
   }
 
+  test("labelPropagate spreads seeds by frontier round with smaller-label ties") {
+    // path 1-2-3-4-5, seeds at the ends: round 1 labels 2 and 4;
+    // round 2 reaches 3 with a 10-vs-20 tie -> smaller label wins
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq((1L, 10L), (5L, 20L)).toDF("node", "lbl")
+    val r = DupGraph.labelPropagate(edges, "src", "dst", seeds, "node", "lbl", iters = 2)
+      .orderBy($"node").as[(Long, Long, Long)].collect()
+    assert(r.toSeq == Seq(
+      (1L, 10L, 0L), (2L, 10L, 1L), (3L, 10L, 2L), (4L, 20L, 1L), (5L, 20L, 0L)))
+  }
+
+  test("kCore peels cascades to the stable core; empty when no core exists") {
+    // triangle 1-2-3 with tail 3-4-5: 2-core must peel 5 THEN 4
+    // (cascade needs a second round) and keep exactly the triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val core2 = DupGraph.kCore(edges, "src", "dst", k = 2)
+      .orderBy($"node").as[(Long, Long)].collect()
+    assert(core2.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    assert(DupGraph.kCore(edges, "src", "dst", k = 3).count() == 0)
+  }
+
   test("count-min estimates never undercount and are exact without collisions") {
     val toks = Seq.fill(10)("alpha") ++ Seq.fill(7)("beta") ++
       Seq.fill(3)("gamma") ++ Seq("delta")
