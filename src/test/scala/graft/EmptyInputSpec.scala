@@ -82,6 +82,34 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.pqTopK(e, e, "vec_id", "embedding", k = 3).count() == 0)
   }
 
+  test("round-5 session-2 operators handle empty inputs") {
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(DupGraph.triangleCounts(edges, "src", "dst").count() == 0)
+    assert(DupGraph.kCore(edges, "src", "dst", k = 2).count() == 0)
+    val seeds = Seq.empty[(Long, Long)].toDF("node", "lbl")
+    assert(DupGraph.labelPropagate(
+      edges, "src", "dst", seeds, "node", "lbl", iters = 2).count() == 0)
+    assert(BpeTrainer.merges(emptyDocs, "text", iterations = 2).count() == 0)
+    assert(BpeTrainer.symbolVocab(emptyDocs, "text", iterations = 1).count() == 0)
+    assert(TextDedup.ngramNovelty(emptyDocs, "doc_id", "text").count() == 0)
+    assert(TextDedup.minhashEstimateAccuracy(emptyDocs, "doc_id", "text").count() == 0)
+    val toks = Seq.empty[String].toDF("tok")
+    assert(Sketches.countMinSketch(toks, "tok").count() == 0)
+    assert(Sketches.cmsEstimate(
+      Sketches.countMinSketch(toks, "tok"), toks, "tok").count() == 0)
+    val gv = Seq.empty[(String, Option[Double])].toDF("g", "v")
+    assert(Quantiles.quantileGate(gv, "g", "v", 0.1).count() == 0)
+    assert(Quantiles.madOutliers(gv, "g", "v").count() == 0)
+    val ev = Seq.empty[(Long, java.sql.Timestamp, Double)].toDF("u", "ts", "value")
+    assert(ev.select(SeriesStats.ewmaTrailing(
+      Seq("u"), Seq("ts"), "value").as("e")).count() == 0)
+    assert(SeriesStats.cohortRetention(ev, "u", "ts").count() == 0)
+    val e = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.truncationRecall(e, e, "vec_id", "embedding", 2, 3).count() == 0)
+    assert(Similarity.jlProject(e, "vec_id", "embedding", 4).count() == 0)
+    assert(LanguageModel.interpolatedNegLogProb(emptyDocs, "doc_id", "text").count() == 0)
+  }
+
   test("sinks handle empty frames") {
     val dir = tmpDir("empty-sinks")
     val e = Seq.empty[(Long, String)].toDF("id", "split")
