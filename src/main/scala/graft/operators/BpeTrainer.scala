@@ -114,17 +114,44 @@ object BpeTrainer {
       .select(col("it"), col("l"), col("r"), col("cnt"))
   }
 
-  /** Post-merge symbol vocabulary: corpus frequency of every symbol
-    * after `iterations` merges — (sym, freq), the table a tokenizer
-    * would ship. One extra aggregate over the final word table.
+  /** The word table after training `iterations` merges:
+    * (word, freq, syms) with each word in its final symbol
+    * segmentation — the lookup table the ENCODE side uses.
     */
-  def symbolVocab(df: DataFrame, textCol: String, iterations: Int): DataFrame = {
+  def trainedWords(df: DataFrame, textCol: String, iterations: Int): DataFrame = {
     var words = wordTable(df, textCol).localCheckpoint(true)
     for (_ <- 1 to iterations) {
       val best = bestPair(pairCounts(words)).localCheckpoint(true)
       words = applyMerge(words, best).localCheckpoint(true)
     }
-    words.select(col("freq"), explode(col("syms")).as("sym"))
+    words
+  }
+
+  /** Post-merge symbol vocabulary: corpus frequency of every symbol
+    * after `iterations` merges — (sym, freq), the table a tokenizer
+    * would ship. One extra aggregate over the final word table.
+    */
+  def symbolVocab(df: DataFrame, textCol: String, iterations: Int): DataFrame =
+    trainedWords(df, textCol, iterations)
+      .select(col("freq"), explode(col("syms")).as("sym"))
       .groupBy(col("sym")).agg(sum(col("freq")).as("freq"))
+
+  /** ENCODE side of the tokenizer: apply the trained segmentation to
+    * every document and report its symbol-expansion stats —
+    * (idCol, n_words, n_symbols, avg_syms_per_word r6). The corpus
+    * re-joins the vocabulary-bounded word table on the word key (the
+    * exact shape a production tokenizer pass has at 100 TB: fact
+    * stream × broadcast-or-shuffled vocab, no per-row Python).
+    */
+  def encodeStats(
+      df: DataFrame, idCol: String, textCol: String, iterations: Int): DataFrame = {
+    val segLen = trainedWords(df, textCol, iterations)
+      .select(col("word"), size(col("syms")).cast("long").as("_ns"))
+    df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("word"))
+      .join(segLen, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("_ns")).as("n_symbols"))
+      .withColumn("avg_syms_per_word",
+        round(col("n_symbols").cast("double") / col("n_words"), 6))
   }
 }

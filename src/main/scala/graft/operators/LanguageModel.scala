@@ -1,6 +1,7 @@
 package graft.operators
 
-import graft.functions.TextFunctions.tokens
+import graft.functions.TextFunctions.{langId, tokens}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -136,5 +137,40 @@ object LanguageModel {
           lit(lambda) * col("c12").cast("double") / col("c1") +
             lit(1 - lambda) * col("c2").cast("double") / col("n"))), 4)
           .as("avg_neg_logprob"))
+  }
+
+  /** Code-switch profile: language-ID every `windowTokens`-token
+    * window of a document and report how many windows, how many
+    * distinct predicted languages, and how often consecutive windows
+    * switch — mixed-language documents (the curation case for
+    * splitting or routing, invisible to whole-doc language ID) score
+    * n_langs > 1 / switches > 0.
+    *
+    * Narrow until the final per-doc aggregate: windows are array
+    * slices of the one tokenization, language ID is the pure marker
+    * CASE chain ([[graft.functions.TextFunctions.langId]]), and the
+    * switch count is a per-doc window lag — one shuffle on the doc id.
+    */
+  def codeSwitchProfile(
+      df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 20): DataFrame = {
+    require(windowTokens >= 1)
+    val nChunks = greatest((size(col("_w")) + (windowTokens - 1))
+      .divide(windowTokens).cast("int"), lit(1))
+    val t = df.select(col(idCol), tokens(trim(col(textCol))).as("_w"))
+      .select(col(idCol), col("_w"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        langId(concat_ws(" ",
+          slice(col("_w"), col("chunk_idx") * windowTokens + 1, lit(windowTokens))))
+          .as("_wl"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("chunk_idx"))
+    t.withColumn("_prev", lag(col("_wl"), 1).over(w))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        countDistinct(col("_wl")).as("n_langs"),
+        sum(when(col("_prev").isNotNull && col("_prev") =!= col("_wl"), 1L)
+          .otherwise(0L)).as("switches"))
   }
 }

@@ -550,6 +550,103 @@ object CurationQueries {
       import s.implicits._
       BpeTrainer.merges(Tables.documents(s, d), "text", iterations = 3)
         .orderBy($"it")
+    },
+
+    // the ENCODE side of the trained tokenizer: per-doc symbol
+    // expansion after the 3 learned merges (corpus re-joined to the
+    // vocabulary-bounded segmentation table — the production
+    // tokenizer-pass shape)
+    Q.sql(
+      "q112_bpe_encode",
+      """WITH w0 AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq, regexp_extract_all(word, '.') AS syms
+        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word FROM documents)
+        |  GROUP BY word),
+        |p1 AS (
+        |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM w0)
+        |  GROUP BY 1, 2),
+        |b1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+        |t1 AS (
+        |  SELECT word, freq, i AS pos, syms[i] AS sym, syms[i+1] AS nxt
+        |  FROM (SELECT word, freq, syms, unnest(range(1, len(syms)+1)) AS i FROM w0)),
+        |m1 AS (
+        |  SELECT word, pos,
+        |    pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+        |  FROM t1, b1 WHERE t1.sym = b1.l AND t1.nxt = b1.r),
+        |k1 AS (
+        |  SELECT word, pos FROM (
+        |    SELECT word, pos, min(pos) OVER (PARTITION BY word, grp) AS mn FROM m1)
+        |  WHERE (pos - mn) % 2 = 0),
+        |w1 AS (
+        |  SELECT t.word, min(t.freq) AS freq,
+        |    list(CASE WHEN k.pos IS NOT NULL THEN t.sym || t.nxt ELSE t.sym END ORDER BY t.pos) AS syms
+        |  FROM t1 t
+        |  LEFT JOIN k1 k ON t.word = k.word AND t.pos = k.pos
+        |  LEFT JOIN k1 d ON t.word = d.word AND t.pos = d.pos + 1
+        |  WHERE d.pos IS NULL
+        |  GROUP BY t.word),
+        |p2 AS (
+        |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM w1)
+        |  GROUP BY 1, 2),
+        |b2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+        |t2 AS (
+        |  SELECT word, freq, i AS pos, syms[i] AS sym, syms[i+1] AS nxt
+        |  FROM (SELECT word, freq, syms, unnest(range(1, len(syms)+1)) AS i FROM w1)),
+        |m2 AS (
+        |  SELECT word, pos,
+        |    pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+        |  FROM t2, b2 WHERE t2.sym = b2.l AND t2.nxt = b2.r),
+        |k2 AS (
+        |  SELECT word, pos FROM (
+        |    SELECT word, pos, min(pos) OVER (PARTITION BY word, grp) AS mn FROM m2)
+        |  WHERE (pos - mn) % 2 = 0),
+        |w2 AS (
+        |  SELECT t.word, min(t.freq) AS freq,
+        |    list(CASE WHEN k.pos IS NOT NULL THEN t.sym || t.nxt ELSE t.sym END ORDER BY t.pos) AS syms
+        |  FROM t2 t
+        |  LEFT JOIN k2 k ON t.word = k.word AND t.pos = k.pos
+        |  LEFT JOIN k2 d ON t.word = d.word AND t.pos = d.pos + 1
+        |  WHERE d.pos IS NULL
+        |  GROUP BY t.word),
+        |p3 AS (
+        |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM w2)
+        |  GROUP BY 1, 2),
+        |b3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
+        |t3 AS (
+        |  SELECT word, freq, i AS pos, syms[i] AS sym, syms[i+1] AS nxt
+        |  FROM (SELECT word, freq, syms, unnest(range(1, len(syms)+1)) AS i FROM w2)),
+        |m3 AS (
+        |  SELECT word, pos,
+        |    pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+        |  FROM t3, b3 WHERE t3.sym = b3.l AND t3.nxt = b3.r),
+        |k3 AS (
+        |  SELECT word, pos FROM (
+        |    SELECT word, pos, min(pos) OVER (PARTITION BY word, grp) AS mn FROM m3)
+        |  WHERE (pos - mn) % 2 = 0),
+        |w3 AS (
+        |  SELECT t.word, min(t.freq) AS freq,
+        |    list(CASE WHEN k.pos IS NOT NULL THEN t.sym || t.nxt ELSE t.sym END ORDER BY t.pos) AS syms
+        |  FROM t3 t
+        |  LEFT JOIN k3 k ON t.word = k.word AND t.pos = k.pos
+        |  LEFT JOIN k3 d ON t.word = d.word AND t.pos = d.pos + 1
+        |  WHERE d.pos IS NULL
+        |  GROUP BY t.word),
+        |enc AS (SELECT word, CAST(len(syms) AS BIGINT) AS ns FROM w3),
+        |dt AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |  FROM documents)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(ns) AS BIGINT) AS n_symbols,
+        |  round(CAST(sum(ns) AS DOUBLE) / count(*), 6) AS avg_syms_per_word
+        |FROM dt JOIN enc USING (word)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      BpeTrainer.encodeStats(Tables.documents(s, d), "doc_id", "text", iterations = 3)
+        .orderBy($"doc_id")
     }
   )
 }

@@ -239,6 +239,38 @@ object TextQueries {
       top.join(Sketches.cmsEstimate(sketch, top, "tok", rows = 4, width = 64), "tok")
         .select($"tok", $"exact_cnt", $"cms_est")
         .orderBy($"tok")
+    },
+
+    // code-switch profile: language-ID per 20-token window, count
+    // windows / distinct window languages / consecutive switches —
+    // mixed-language docs that whole-doc langid cannot see; reuses
+    // the SAME marker CASE chain as lang_id so the two stay fused
+    Q.sql(
+      "q111_lang_mix",
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+        |c AS (
+        |  SELECT doc_id, chunk_idx,
+        |    array_to_string(w[chunk_idx*20+1 : chunk_idx*20+20], ' ') AS text
+        |  FROM (
+        |    SELECT doc_id, w,
+        |      unnest(range(greatest((len(w) + 19) // 20, 1))) AS chunk_idx
+        |    FROM t)),
+        |l AS (
+        |  SELECT doc_id, chunk_idx, $langCaseChainSql AS wl,
+        |    lag($langCaseChainSql) OVER (PARTITION BY doc_id ORDER BY chunk_idx) AS pl
+        |  FROM c)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(count(DISTINCT wl) AS BIGINT) AS n_langs,
+        |  CAST(sum(CASE WHEN pl IS NOT NULL AND pl <> wl THEN 1 ELSE 0 END) AS BIGINT) AS switches
+        |FROM l
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      graft.operators.LanguageModel.codeSwitchProfile(
+        Tables.documents(s, d), "doc_id", "text", windowTokens = 20)
+        .orderBy($"doc_id")
     }
   )
 }

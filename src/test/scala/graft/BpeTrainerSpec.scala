@@ -57,6 +57,18 @@ class BpeTrainerSpec extends SparkSpec {
     assert(pairs == Set(("ab", "c", 2L), ("b", "c", 1L)))
   }
 
+  test("encodeStats applies the trained segmentation to every document") {
+    // two docs over the q97 toy corpus; after 2 merges "low" is one
+    // symbol, "lower" is [low, e, r], "newest" stays 6 chars
+    val df = docs("low low low lower", "newest newest")
+    val r = BpeTrainer.encodeStats(df, "doc_id", "text", iterations = 2)
+      .orderBy($"doc_id").as[(Long, Long, Long, Double)].collect()
+    // doc 0: low(1)x3 + lower(3) = 4 words, 6 symbols
+    assert(r(0) == ((0L, 4L, 6L, 1.5)))
+    // doc 1: newest = 6 single chars x2 = 12 symbols
+    assert(r(1) == ((1L, 2L, 12L, 6.0)))
+  }
+
   test("symbolVocab shrinks total symbol occurrences as merges land") {
     val df = docs("low low lower")
     // corpus-weighted initial symbol count = total characters = 11

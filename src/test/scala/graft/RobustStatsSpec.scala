@@ -19,6 +19,19 @@ class RobustStatsSpec extends SparkSpec {
     assert(r.toSeq == Seq((0L, 1L, expect), (1L, 1L, expect)))
   }
 
+  test("codeSwitchProfile sees the language switch whole-doc langid hides") {
+    val en = Seq.fill(20)("the cat of").mkString(" ") // en markers only
+    val fr = Seq.fill(20)("le chat est").mkString(" ")
+    val docs = Seq(
+      (0L, s"$en $fr"), // 60 en tokens then 60 fr tokens → 6 windows
+      (1L, en)          // monolingual control
+    ).toDF("doc_id", "text")
+    val r = LanguageModel.codeSwitchProfile(docs, "doc_id", "text", windowTokens = 20)
+      .orderBy($"doc_id").as[(Long, Long, Long, Long)].collect()
+    assert(r(0) == ((0L, 6L, 2L, 1L))) // one en→fr switch at the midpoint
+    assert(r(1) == ((1L, 3L, 1L, 0L)))
+  }
+
   test("minhash estimate is exact for identical docs and stays in [0,1]") {
     val same = "the quick brown fox jumps over the lazy dog again"
     val docs = Seq((0L, same), (1L, same), (2L, "completely different words here entirely now")).toDF("doc_id", "text")
