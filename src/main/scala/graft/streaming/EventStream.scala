@@ -198,4 +198,45 @@ object EventStream {
           }
       }
   }
+
+  final case class DriftState(ewma: Double, n: Long)
+  final case class DriftScore(event_type: String, event_id: Long, value: Double,
+      ewma: Double, drift: Double)
+
+  /** Streaming per-key EWMA drift scoring: every event updates its
+    * key's running exponential average (e ← α·v + (1−α)·e) and is
+    * emitted with the post-update average and its deviation from it —
+    * the online data-quality monitor (a source whose quality score
+    * drifts from its history flags mid-stream, not at the next batch
+    * audit). α = 1/2 by default, exact dyadic like the batch
+    * [[graft.operators.SeriesStats.ewmaTrailing]].
+    *
+    * State is ONE (double, long) pair per key — bounded by key
+    * cardinality, no timeout needed; events inside a micro-batch are
+    * folded in (ts, event_id) order so replays are deterministic.
+    */
+  def driftScores(events: Dataset[Event], alpha: Double = 0.5): Dataset[DriftScore] = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[DriftState, DriftScore](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, incoming: Iterator[Event], state: GroupState[DriftState]) =>
+          val batch = incoming.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Seq.newBuilder[DriftScore]
+          var st = state.getOption.getOrElse(DriftState(0.0, 0L))
+          for (e <- batch) {
+            val ewma =
+              if (st.n == 0L) e.value
+              else alpha * e.value + (1 - alpha) * st.ewma
+            st = DriftState(ewma, st.n + 1)
+            out += DriftScore(key, e.event_id, e.value, ewma,
+              math.abs(e.value - ewma))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

@@ -196,4 +196,22 @@ class StreamingSpec extends SparkSpec {
     query.stop()
     assert(out == Set((7L, 3L, 7.0, ts(0), ts(5))))
   }
+  test("driftScores carries per-key EWMA state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = EventStream.driftScores(input.toDS())
+      .writeStream.format("memory").queryName("drift").outputMode("append").start()
+    input.addData(
+      Event(1, ts(0), 1, "click", 4.0),
+      Event(2, ts(1), 1, "click", 8.0))
+    query.processAllAvailable()
+    input.addData(Event(3, ts(2), 1, "click", 2.0)) // state must carry: e=6 -> 4
+    query.processAllAvailable()
+    val rows = spark.table("drift")
+      .orderBy($"event_id")
+      .select($"event_id", $"ewma", $"drift").as[(Long, Double, Double)].collect()
+    query.stop()
+    // e1: first value seeds the average; e2: .5*8+.5*4=6; e3: .5*2+.5*6=4
+    assert(rows.toSeq == Seq((1L, 4.0, 0.0), (2L, 6.0, 2.0), (3L, 4.0, 2.0)))
+  }
 }
