@@ -32,8 +32,14 @@ object DupGraph {
       idA: String = "id_a",
       idB: String = "id_b",
       maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
-      .union(edges.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
+    // materialize the pair list ONCE — the symmetrization union scans
+    // it twice and an expensive upstream (the MinHash pair pipeline)
+    // would re-execute per scan
+    val raw = edges
+      .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
+      .localCheckpoint(true)
+    val sym = raw.select(col("u").as("src"), col("v").as("dst"))
+      .union(raw.select(col("v").as("src"), col("u").as("dst")))
     // self-loops make one round = a single join+min over (self ∪
     // neighbors), so each round references the label frame exactly
     // ONCE — chained rounds stay a linear plan, not an exponential one
@@ -125,8 +131,14 @@ object DupGraph {
       idA: String = "id_a",
       idB: String = "id_b",
       maxRounds: Int = 30): DataFrame = {
+    // materialize the input edge list ONCE: the star pass, the node
+    // set, the label-cardinality certificates, and the edge-consistency
+    // certificate each scan it, and an un-checkpointed upstream (e.g.
+    // the full MinHash LSH pair pipeline) would re-execute per scan —
+    // measured 3x the whole operator's cost before this cut
     val raw = edges
       .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
+      .localCheckpoint(true)
     // self-loops carry no connectivity but their nodes still count as
     // "appearing in an edge" (same contract as [[connectedComponents]])
     val input = raw.filter(col("u") =!= col("v"))
