@@ -128,4 +128,31 @@ object Clustering {
   def cellSummary(assigned: DataFrame): DataFrame =
     assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"), round(sum(col("d")), 3).as("inertia"))
+
+  /** Distribution-shift probe: per label, the L2 distance between the
+    * mean embeddings of two data halves (snapshots, time slices,
+    * source splits) — a centroid that moved says the population under
+    * that label changed. Per-dimension means round to 6 BEFORE the
+    * distance (deterministic cross-engine), then the distance rounds
+    * to 6.
+    *
+    * Relational shape: posexplode to (label, half, dim, value), one
+    * partial-agg'd mean per (label, half, dim), a self-join keyed on
+    * (label, dim) — no vector is ever collected. Exactly two halves
+    * per label are expected; the unordered half pair is compared once.
+    */
+  def centroidShift(
+      df: DataFrame, labelCol: String, halfCol: String, vecCol: String): DataFrame = {
+    val d = df.select(col(labelCol).as("label"), col(halfCol).as("half"),
+      posexplode(col(vecCol)).as(Seq("_i", "_x")))
+    val cents = d.groupBy(col("label"), col("half"), col("_i"))
+      .agg(round(avg(col("_x").cast("double")), 6).as("_c"))
+    val a = cents.select(col("label"), col("half").as("_ha"), col("_i"), col("_c").as("_ca"))
+    val b = cents.select(col("label"), col("half").as("_hb"), col("_i"), col("_c").as("_cb"))
+    a.join(b, Seq("label", "_i"))
+      .filter(col("_ha") < col("_hb"))
+      .groupBy(col("label"))
+      .agg(round(sqrt(sum((col("_ca") - col("_cb")) * (col("_ca") - col("_cb")))), 6)
+        .as("centroid_dist"))
+  }
 }

@@ -161,6 +161,52 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"), col("abs_err"))
   }
 
+  /** Cross-group duplicate matrix: how many verified near-dup pairs
+    * span each (group, group) combination — the leakage dashboard
+    * (sources that heavily duplicate each other are mirrors or
+    * re-crawls; diagonal entries are within-source duplication). The
+    * pair list is checkpointed once, then joined to the group mapping
+    * on each endpoint; output keyed on the unordered group pair.
+    */
+  def crossGroupDupMatrix(
+      df: DataFrame, idCol: String, textCol: String, groupCol: String,
+      numHashes: Int = 12, bands: Int = 4, shingleN: Int = 2,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, numHashes, bands, shingleN, threshold)
+      .localCheckpoint(true)
+    val g = df.select(col(idCol), col(groupCol))
+    pairs
+      .join(g.select(col(idCol).as("id_a"), col(groupCol).as("_ga")), Seq("id_a"))
+      .join(g.select(col(idCol).as("id_b"), col(groupCol).as("_gb")), Seq("id_b"))
+      .groupBy(
+        least(col("_ga"), col("_gb")).as("src_a"),
+        greatest(col("_ga"), col("_gb")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Per-group near-duplication rate: share of each group's rows that
+    * participate in at least one verified near-dup pair — the
+    * source-quality ranking that decides which crawls to down-weight
+    * before any cluster resolution runs.
+    */
+  def groupDupRate(
+      df: DataFrame, idCol: String, textCol: String, groupCol: String,
+      numHashes: Int = 12, bands: Int = 4, shingleN: Int = 2,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, numHashes, bands, shingleN, threshold)
+      .localCheckpoint(true)
+    val dupIds = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol)))
+      .distinct()
+      .withColumn("_dup", lit(1))
+    df.select(col(idCol), col(groupCol))
+      .join(dupIds, Seq(idCol), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), count(col("_dup")).as("n_dup_docs"))
+      .withColumn("dup_rate",
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 6))
+  }
+
   /** Compute each row's 60-bit simhash over word shingles:
     * (idCol → doc_id, sh). The fused native shingle-hash pass.
     */

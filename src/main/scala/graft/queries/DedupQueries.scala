@@ -477,6 +477,103 @@ object DedupQueries {
         Tables.documents(s, d), "doc_id", "text",
         numHashes = 12, bands = 4, shingleN = 2)
         .orderBy($"id_a", $"id_b")
+    },
+
+    // cross-source duplication matrix: verified near-dup pairs per
+    // unordered source pair — the mirror/re-crawl leakage dashboard
+    Q.sql(
+      "q113_cross_source_dups",
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]),
+        |      s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT))) AS sh
+        |  FROM tok WHERE len(w) >= 2),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(range(0, 12), j ->
+        |      list_min(list_transform(sh, h ->
+        |        ((xor(h, CAST(('0x'||substr(md5('a#'||j),1,15)) AS BIGINT))
+        |          + CAST(('0x'||substr(md5('b#'||j),1,15)) AS BIGINT))
+        |         & 1152921504606846975)))) AS sig
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, sh, b,
+        |    md5(CAST(sig[b*3+1] AS VARCHAR) || '_' || CAST(sig[b*3+2] AS VARCHAR)
+        |        || '_' || CAST(sig[b*3+3] AS VARCHAR)) AS bkey
+        |  FROM sig, range(0,4) r(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |verified AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.id_a
+        |  JOIN sh sb ON sb.doc_id = c.id_b
+        |  WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh)), 4) >= 0.8)
+        |SELECT least(da.source, db.source) AS src_a, greatest(da.source, db.source) AS src_b,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM verified v
+        |JOIN documents da ON da.doc_id = v.id_a
+        |JOIN documents db ON db.doc_id = v.id_b
+        |GROUP BY 1, 2
+        |ORDER BY src_a, src_b""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      TextDedup.crossGroupDupMatrix(
+        Tables.documents(s, d), "doc_id", "text", "source")
+        .orderBy($"src_a", $"src_b")
+    },
+
+    // per-source near-duplication rate: which crawls to down-weight
+    Q.sql(
+      "q114_source_dup_rate",
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]),
+        |      s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT))) AS sh
+        |  FROM tok WHERE len(w) >= 2),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(range(0, 12), j ->
+        |      list_min(list_transform(sh, h ->
+        |        ((xor(h, CAST(('0x'||substr(md5('a#'||j),1,15)) AS BIGINT))
+        |          + CAST(('0x'||substr(md5('b#'||j),1,15)) AS BIGINT))
+        |         & 1152921504606846975)))) AS sig
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, sh, b,
+        |    md5(CAST(sig[b*3+1] AS VARCHAR) || '_' || CAST(sig[b*3+2] AS VARCHAR)
+        |        || '_' || CAST(sig[b*3+3] AS VARCHAR)) AS bkey
+        |  FROM sig, range(0,4) r(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |verified AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.id_a
+        |  JOIN sh sb ON sb.doc_id = c.id_b
+        |  WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh)), 4) >= 0.8),
+        |dup_docs AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT id_a AS doc_id FROM verified UNION ALL SELECT id_b FROM verified))
+        |SELECT d.source AS source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(dd.doc_id) AS BIGINT) AS n_dup_docs,
+        |  round(CAST(count(dd.doc_id) AS DOUBLE) / count(*), 6) AS dup_rate
+        |FROM documents d LEFT JOIN dup_docs dd ON dd.doc_id = d.doc_id
+        |GROUP BY d.source
+        |ORDER BY source""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      TextDedup.groupDupRate(
+        Tables.documents(s, d), "doc_id", "text", "source")
+        .orderBy($"source")
     }
   )
 }

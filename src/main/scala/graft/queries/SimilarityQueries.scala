@@ -712,6 +712,37 @@ object SimilarityQueries {
         .filter($"a" < $"b")
       DupGraph.kCore(mutual, "a", "b", k = 3, maxIters = 12)
         .orderBy($"node")
+    },
+
+    // distribution-shift probe: per-label centroid distance between
+    // the even/odd halves of the embedding table (stand-ins for two
+    // snapshots) — rounded per-dim means, so the drift replays exactly
+    Q.sql(
+      "q115_centroid_drift",
+      """WITH e AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    CASE WHEN vec_id % 2 = 0 THEN 'even' ELSE 'odd' END AS half,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT label, half, CAST(unnest(range(1, len(v)+1)) AS BIGINT) AS i, unnest(v) AS x
+        |  FROM e),
+        |cents AS (
+        |  SELECT label, half, i, round(avg(x), 6) AS c FROM d GROUP BY label, half, i)
+        |SELECT a.label AS label,
+        |  round(sqrt(sum((a.c - b.c) * (a.c - b.c))), 6) AS centroid_dist
+        |FROM cents a JOIN cents b ON a.label = b.label AND a.i = b.i
+        |WHERE a.half = 'even' AND b.half = 'odd'
+        |GROUP BY a.label
+        |ORDER BY label""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val halves = Tables.embeddings(s, d).select(
+        $"label".cast("long").as("label"),
+        when(pmod($"vec_id", lit(2)) === 0, "even").otherwise("odd").as("half"),
+        $"embedding")
+      Clustering.centroidShift(halves, "label", "half", "embedding")
+        .orderBy($"label")
     }
   )
 }

@@ -68,6 +68,32 @@ class RobustStatsSpec extends SparkSpec {
     assert(r == Seq(("a", 100.0)))
   }
 
+  test("cross-group dup matrix and dup rate agree with a planted fixture") {
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "one two three four five six seven eight"
+    val docs = Seq(
+      (0L, t1, "srcA"), (1L, t1, "srcB"), // cross-source dup pair
+      (2L, t2, "srcA"), (3L, t2, "srcA"), // within-source dup pair
+      (4L, "totally different words entirely unique here now", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val m = TextDedup.crossGroupDupMatrix(docs, "doc_id", "text", "source")
+      .as[(String, String, Long)].collect().toSet
+    assert(m == Set(("srcA", "srcB", 1L), ("srcA", "srcA", 1L)))
+    val r = TextDedup.groupDupRate(docs, "doc_id", "text", "source")
+      .orderBy($"source").as[(String, Long, Long, Double)].collect()
+    assert(r.toSeq == Seq(("srcA", 3L, 3L, 1.0), ("srcB", 2L, 1L, 0.5)))
+  }
+
+  test("centroidShift computes the planted per-label drift") {
+    val df = Seq(
+      (0L, "even", Seq(0.0f, 0.0f)), (0L, "odd", Seq(3.0f, 4.0f)), // dist 5
+      (1L, "even", Seq(1.0f, 1.0f)), (1L, "odd", Seq(1.0f, 1.0f))  // dist 0
+    ).toDF("label", "half", "embedding")
+    val r = graft.operators.Clustering.centroidShift(df, "label", "half", "embedding")
+      .orderBy($"label").as[(Long, Double)].collect()
+    assert(r.toSeq == Seq((0L, 5.0), (1L, 0.0)))
+  }
+
   test("cohortRetention builds the expected triangle") {
     val events = Seq(
       (1L, "2024-01-01 10:00:00"), (1L, "2024-01-08 10:00:00"),
