@@ -30,7 +30,7 @@ object CsvIngest {
   val RowId = "_row_id"
 
   /** Format-dispatching source reader (the "universal importer"
-    * surface): csv is the reference's path; json/parquet sources are
+    * surface): csv is the reference's path; json/parquet/orc sources are
     * normalized to all-string columns so the same lexical validation
     * pipeline applies regardless of the wire format.
     */
@@ -48,7 +48,7 @@ object CsvIngest {
         throw new IllegalArgumentException(
           s"file_aware row ids are only supported for csv sources (entity '${spec.name}' has format '$other')")
       case "csv" => readPath(spark, spec.source, dense)
-      case "json" | "parquet" =>
+      case "json" | "parquet" | "orc" =>
         val raw = spark.read.format(spec.format).load(spec.source)
         val asStrings = raw.select(raw.columns.map(c => col(c).cast("string").as(c)): _*)
         if (dense) withDenseRowIds(asStrings)

@@ -48,6 +48,19 @@ class FormatsSpec extends SparkSpec {
     assert(got == (1 to 5).map(i => (i.toString, i.toLong)))
   }
 
+  test("orc sources ingest through the same dispatch with row ids") {
+    val dir = tmpDir("fmt-orc")
+    (1 to 4).map(i => (i.toLong, s"name$i")).toDF("v", "name")
+      .coalesce(1).write.orc(s"$dir/d.orc")
+    val spec = graft.config.EntitySpec(
+      "d", s"$dir/d.orc", graft.config.Settings("first", "skip"),
+      Seq.empty, Seq.empty, Seq.empty, format = "orc")
+    val got = CsvIngest.read(spark, spec).select($"v", col("_row_id"))
+      .as[(String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) == (1 to 4).map(_.toString))
+    assert(got.map(_._2).sorted == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("parquet export format writes readable parquet") {
     val dir = tmpDir("fmt-parquet")
     val (cfgPath, _) = Fixtures.materialize(dir)
