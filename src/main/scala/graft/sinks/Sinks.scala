@@ -25,10 +25,10 @@ object Sinks {
       writeCsv(ordered(df), s"$outputDir/exports", s"$name.csv", singleFile)
     case "json" =>
       writeSingle(ordered(df), s"$outputDir/exports", s"$name.json", "json", singleFile)
-    case "parquet" =>
-      // columnar export is inherently sharded; no single-file contortion
-      val target = s"$outputDir/exports/$name.parquet"
-      ordered(df).write.mode("overwrite").parquet(target)
+    case "parquet" | "orc" =>
+      // columnar exports are inherently sharded; no single-file contortion
+      val target = s"$outputDir/exports/$name.$format"
+      ordered(df).write.mode("overwrite").format(format).save(target)
       target
     case other =>
       throw new IllegalArgumentException(s"unsupported export format '$other'")
