@@ -386,6 +386,52 @@ object WindowStatsQueries {
       graft.operators.SeriesStats.cohortRetention(
         Tables.events(s, d), "user_id", "ts")
         .orderBy($"cohort_week", $"week_offset")
+    },
+
+    // two-stage salted aggregation vs the plain GROUP BY oracle: the
+    // hot-key mitigation is only correct if the (key, salt) partial +
+    // final combine is EXACTLY the direct aggregate — integer cents
+    // keep the sums associative so the hash match is airtight
+    Q.sql(
+      "q116_salted_agg",
+      """SELECT event_type,
+        |  CAST(sum(CAST(trunc(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      graft.operators.SkewTools.saltedAggregate(
+        Tables.events(s, d)
+          .select($"event_type", ($"value" * 100).cast("long").as("_cents")),
+        Seq("event_type"), saltBuckets = 16)(
+        Seq(sum($"_cents").as("_pc"), count(lit(1)).as("_c")),
+        Seq(sum($"_pc").as("cents"), sum($"_c").as("n")))
+        .orderBy($"event_type")
+    },
+
+    // salted fact-dim join vs the plain equi-join oracle: dim rows are
+    // replicated per salt, so the certificate is that every fact row
+    // still matches EXACTLY once (total_w = n x key length)
+    Q.sql(
+      "q117_salted_join",
+      """WITH dim AS (
+        |  SELECT DISTINCT event_type, CAST(length(event_type) AS BIGINT) AS w
+        |  FROM events)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(d.w) AS BIGINT) AS total_w
+        |FROM events e JOIN dim d USING (event_type)
+        |GROUP BY e.event_type
+        |ORDER BY event_type""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val dim = ev.select($"event_type").distinct()
+        .withColumn("w", length($"event_type").cast("long"))
+      graft.operators.SkewTools.saltedJoin(
+        ev.select($"event_type"), dim, Seq("event_type"), saltBuckets = 8)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"w").as("total_w"))
+        .orderBy($"event_type")
     }
   )
 }
