@@ -139,6 +139,36 @@ object LanguageModel {
           .as("avg_neg_logprob"))
   }
 
+  /** CCNet-style perplexity bucketing: score every document with the
+    * corpus-trained bigram LM, then split the corpus at the 1/3 and
+    * 2/3 score quantiles into head / middle / tail quality buckets
+    * (Wenzek et al. 2020 keep head+middle, drop tail). Thresholds are
+    * exact interpolated quantiles rounded to 6 and BROADCAST, so
+    * bucket assignment is a narrow comparison riding the scored
+    * frame — no global ntile sort (the equal-count formulation needs a
+    * single-partition window; the threshold formulation is the
+    * 100 TB shape and both engines replay it identically).
+    *
+    * Returns one row per bucket: (bucket, n_docs, min_nlp, max_nlp).
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = bigramNegLogProb(df, idCol, textCol)
+      .select(col(idCol), col("avg_neg_logprob").as("nlp"))
+      .withColumn("_g", lit(1))
+    val th = Quantiles
+      .groupPercentiles(scored, "_g", "nlp", Seq("t1" -> 1.0 / 3, "t2" -> 2.0 / 3))
+      .select(round(col("t1"), 6).as("t1"), round(col("t2"), 6).as("t2"))
+    scored.crossJoin(broadcast(th))
+      .withColumn("bucket",
+        when(col("nlp") <= col("t1"), "head")
+          .when(col("nlp") <= col("t2"), "middle")
+          .otherwise("tail"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("nlp")), 4).as("min_nlp"),
+        round(max(col("nlp")), 4).as("max_nlp"))
+  }
+
   /** Code-switch profile: language-ID every `windowTokens`-token
     * window of a document and report how many windows, how many
     * distinct predicted languages, and how often consecutive windows

@@ -476,6 +476,40 @@ object Similarity {
       .withColumn("recall", round(col("n_common").cast("double") / k, 6))
   }
 
+  /** Hard-negative mining for contrastive training: for each query,
+    * the top-k most similar vectors with a DIFFERENT label — the
+    * highest-value negatives (easy negatives teach nothing; the near
+    * misses define the decision boundary). Exact cosine over a
+    * broadcast query set; at corpus scale swap the candidate source
+    * for the IVF/LSH path and keep the label-exclusion re-rank.
+    *
+    * Returns (query_id, neighbor_id, query_label, neg_label, sim,
+    * rank).
+    */
+  def hardNegatives(
+      emb: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).cast("long").as("query_label"), col(vecCol).as("qv"))
+    val n = emb.select(col(idCol).as("neighbor_id"),
+      col(labelCol).cast("long").as("neg_label"), col(vecCol).as("nv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    n.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("neg_label") =!= col("query_label"))
+      .withColumn("sim", round(GraftFunctions.cosineFast(col("qv"), col("nv")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("query_label"),
+        col("neg_label"), col("sim"), col("rank"))
+  }
+
   /** Johnson-Lindenstrauss random projection with a DETERMINISTIC
     * ±1 sign matrix derived from the seeded 60-bit hash (sign(k,i) =
     * parity of hash60("jl_k_i")) — no RNG, no broadcast matrix

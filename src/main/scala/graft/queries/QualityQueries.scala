@@ -374,6 +374,41 @@ object QualityQueries {
       graft.operators.LanguageModel.interpolatedNegLogProb(
         Tables.documents(s, d), "doc_id", "text")
         .orderBy($"doc_id")
+    },
+
+    // CCNet-style head/middle/tail perplexity buckets via broadcast
+    // quantile thresholds (not a global ntile sort — the 100 TB shape)
+    Q.sql(
+      "q118_ccnet_buckets",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |bb AS (
+        |  SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+        |  FROM t WHERE len(w) >= 2),
+        |uni AS (
+        |  SELECT tok, count(*) AS c1 FROM (SELECT unnest(w) AS tok FROM t) GROUP BY tok),
+        |bi AS (SELECT w1, w2, count(*) AS c12 FROM bb GROUP BY w1, w2),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |scored AS (
+        |  SELECT doc_id, round(avg(-ln((c12 + 1.0) / (c1 + v))), 4) AS nlp
+        |  FROM bb JOIN bi USING (w1, w2) JOIN uni ON uni.tok = bb.w1 CROSS JOIN v
+        |  GROUP BY doc_id),
+        |th AS (
+        |  SELECT round(quantile_cont(nlp, 1.0/3), 6) AS t1,
+        |         round(quantile_cont(nlp, 2.0/3), 6) AS t2 FROM scored)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(min(nlp), 4) AS min_nlp, round(max(nlp), 4) AS max_nlp
+        |FROM (
+        |  SELECT doc_id, nlp,
+        |    CASE WHEN nlp <= t1 THEN 'head' WHEN nlp <= t2 THEN 'middle' ELSE 'tail' END AS bucket
+        |  FROM scored, th)
+        |GROUP BY bucket
+        |ORDER BY min(nlp)""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      graft.operators.LanguageModel.perplexityBuckets(
+        Tables.documents(s, d), "doc_id", "text")
+        .orderBy($"min_nlp")
     }
   )
 }

@@ -743,6 +743,32 @@ object SimilarityQueries {
         $"embedding")
       Clustering.centroidShift(halves, "label", "half", "embedding")
         .orderBy($"label")
+    },
+
+    // contrastive hard-negative mining: per query, top-5 most similar
+    // vectors with a DIFFERENT label — the near misses that define
+    // the decision boundary
+    Q.sql(
+      "q119_hard_negatives",
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT vec_id, label, v FROM e WHERE vec_id < 30),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, q.label AS query_label,
+        |    n.vec_id AS neighbor_id, n.label AS neg_label,
+        |    round(list_dot_product(q.v, n.v)/sqrt(list_dot_product(q.v, q.v))/sqrt(list_dot_product(n.v, n.v)), 6) AS sim
+        |  FROM e n JOIN q ON q.vec_id <> n.vec_id
+        |  WHERE n.label <> q.label)
+        |SELECT query_id, neighbor_id, query_label, neg_label, sim, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored) WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(
+        emb, emb.filter($"vec_id" < 30), "vec_id", "embedding", "label", k = 5)
+        .orderBy($"query_id", $"rank")
     }
   )
 }

@@ -26,7 +26,10 @@ class PlanAuditSpec extends SparkSpec {
     // round-5: q98/q103 ride bruteForceTopK's broadcast query set,
     // q104 broadcasts the 1-row corpus total N, q106 is the bounded
     // JL pair probe (non-equi id_a < id_b over 100 broadcast rows)
-    "q98_triangles", "q103_mrl_recall", "q104_interp_logprob", "q106_jl_ratio")
+    "q98_triangles", "q103_mrl_recall", "q104_interp_logprob", "q106_jl_ratio",
+    // q118 broadcasts the LM's 1-row V plus the 1-row threshold frame;
+    // q119 rides bruteForce-style broadcast query sets
+    "q118_ccnet_buckets", "q119_hard_negatives")
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -68,6 +68,34 @@ class RobustStatsSpec extends SparkSpec {
     assert(r == Seq(("a", 100.0)))
   }
 
+  test("perplexityBuckets splits on the quantile thresholds") {
+    // 6 docs with distinct LM scores → 2 per bucket, ordered by score
+    val docs = Seq(
+      (0L, "a a a a"), (1L, "a a a b"), (2L, "a b a b"),
+      (3L, "b b a c"), (4L, "c c b a"), (5L, "c d d c")
+    ).toDF("doc_id", "text")
+    val r = LanguageModel.perplexityBuckets(docs, "doc_id", "text")
+      .orderBy($"min_nlp").as[(String, Long, Double, Double)].collect()
+    assert(r.map(_._1).toSeq == Seq("head", "middle", "tail"))
+    assert(r.map(_._2).sum == 6L)
+    // buckets are score-ordered and non-overlapping
+    assert(r(0)._4 <= r(1)._3 && r(1)._4 <= r(2)._3)
+  }
+
+  test("hardNegatives never returns a same-label neighbor and ranks by similarity") {
+    val emb = Seq(
+      (0L, 0L, Seq(1.0f, 0.0f)),
+      (1L, 0L, Seq(0.99f, 0.1f)),  // same label — must be excluded
+      (2L, 1L, Seq(0.9f, 0.2f)),   // different label, most similar
+      (3L, 1L, Seq(0.0f, 1.0f))    // different label, orthogonal
+    ).toDF("vec_id", "label", "embedding")
+    val r = Similarity.hardNegatives(
+      emb, emb.filter($"vec_id" === 0), "vec_id", "embedding", "label", k = 2)
+      .orderBy($"rank")
+      .select($"neighbor_id", $"neg_label", $"rank").as[(Long, Long, Long)].collect()
+    assert(r.toSeq == Seq((2L, 1L, 1L), (3L, 1L, 2L)))
+  }
+
   test("cross-group dup matrix and dup rate agree with a planted fixture") {
     val t1 = "alpha beta gamma delta epsilon zeta eta theta"
     val t2 = "one two three four five six seven eight"
