@@ -486,6 +486,37 @@ object Curation {
     * frequency (ties broken by token) — the counting shape of vocab /
     * BPE-seed extraction.
     */
+  /** Padding-waste accounting for batched training: within each group
+    * (a data-parallel worker's shard), form `batchSize`-row batches in
+    * arrival order vs length-sorted order and compare the padded token
+    * bill (each batch pads every sequence to the batch max). The
+    * measurement behind length-bucketed batching — typically 20-40%
+    * of compute on mixed-length corpora.
+    *
+    * Integer arithmetic end-to-end. Per group: (group, total_tokens,
+    * padded_arrival, padded_sorted) — sorted ≤ arrival always; both ≥
+    * total.
+    */
+  def paddingWaste(
+      df: DataFrame, groupCol: String, idCol: String, lenCol: String,
+      batchSize: Int): DataFrame = {
+    require(batchSize >= 1)
+    def padded(orderCols: Seq[org.apache.spark.sql.Column], tag: String) = {
+      val w = Window.partitionBy(col(groupCol)).orderBy(orderCols: _*)
+      df.select(col(groupCol), col(idCol), col(lenCol).cast("long").as("_len"))
+        .withColumn("_b", ((row_number().over(w) - 1) / batchSize).cast("long"))
+        .groupBy(col(groupCol), col("_b"))
+        .agg((max(col("_len")) * count(lit(1))).as(s"_p"),
+          sum(col("_len")).as("_t"))
+        .groupBy(col(groupCol))
+        .agg(sum(col("_p")).as(s"padded_$tag"), sum(col("_t")).as(s"_total_$tag"))
+    }
+    padded(Seq(col(idCol)), "arrival")
+      .join(padded(Seq(col("_len"), col(idCol)), "sorted"), Seq(groupCol))
+      .select(col(groupCol), col("_total_arrival").as("total_tokens"),
+        col("padded_arrival"), col("padded_sorted"))
+  }
+
   def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame =
     df.select(explode(tokens(lower(col(textCol)))).as("token"))
       .groupBy(col("token"))

@@ -35,7 +35,12 @@ object SeriesStats {
       (when(v.isNotNull, v * lit(math.pow(weight, j))).otherwise(lit(0.0)),
         when(v.isNotNull, lit(math.pow(weight, j))).otherwise(lit(0.0)))
     }
-    round(lags.map(_._1).reduce(_ + _) / lags.map(_._2).reduce(_ + _), 6)
+    // an all-null trailing window (own value null, no prior non-null
+    // within `terms`) has weight 0 — emit null, not a divide-by-zero
+    // (ANSI mode throws on 0.0/0.0)
+    val num = lags.map(_._1).reduce(_ + _)
+    val den = lags.map(_._2).reduce(_ + _)
+    round(when(den > lit(0.0), num / den), 6)
   }
 
   /** Weekly cohort retention over an event stream: users are cohorted

@@ -647,6 +647,46 @@ object CurationQueries {
       import s.implicits._
       BpeTrainer.encodeStats(Tables.documents(s, d), "doc_id", "text", iterations = 3)
         .orderBy($"doc_id")
+    },
+
+    // padding-waste accounting: 8-row batches per source, arrival
+    // order vs length-sorted order, each batch padded to its max —
+    // the integer-exact measurement behind length-bucketed batching
+    Q.sql(
+      "q120_padding_waste",
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |arr AS (
+        |  SELECT source, sum(p) AS padded_arrival, sum(t) AS total_tokens FROM (
+        |    SELECT source, max(ntok) * count(*) AS p, sum(ntok) AS t FROM (
+        |      SELECT source, ntok,
+        |        (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1) // 8 AS b
+        |      FROM d)
+        |    GROUP BY source, b)
+        |  GROUP BY source),
+        |srt AS (
+        |  SELECT source, sum(p) AS padded_sorted FROM (
+        |    SELECT source, max(ntok) * count(*) AS p FROM (
+        |      SELECT source, ntok,
+        |        (row_number() OVER (PARTITION BY source ORDER BY ntok, doc_id) - 1) // 8 AS b
+        |      FROM d)
+        |    GROUP BY source, b)
+        |  GROUP BY source)
+        |SELECT source, CAST(total_tokens AS BIGINT) AS total_tokens,
+        |  CAST(padded_arrival AS BIGINT) AS padded_arrival,
+        |  CAST(padded_sorted AS BIGINT) AS padded_sorted
+        |FROM arr JOIN srt USING (source)
+        |ORDER BY source""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      import graft.functions.TextFunctions.tokenCount
+      Curation.paddingWaste(
+        Tables.documents(s, d)
+          .select($"source", $"doc_id", tokenCount($"text").as("ntok")),
+        "source", "doc_id", "ntok", batchSize = 8)
+        .orderBy($"source")
     }
   )
 }

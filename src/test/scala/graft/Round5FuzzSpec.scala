@@ -151,6 +151,79 @@ class Round5FuzzSpec extends SparkSpec {
     }
   }
 
+  test("ewmaTrailing matches the sequential reference on random series") {
+    import graft.operators.SeriesStats
+    for (seed <- 1 to 6) {
+      val rnd = new Random(500 + seed)
+      val rows = (1 to 20).map(i =>
+        (i % 3L, i.toLong, if (rnd.nextDouble() < 0.15) None else Some(rnd.nextInt(100).toDouble)))
+      val expect = rows.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+        val ordered = es.sortBy(_._2)
+        ordered.indices.map { i =>
+          val lags = (0 until 8).flatMap { j =>
+            if (i - j < 0) None else ordered(i - j)._3.map(v => (v, math.pow(0.5, j)))
+          }
+          val e = if (lags.isEmpty) None
+            else Some(math.round(lags.map(l => l._1 * l._2).sum / lags.map(_._2).sum * 1e6) / 1e6)
+          (u, ordered(i)._2, e)
+        }
+      }.sortBy(r => (r._1, r._2))
+      val got = rows.toDF("u", "seq", "value")
+        .select($"u", $"seq",
+          SeriesStats.ewmaTrailing(Seq("u"), Seq("seq"), "value").as("e"))
+        .orderBy($"u", $"seq").as[(Long, Long, Option[Double])].collect().toSeq
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
+  test("paddingWaste matches the sequential batch accounting") {
+    import graft.operators.Curation
+    for (seed <- 1 to 6; bs <- Seq(3, 4)) {
+      val rnd = new Random(600 + seed)
+      val rows = (1 to 25).map(i => ("g" + (i % 2), i.toLong, (1 + rnd.nextInt(50)).toLong))
+      def bill(ordered: Seq[Long]) =
+        ordered.grouped(bs).map(b => b.max * b.size).sum
+      val expect = rows.groupBy(_._1).toSeq.map { case (g, es) =>
+        (g, es.map(_._3).sum,
+          bill(es.sortBy(_._2).map(_._3)),
+          bill(es.sortBy(e => (e._3, e._2)).map(_._3)))
+      }.sortBy(_._1)
+      val got = Curation.paddingWaste(
+        rows.toDF("g", "id", "len"), "g", "id", "len", batchSize = bs)
+        .orderBy($"g").as[(String, Long, Long, Long)].collect().toSeq
+      assert(got == expect, s"seed=$seed bs=$bs")
+    }
+  }
+
+  test("minhash estimate equals the per-position signature agreement") {
+    import graft.functions.TextFunctions
+    for (seed <- 1 to 4) {
+      val rnd = new Random(700 + seed)
+      val words = Seq("aa", "bb", "cc", "dd", "ee")
+      // near-dup docs: shared prefix, noisy tail — guarantees candidates
+      val base = Seq.fill(12)(words(rnd.nextInt(words.length))).mkString(" ")
+      val docs = Seq.tabulate(4)(i =>
+        (i.toLong, base + " " + Seq.fill(2)(words(rnd.nextInt(words.length))).mkString(" ")))
+        .toDF("doc_id", "text")
+      val acc = TextDedup.minhashEstimateAccuracy(docs, "doc_id", "text")
+        .as[(Long, Long, Double, Double, Double)].collect()
+      // recompute both measures from first principles per pair
+      val sigs = docs.select($"doc_id",
+        TextFunctions.minhashSignature(
+          TextFunctions.hash60Array(TextFunctions.shingles(TextFunctions.tokens($"text"), 2)), 12).as("sig"),
+        TextFunctions.hash60Array(TextFunctions.shingles(TextFunctions.tokens($"text"), 2)).as("sh"))
+        .as[(Long, Seq[Long], Seq[Long])].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      for ((a, b, est, jac, err) <- acc) {
+        val (sa, ha) = sigs(a); val (sb, hb) = sigs(b)
+        val expEst = math.round(sa.zip(sb).count(p => p._1 == p._2) / 12.0 * 1e4) / 1e4
+        val inter = ha.toSet.intersect(hb.toSet).size.toDouble
+        val expJac = math.round(inter / ha.toSet.union(hb.toSet).size * 1e4) / 1e4
+        assert(est == expEst && jac == expJac &&
+          err == math.round(math.abs(expEst - expJac) * 1e4) / 1e4, s"seed=$seed pair=($a,$b)")
+      }
+    }
+  }
+
   test("ngramNovelty matches brute force on random corpora") {
     for (seed <- 1 to 6) {
       val rnd = new Random(400 + seed)
