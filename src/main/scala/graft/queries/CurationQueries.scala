@@ -687,6 +687,33 @@ object CurationQueries {
           .select($"source", $"doc_id", tokenCount($"text").as("ntok")),
         "source", "doc_id", "ntok", batchSize = 8)
         .orderBy($"source")
+    },
+
+    // the one-scan corpus datasheet: sizes, language/source mix, and
+    // exact-dup count off the canonical fingerprint — the "dataset
+    // card" row a curation run publishes
+    Q.sql(
+      "q121_corpus_card",
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  round(avg(len(string_split_regex(trim(text), '\s+'))), 6) AS mean_ntok,
+        |  round(avg(n_chars), 6) AS mean_chars,
+        |  CAST(count(*) - count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS BIGINT) AS exact_dup_docs
+        |FROM documents""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      import graft.functions.TextFunctions.{canonicalFingerprint, tokenCount}
+      Tables.documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount($"text")).as("total_tokens"),
+        countDistinct($"lang").as("n_langs"),
+        countDistinct($"source").as("n_sources"),
+        round(avg(tokenCount($"text")), 6).as("mean_ntok"),
+        round(avg($"n_chars"), 6).as("mean_chars"),
+        (count(lit(1)) - countDistinct(canonicalFingerprint($"text")))
+          .as("exact_dup_docs"))
     }
   )
 }
