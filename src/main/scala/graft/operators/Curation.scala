@@ -486,6 +486,27 @@ object Curation {
     * frequency (ties broken by token) — the counting shape of vocab /
     * BPE-seed extraction.
     */
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis 2006): each row gets key = ln(u)/w with u a hash-derived
+    * uniform — the top-k keys ARE a weight-proportional sample, no RNG
+    * and no sequential reservoir. The key rounds to 6 before ranking
+    * (the library's cross-engine ordering grain) and the global top-k
+    * runs as TakeOrderedAndProject — per-partition partial top-k, no
+    * single-partition window.
+    */
+  def weightedSampleTopK(
+      df: DataFrame, idCol: String, weightCol: String, k: Int,
+      salt: String = "ws"): DataFrame = {
+    require(k >= 1)
+    val u = graft.functions.TextFunctions
+      .hash60(concat(lit(s"$salt:"), col(idCol).cast("string")))
+      .cast("double") / (1L << 60).toDouble
+    df.filter(col(weightCol) > 0)
+      .withColumn("key", round(log(u) / col(weightCol), 6))
+      .orderBy(col("key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Padding-waste accounting for batched training: within each group
     * (a data-parallel worker's shard), form `batchSize`-row batches in
     * arrival order vs length-sorted order and compare the padded token

@@ -714,6 +714,34 @@ object CurationQueries {
         round(avg($"n_chars"), 6).as("mean_chars"),
         (count(lit(1)) - countDistinct(canonicalFingerprint($"text")))
           .as("exact_dup_docs"))
+    },
+
+    // Efraimidis-Spirakis weighted sampling: top-50 by ln(u)/w with a
+    // hash-derived uniform — weight-proportional, RNG-free, global
+    // top-k as TakeOrderedAndProject (partial per-partition top-k)
+    Q.sql(
+      "q122_weighted_sample",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w,
+        |    ('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT::DOUBLE
+        |      / 1152921504606846976::DOUBLE AS u
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, w, round(ln(u) / w, 6) AS key
+        |  FROM d WHERE w > 0)
+        |SELECT doc_id, w, key FROM (
+        |  SELECT doc_id, w, key, row_number() OVER (ORDER BY key DESC, doc_id) AS rn FROM k)
+        |WHERE rn <= 50
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      import graft.functions.TextFunctions.tokenCount
+      Curation.weightedSampleTopK(
+        Tables.documents(s, d)
+          .select($"doc_id", tokenCount($"text").as("w")),
+        "doc_id", "w", k = 50)
+        .orderBy($"doc_id")
     }
   )
 }

@@ -271,6 +271,34 @@ object TextQueries {
       graft.operators.LanguageModel.codeSwitchProfile(
         Tables.documents(s, d), "doc_id", "text", windowTokens = 20)
         .orderBy($"doc_id")
+    },
+
+    // Zipf fit over the frequency-rank curve (regression on the
+    // log-log top-1000 types) — natural corpora slope toward -1;
+    // deviations flag synthetic or templated text. Windows run over
+    // TYPES only, like q94
+    Q.sql(
+      "q123_zipf_slope",
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents),
+        |cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+        |r AS (SELECT tok, c, CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rnk FROM cnt)
+        |SELECT CAST(count(*) AS BIGINT) AS n_types,
+        |  round(regr_slope(ln(c), ln(rnk)), 6) AS zipf_slope,
+        |  round(regr_r2(ln(c), ln(rnk)), 6) AS r2
+        |FROM r WHERE rnk <= 1000""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val cnt = Tables.documents(s, d)
+        .select(explode(tokens(lower($"text"))).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"c".desc, $"tok")
+      cnt.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= 1000)
+        .agg(
+          count(lit(1)).as("n_types"),
+          round(regr_slope(log($"c"), log($"rnk")), 6).as("zipf_slope"),
+          round(regr_r2(log($"c"), log($"rnk")), 6).as("r2"))
     }
   )
 }

@@ -122,6 +122,22 @@ class RobustStatsSpec extends SparkSpec {
     assert(r.toSeq == Seq((0L, 5.0), (1L, 0.0)))
   }
 
+  test("weightedSampleTopK is deterministic, excludes zero weights, favors heavy rows") {
+    import graft.operators.Curation
+    val df = ((1L to 40L).map(i => (i, 1L)) ++ Seq((100L, 50L), (101L, 0L)))
+      .toDF("id", "w")
+    val s1 = Curation.weightedSampleTopK(df, "id", "w", k = 10)
+      .select($"id").as[Long].collect().toSet
+    val s2 = Curation.weightedSampleTopK(df, "id", "w", k = 10)
+      .select($"id").as[Long].collect().toSet
+    assert(s1 == s2)            // hash-derived, no RNG
+    assert(!s1.contains(101L))  // zero weight can never be drawn
+    assert(s1.contains(100L))   // weight 50 vs 1 over 40 rivals: near-certain
+    // k >= positive-weight population returns exactly that population
+    val all = Curation.weightedSampleTopK(df, "id", "w", k = 100)
+    assert(all.count() == 41)
+  }
+
   test("cohortRetention builds the expected triangle") {
     val events = Seq(
       (1L, "2024-01-01 10:00:00"), (1L, "2024-01-08 10:00:00"),
