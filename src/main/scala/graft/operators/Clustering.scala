@@ -129,6 +129,52 @@ object Clustering {
     assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"), round(sum(col("d")), 3).as("inertia"))
 
+  /** Distributed PCA, top component by power iteration: center the
+    * data, build the d×d covariance matrix as one self-join aggregate
+    * over the exploded (row, dim, value) frame — the matrix is
+    * dim²-bounded, never row-bounded, so 100 TB of rows still yields a
+    * 64×64 frame — then iterate v ← C·v / ‖C·v‖ with each matvec an
+    * equi-join + partial-agg on the dim key. Covariance entries and
+    * each normalized iterate round to 6, so every step replays
+    * bit-identically cross-engine. Convergence rate is (λ₂/λ₁)ᵗ —
+    * near-flat spectra (e.g. isotropic synthetic vectors) converge
+    * slowly, clustered real embeddings fast; the oracle certifies the
+    * ITERATES, whatever the spectrum.
+    *
+    * Returns (dim, component, eigenvalue): the iterate after `iters`
+    * steps plus its Rayleigh quotient (rounded to 4).
+    */
+  def pcaPowerIteration(
+      emb: DataFrame, idCol: String, vecCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1)
+    val d = emb.select(col(idCol).as("_id"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "x")))
+    val m = d.groupBy(col("i")).agg(avg(col("x")).as("mu"))
+    val centered = d.join(m, "i").select(col("_id"), col("i"), (col("x") - col("mu")).as("x"))
+    val n = d.agg(countDistinct(col("_id")).as("n"))
+    val cov = centered.select(col("_id"), col("i"), col("x"))
+      .join(centered.select(col("_id"), col("i").as("j"), col("x").as("y")), Seq("_id"))
+      .groupBy(col("i"), col("j")).agg(sum(col("x") * col("y")).as("_s"))
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"), round(col("_s") / col("n"), 6).as("cv"))
+      .localCheckpoint(true)
+    var v = m.select(col("i"), lit(0.125).as("v")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val w = cov.join(v.select(col("i").as("j"), col("v")), Seq("j"))
+        .groupBy(col("i")).agg(sum(col("cv") * col("v")).as("w"))
+      val nrm = w.agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("i"), round(col("w") / col("nrm"), 6).as("v"))
+        .localCheckpoint(true)
+    }
+    val ray = cov
+      .join(v.select(col("i"), col("v").as("va")), Seq("i"))
+      .join(v.select(col("i").as("j"), col("v").as("vb")), Seq("j"))
+      .agg(round(sum(col("va") * col("cv") * col("vb")), 4).as("eigenvalue"))
+    v.crossJoin(broadcast(ray))
+      .select(col("i").as("dim"), col("v").as("component"), col("eigenvalue"))
+  }
+
   /** Distribution-shift probe: per label, the L2 distance between the
     * mean embeddings of two data halves (snapshots, time slices,
     * source splits) — a centroid that moved says the population under

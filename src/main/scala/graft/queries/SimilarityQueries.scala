@@ -769,6 +769,45 @@ object SimilarityQueries {
       Similarity.hardNegatives(
         emb, emb.filter($"vec_id" < 30), "vec_id", "embedding", "label", k = 5)
         .orderBy($"query_id", $"rank")
+    },
+
+    // distributed PCA: top principal component by 3 power-iteration
+    // steps over the dim^2-bounded covariance self-join — every
+    // rounded iterate and the Rayleigh quotient replayed in SQL
+    Q.sql(
+      "q124_pca_power",
+      """WITH d AS (
+        |  SELECT vec_id, CAST(unnest(range(0, len(embedding))) AS BIGINT) AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |m AS (SELECT i, avg(x) AS mu FROM d GROUP BY i),
+        |c AS (SELECT d.vec_id, d.i, d.x - m.mu AS x FROM d JOIN m USING (i)),
+        |n AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM d),
+        |cov AS MATERIALIZED (
+        |  SELECT a.i AS i, b.i AS j, round(sum(a.x * b.x) / n.n, 6) AS cv
+        |  FROM c a JOIN c b USING (vec_id) CROSS JOIN n
+        |  GROUP BY a.i, b.i, n.n),
+        |v0 AS (SELECT i, 0.125 AS v FROM m),
+        |w1 AS (SELECT cov.i AS i, sum(cov.cv * v0.v) AS w FROM cov JOIN v0 ON cov.j = v0.i GROUP BY cov.i),
+        |n1 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w1),
+        |v1 AS (SELECT i, round(w / nrm, 6) AS v FROM w1, n1),
+        |w2 AS (SELECT cov.i AS i, sum(cov.cv * v1.v) AS w FROM cov JOIN v1 ON cov.j = v1.i GROUP BY cov.i),
+        |n2 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w2),
+        |v2 AS (SELECT i, round(w / nrm, 6) AS v FROM w2, n2),
+        |w3 AS (SELECT cov.i AS i, sum(cov.cv * v2.v) AS w FROM cov JOIN v2 ON cov.j = v2.i GROUP BY cov.i),
+        |n3 AS (SELECT sqrt(sum(w * w)) AS nrm FROM w3),
+        |v3 AS (SELECT i, round(w / nrm, 6) AS v FROM w3, n3),
+        |ray AS (
+        |  SELECT round(sum(v3a.v * cov.cv * v3b.v), 4) AS eigenvalue
+        |  FROM cov JOIN v3 v3a ON cov.i = v3a.i JOIN v3 v3b ON cov.j = v3b.i)
+        |SELECT v3.i AS dim, v3.v AS component, ray.eigenvalue
+        |FROM v3, ray
+        |ORDER BY dim""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Clustering.pcaPowerIteration(
+        Tables.embeddings(s, d), "vec_id", "embedding", iters = 3)
+        .orderBy($"dim")
     }
   )
 }

@@ -29,7 +29,10 @@ class PlanAuditSpec extends SparkSpec {
     "q98_triangles", "q103_mrl_recall", "q104_interp_logprob", "q106_jl_ratio",
     // q118 broadcasts the LM's 1-row V plus the 1-row threshold frame;
     // q119 rides bruteForce-style broadcast query sets
-    "q118_ccnet_buckets", "q119_hard_negatives")
+    "q118_ccnet_buckets", "q119_hard_negatives",
+    // q124 broadcasts the 1-row Rayleigh-quotient frame onto the
+    // 64-row component vector
+    "q124_pca_power")
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -112,6 +112,24 @@ class RobustStatsSpec extends SparkSpec {
     assert(r.toSeq == Seq(("srcA", 3L, 3L, 1.0), ("srcB", 2L, 1L, 0.5)))
   }
 
+  test("pcaPowerIteration recovers a planted dominant direction") {
+    import graft.operators.Clustering
+    // variance concentrated on dim 0 (values ±10), noise ~1 on dim 1,
+    // constant dim 2 → top component must be ±e0, eigenvalue ≈ 100
+    val emb = Seq(
+      (0L, Seq(10.0f, 0.5f, 3.0f)), (1L, Seq(-10.0f, -0.5f, 3.0f)),
+      (2L, Seq(10.0f, -0.5f, 3.0f)), (3L, Seq(-10.0f, 0.5f, 3.0f)),
+      (4L, Seq(10.0f, 0.5f, 3.0f)), (5L, Seq(-10.0f, -0.5f, 3.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Clustering.pcaPowerIteration(emb, "vec_id", "embedding", iters = 3)
+      .orderBy($"dim").as[(Long, Double, Double)].collect()
+    assert(math.abs(math.abs(r(0)._2) - 1.0) < 1e-3) // component ≈ ±e0
+    // the planted signs leave cov(0,1) = 5/3, so the true eigenvector
+    // tilts ~0.017 toward dim 1 — the small loading is genuine
+    assert(math.abs(r(1)._2) < 0.05 && math.abs(r(2)._2) < 1e-9)
+    assert(math.abs(r(0)._3 - 100.0) < 1.0) // Rayleigh ≈ var(dim0) = 100
+  }
+
   test("centroidShift computes the planted per-label drift") {
     val df = Seq(
       (0L, "even", Seq(0.0f, 0.0f)), (0L, "odd", Seq(3.0f, 4.0f)), // dist 5
