@@ -48,6 +48,19 @@ class FormatsSpec extends SparkSpec {
     assert(got == (1 to 5).map(i => (i.toString, i.toLong)))
   }
 
+  test("gzipped csv ingests transparently through the codec-aware reader") {
+    val dir = tmpDir("fmt-gz")
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(s"$dir/d.csv.gz")))
+    gz.write("v,name\n1,a\n2,b\n3,c\n".getBytes("UTF-8")); gz.close()
+    val spec = graft.config.EntitySpec(
+      "d", s"$dir/d.csv.gz", graft.config.Settings("first", "skip"),
+      Seq.empty, Seq.empty, Seq.empty)
+    val got = CsvIngest.read(spark, spec).select($"v", $"name", col("_row_id"))
+      .as[(String, String, Long)].collect().toSeq.sortBy(_._3)
+    assert(got == Seq(("1", "a", 1L), ("2", "b", 2L), ("3", "c", 3L)))
+  }
+
   test("orc sources ingest through the same dispatch with row ids") {
     val dir = tmpDir("fmt-orc")
     (1 to 4).map(i => (i.toLong, s"name$i")).toDF("v", "name")
