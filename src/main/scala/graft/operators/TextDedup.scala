@@ -161,6 +161,60 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"), col("abs_err"))
   }
 
+  /** LSH parameter-tuning table: for each (bands × rowsPerBand) split
+    * of ONE shared signature frame, the candidate-pair count, the
+    * verified-dup count, and the precision — the measurement that
+    * picks the banding before a 100 TB run (more bands = higher
+    * recall, quadratically more candidates to verify). Signatures are
+    * computed once; each config adds only its band explode + bucket
+    * join; candidate frames are checkpointed because both the count
+    * and the verify pass consume them.
+    */
+  def lshTuningTable(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 2, threshold: Double = 0.8, numHashes: Int = 12,
+      configs: Seq[(Int, Int)] = Seq((2, 6), (3, 4), (4, 3), (6, 2))): DataFrame = {
+    require(configs.nonEmpty && configs.forall { case (b, r) => b * r == numHashes },
+      s"every (bands, rowsPerBand) config must multiply to numHashes=$numHashes")
+    GraftFunctions.register(df.sparkSession)
+    val sh = df.select(
+      col(idCol).as("doc_id"),
+      GraftFunctions.hashedShingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", GraftFunctions.minhashSig(col("sh"), numHashes))
+      .persist()
+    val shOnly = sh.select(col("doc_id"), col("sh"))
+    val rows = configs.map { case (b, r) =>
+      val banded = sh.select(
+        col("doc_id"),
+        explode(array((0 until b).map { bd =>
+          struct(lit(bd).as("band"),
+            md5(concat_ws("_",
+              (0 until r).map(rr => element_at(col("sig"), bd * r + rr + 1)): _*))
+              .as("bkey"))
+        }: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+      val cand = banded.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
+        .join(banded.select(col("band"), col("bkey"), col("doc_id").as("id_b")),
+          Seq("band", "bkey"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+        .localCheckpoint(true)
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      val nVer = cand
+        .join(shOnly.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(shOnly.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .filter(round(jaccard(col("sh_a"), col("sh_b")), 4) >= threshold)
+        .agg(count(lit(1)).as("n_verified"))
+      nCand.crossJoin(nVer).select(
+        lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+        col("n_candidates"), col("n_verified"),
+        round(col("n_verified").cast("double") /
+          greatest(col("n_candidates"), lit(1L)), 6).as("precision"))
+    }
+    rows.reduce(_ unionByName _)
+  }
+
   /** Cross-group duplicate matrix: how many verified near-dup pairs
     * span each (group, group) combination — the leakage dashboard
     * (sources that heavily duplicate each other are mirrors or

@@ -574,6 +574,94 @@ object DedupQueries {
       TextDedup.groupDupRate(
         Tables.documents(s, d), "doc_id", "text", "source")
         .orderBy($"source")
+    },
+
+    // LSH banding tuning table: candidates/verified/precision for
+    // every (bands x rows) split of ONE 12-hash signature frame — the
+    // recall-vs-verify-cost dial read off real data before a big run
+    Q.sql(
+      "q125_lsh_tuning",
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]),
+        |      s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT))) AS sh
+        |  FROM tok WHERE len(w) >= 2),
+        |sig AS MATERIALIZED (
+        |  SELECT doc_id, sh,
+        |    list_transform(range(0, 12), j ->
+        |      list_min(list_transform(sh, h ->
+        |        ((xor(h, CAST(('0x'||substr(md5('a#'||j),1,15)) AS BIGINT))
+        |          + CAST(('0x'||substr(md5('b#'||j),1,15)) AS BIGINT))
+        |         & 1152921504606846975)))) AS sig
+        |  FROM sh),
+        |bands_2 AS (
+        |  SELECT doc_id, b, md5(CAST(sig[b*6+1] AS VARCHAR) || '_' || CAST(sig[b*6+2] AS VARCHAR) || '_' || CAST(sig[b*6+3] AS VARCHAR) || '_' || CAST(sig[b*6+4] AS VARCHAR) || '_' || CAST(sig[b*6+5] AS VARCHAR) || '_' || CAST(sig[b*6+6] AS VARCHAR)) AS bkey
+        |  FROM sig, range(0, 2) t(b)),
+        |cand_2 AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS id_a, x.doc_id AS id_b
+        |  FROM bands_2 a JOIN bands_2 x ON a.b = x.b AND a.bkey = x.bkey AND a.doc_id < x.doc_id),
+        |ver_2 AS (
+        |  SELECT count(*) AS nv FROM cand_2 c
+        |  JOIN sig sa ON sa.doc_id = c.id_a
+        |  JOIN sig sb ON sb.doc_id = c.id_b
+        |  WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh)), 4) >= 0.8),
+        |bands_3 AS (
+        |  SELECT doc_id, b, md5(CAST(sig[b*4+1] AS VARCHAR) || '_' || CAST(sig[b*4+2] AS VARCHAR) || '_' || CAST(sig[b*4+3] AS VARCHAR) || '_' || CAST(sig[b*4+4] AS VARCHAR)) AS bkey
+        |  FROM sig, range(0, 3) t(b)),
+        |cand_3 AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS id_a, x.doc_id AS id_b
+        |  FROM bands_3 a JOIN bands_3 x ON a.b = x.b AND a.bkey = x.bkey AND a.doc_id < x.doc_id),
+        |ver_3 AS (
+        |  SELECT count(*) AS nv FROM cand_3 c
+        |  JOIN sig sa ON sa.doc_id = c.id_a
+        |  JOIN sig sb ON sb.doc_id = c.id_b
+        |  WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh)), 4) >= 0.8),
+        |bands_4 AS (
+        |  SELECT doc_id, b, md5(CAST(sig[b*3+1] AS VARCHAR) || '_' || CAST(sig[b*3+2] AS VARCHAR) || '_' || CAST(sig[b*3+3] AS VARCHAR)) AS bkey
+        |  FROM sig, range(0, 4) t(b)),
+        |cand_4 AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS id_a, x.doc_id AS id_b
+        |  FROM bands_4 a JOIN bands_4 x ON a.b = x.b AND a.bkey = x.bkey AND a.doc_id < x.doc_id),
+        |ver_4 AS (
+        |  SELECT count(*) AS nv FROM cand_4 c
+        |  JOIN sig sa ON sa.doc_id = c.id_a
+        |  JOIN sig sb ON sb.doc_id = c.id_b
+        |  WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh)), 4) >= 0.8),
+        |bands_6 AS (
+        |  SELECT doc_id, b, md5(CAST(sig[b*2+1] AS VARCHAR) || '_' || CAST(sig[b*2+2] AS VARCHAR)) AS bkey
+        |  FROM sig, range(0, 6) t(b)),
+        |cand_6 AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS id_a, x.doc_id AS id_b
+        |  FROM bands_6 a JOIN bands_6 x ON a.b = x.b AND a.bkey = x.bkey AND a.doc_id < x.doc_id),
+        |ver_6 AS (
+        |  SELECT count(*) AS nv FROM cand_6 c
+        |  JOIN sig sa ON sa.doc_id = c.id_a
+        |  JOIN sig sb ON sb.doc_id = c.id_b
+        |  WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh)), 4) >= 0.8)
+        |SELECT CAST(2 AS BIGINT) AS bands, CAST(6 AS BIGINT) AS rows_per_band,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cand_2) AS n_candidates,
+        |  (SELECT CAST(nv AS BIGINT) FROM ver_2) AS n_verified,
+        |  round((SELECT nv FROM ver_2)::DOUBLE / greatest((SELECT count(*) FROM cand_2), 1), 6) AS precision
+        |UNION ALL SELECT CAST(3 AS BIGINT) AS bands, CAST(4 AS BIGINT) AS rows_per_band,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cand_3) AS n_candidates,
+        |  (SELECT CAST(nv AS BIGINT) FROM ver_3) AS n_verified,
+        |  round((SELECT nv FROM ver_3)::DOUBLE / greatest((SELECT count(*) FROM cand_3), 1), 6) AS precision
+        |UNION ALL SELECT CAST(4 AS BIGINT) AS bands, CAST(3 AS BIGINT) AS rows_per_band,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cand_4) AS n_candidates,
+        |  (SELECT CAST(nv AS BIGINT) FROM ver_4) AS n_verified,
+        |  round((SELECT nv FROM ver_4)::DOUBLE / greatest((SELECT count(*) FROM cand_4), 1), 6) AS precision
+        |UNION ALL SELECT CAST(6 AS BIGINT) AS bands, CAST(2 AS BIGINT) AS rows_per_band,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cand_6) AS n_candidates,
+        |  (SELECT CAST(nv AS BIGINT) FROM ver_6) AS n_verified,
+        |  round((SELECT nv FROM ver_6)::DOUBLE / greatest((SELECT count(*) FROM cand_6), 1), 6) AS precision
+        |ORDER BY bands""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      TextDedup.lshTuningTable(Tables.documents(s, d), "doc_id", "text")
+        .orderBy($"bands")
     }
   )
 }

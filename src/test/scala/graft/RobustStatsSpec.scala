@@ -96,6 +96,26 @@ class RobustStatsSpec extends SparkSpec {
     assert(r.toSeq == Seq((2L, 1L, 1L), (3L, 1L, 2L)))
   }
 
+  test("lshTuningTable: identical docs are found by every config, precision bounded") {
+    val same = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (0L, same), (1L, same),
+      (2L, "completely different tokens appear in this text here"),
+      (3L, "yet another entirely unrelated document body goes here")
+    ).toDF("doc_id", "text")
+    val t = TextDedup.lshTuningTable(docs, "doc_id", "text")
+      .orderBy($"bands").as[(Long, Long, Long, Long, Double)].collect()
+    assert(t.length == 4)
+    for ((b, r, cand, ver, prec) <- t) {
+      assert(b * r == 12L)
+      assert(ver >= 1L)          // the identical pair hits every banding
+      assert(ver <= cand)
+      assert(prec > 0.0 && prec <= 1.0)
+    }
+    // candidate count cannot shrink as bands increase on this fixture
+    assert(t.map(_._3).toSeq == t.map(_._3).sorted.toSeq)
+  }
+
   test("cross-group dup matrix and dup rate agree with a planted fixture") {
     val t1 = "alpha beta gamma delta epsilon zeta eta theta"
     val t2 = "one two three four five six seven eight"
