@@ -31,8 +31,9 @@ class PlanAuditSpec extends SparkSpec {
     // q119 rides bruteForce-style broadcast query sets
     "q118_ccnet_buckets", "q119_hard_negatives",
     // q124 broadcasts the 1-row Rayleigh-quotient frame onto the
-    // 64-row component vector
-    "q124_pca_power")
+    // 64-row component vector; q125 cross-joins its two 1-row
+    // candidate/verified count frames per config
+    "q124_pca_power", "q125_lsh_tuning")
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
