@@ -544,4 +544,60 @@ object Curation {
       .agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
+
+  /** Rendezvous (highest-random-weight, Thaler & Ravishankar 1998)
+    * shard assignment: shard(key) = argmax over shards of
+    * md5(key # shard). Unlike mod-N hashing, growing N shards to N+1
+    * moves only ~1/(N+1) of keys — the property that makes shard
+    * splits cheap on a 100 TB corpus.
+    *
+    * The argmax is computed IN-ROW over an n-element array (array_max
+    * on (hex, shard) structs — lexicographic on the 32-char md5 hex,
+    * identical in any engine); no explode, no shuffle, the scan stays
+    * narrow.
+    */
+  def rendezvousShard(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, "need nShards >= 1")
+    val weights = array((0 until nShards).map { sh =>
+      struct(md5(concat(col(keyCol).cast("string"), lit("#"), lit(sh.toString)))
+        .as("h"), lit(sh.toLong).as("shard"))
+    }: _*)
+    df.withColumn("shard", array_max(weights).getField("shard"))
+  }
+
+  /** Gini coefficient of a nonnegative size column per group — how
+    * concentrated the corpus is (0 = all docs equal, →1 = one doc
+    * holds everything). Uses the rank identity
+    * G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n over ascending x: one
+    * per-group sort-rank window plus one aggregation; ties may take
+    * ranks in any order without changing the sum.
+    */
+  def giniBySource(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val ranked = df.select(col(groupCol), col(valueCol).cast("double").as("_x"))
+      .withColumn("_i", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("_x"))))
+    ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        round(lit(2.0) * sum(col("_i") * col("_x")) /
+          (count(lit(1)) * sum(col("_x"))) -
+          (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"))
+  }
+
+  /** 2-D Pareto frontier (skyline): rows not strictly dominated on
+    * (maximize x, maximize y). One sort by (x desc, y desc) and an
+    * exclusive running max of y — a row survives iff its y beats
+    * every y seen at higher-or-equal x. O(n log n), single window,
+    * no self-join; duplicate (x, y) points keep their first ranked
+    * representative (pass `tieCols` to make "first" deterministic).
+    */
+  def paretoFront2D(
+      df: DataFrame, xCol: String, yCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.orderBy(
+      col(xCol).desc +: col(yCol).desc +: tieCols.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("_best_y", max(col(yCol)).over(w))
+      .filter(col("_best_y").isNull || col(yCol) > col("_best_y"))
+      .drop("_best_y")
+  }
 }

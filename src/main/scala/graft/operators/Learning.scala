@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed model-fitting and evaluation primitives for quality
+  * classifiers over training corpora (reference: the pipeline's
+  * quality gates in main.py delegate scoring to fixed rules; these
+  * are the learned-score counterparts a 100 TB curation run needs).
+  *
+  * Everything is expressed as relational plans: features live as
+  * (row, dim, value) triples, weights as a dim-indexed frame that is
+  * broadcast back onto the data each step. No vector is ever
+  * collected to the driver; per-iterate rounding (6 dp) makes every
+  * step exactly replayable in DuckDB SQL, which is how the oracle
+  * certifies the math.
+  */
+object Learning {
+
+  /** Batch logistic regression by `iters` full-gradient steps.
+    *
+    * Input: `vecCol: array<float|double>` features (the first
+    * `nDims` entries are used), `labelCol` a 0/1 integer. A bias
+    * term is appended as dim = nDims with x = 1. Weights start at 0,
+    * so iterate 1 is deterministic; each weight update rounds to
+    * 6 dp (cross-engine exact replay), and the per-row margin rounds
+    * to 6 dp before the sigmoid so engines agree on p.
+    *
+    * Scale shape: one narrow posexplode of the feature slice, one
+    * broadcast join of the (nDims+1)-row weight frame per step, one
+    * partial-agg'd gradient per step. The corpus is scanned once per
+    * iteration — the textbook distributed GD plan.
+    *
+    * Returns (dim, weight, accuracy): the final weights plus the
+    * training accuracy (p >= 0.5 predicts 1) rounded to 4.
+    */
+  def logisticRegressionGD(
+      df: DataFrame, vecCol: String, labelCol: String,
+      nDims: Int, iters: Int = 3, lr: Double = 0.5): DataFrame = {
+    require(nDims >= 1 && iters >= 1, "need nDims >= 1 and iters >= 1")
+    val feats = df.select(
+      monotonically_increasing_id().as("_rid"),
+      col(labelCol).cast("double").as("_y"),
+      concat(slice(col(vecCol).cast("array<double>"), 1, nDims), array(lit(1.0)))
+        .as("_xs"))
+      .select(col("_rid"), col("_y"), posexplode(col("_xs")).as(Seq("dim", "x")))
+      .localCheckpoint(true)
+    val n = feats.select(col("_rid")).distinct().count().toDouble
+    var w = feats.select(col("dim")).distinct()
+      .select(col("dim"), lit(0.0).as("w"))
+      .localCheckpoint(true)
+    def margins(wt: DataFrame) =
+      feats.join(broadcast(wt), Seq("dim"))
+        .groupBy(col("_rid"), col("_y"))
+        .agg(round(sum(col("x") * col("w")), 6).as("m"))
+        .select(col("_rid"), col("_y"),
+          (lit(1.0) / (lit(1.0) + exp(-col("m")))).as("p"))
+    for (_ <- 1 to iters) {
+      val grad = margins(w).select(col("_rid"), col("p"))
+        .join(feats, Seq("_rid"))
+        .groupBy(col("dim"))
+        .agg((sum((col("p") - col("_y")) * col("x")) / lit(n)).as("g"))
+      w = w.join(broadcast(grad), Seq("dim"))
+        .select(col("dim"), round(col("w") - lit(lr) * col("g"), 6).as("w"))
+        .localCheckpoint(true)
+    }
+    val acc = margins(w)
+      .agg(round(avg(when((col("p") >= 0.5) === (col("_y") > 0.5), 1.0)
+        .otherwise(0.0)), 4).as("accuracy"))
+    w.crossJoin(broadcast(acc))
+      .select(col("dim").cast("long").as("dim"), col("w").as("weight"), col("accuracy"))
+  }
+
+  /** AUC of a score against a binary label by the Mann-Whitney
+    * rank-sum identity: AUC = (R_pos - nPos(nPos+1)/2) / (nPos·nNeg),
+    * with tied scores receiving their average rank (the standard
+    * tie-corrected estimator, equal to P(score_pos > score_neg) +
+    * P(=)/2).
+    *
+    * Ranks come from one global sort (row_number over score) with the
+    * tie-average computed per score group — two window passes, no
+    * join. At 100 TB a global sort-rank is a range-partitioned
+    * sort — exactly what Spark's window on an unpartitioned ORDER BY
+    * plans — so this stays a two-stage job.
+    *
+    * Returns one row (auc, n_pos, n_neg), auc rounded to 6.
+    */
+  def aucRankSum(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = df.select(col(scoreCol).cast("double").as("s"),
+      col(labelCol).cast("int").as("y"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("s"))))
+      .withColumn("r", avg(col("rn")).over(Window.partitionBy(col("s"))))
+    ranked.agg(
+      sum(when(col("y") === 1, col("r"))).as("_rpos"),
+      sum(when(col("y") === 1, 1L)).as("n_pos"),
+      sum(when(col("y") =!= 1, 1L)).as("n_neg"))
+      .select(
+        round((col("_rpos") - col("n_pos") * (col("n_pos") + 1) / lit(2.0)) /
+          (col("n_pos") * col("n_neg")), 6).as("auc"),
+        col("n_pos"), col("n_neg"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov statistic between the value
+    * distributions of two groups: D = max over observed values of
+    * |F_a(x) - F_b(x)| — the standard nonparametric drift alarm
+    * between two corpus snapshots or sources.
+    *
+    * Shape: collapse to per-(value) group counts (ONE partial-agg'd
+    * groupBy — ties collapse here, so the running sums are exact at
+    * value boundaries), then two cumulative windows over the sorted
+    * distinct values. The windowed frame is at most |distinct values|
+    * rows regardless of input size.
+    *
+    * Returns one row (ks_stat, n_a, n_b), ks_stat rounded to 6.
+    */
+  def ksTwoSample(
+      df: DataFrame, valueCol: String, groupCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(valueCol).cast("double").as("v"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("cb"))
+    val totals = counts.agg(
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .crossJoin(broadcast(totals))
+      .agg(
+        round(max(abs(col("cuma") / col("n_a") - col("cumb") / col("n_b"))), 6)
+          .as("ks_stat"),
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+  }
+}

@@ -51,4 +51,36 @@ object Sketches {
       .join(sketch, Seq("row_id", "bucket"))
       .groupBy(col(tokCol))
       .agg(min(col("cnt")).as("cms_est"))
+
+  /** Positions a key sets/tests in an m-bit Bloom filter with k
+    * seeded hash60 functions — deduplicated, since two seeds may
+    * collide on the same bit.
+    */
+  private def bloomBits(key: org.apache.spark.sql.Column, k: Int, m: Int) =
+    array_distinct(array((0 until k).map(j =>
+      pmod(hash60(key, j), lit(m.toLong))): _*))
+
+  /** Bloom filter (Bloom 1970) over a key column, materialized as the
+    * frame of SET bit positions (at most m rows however large the
+    * build side) — the broadcastable membership summary that turns a
+    * shuffle semi-join into a map-side probe at 100 TB.
+    */
+  def bloomBuild(df: DataFrame, keyCol: String, k: Int = 5, m: Int = 4096): DataFrame = {
+    require(k >= 1 && m >= 1, "bloom needs k >= 1 hashes, m >= 1 bits")
+    df.select(explode(bloomBits(col(keyCol), k, m)).as("bit")).distinct()
+  }
+
+  /** Probe keys against a built filter: a key is bloom-positive iff
+    * ALL its bits are set (no false negatives; false-positive rate
+    * ~ (1 - e^{-kn/m})^k). The probe explodes each key to its <= k
+    * distinct bits and broadcast-joins the bit frame — the corpus-
+    * side pass is embarrassingly parallel.
+    */
+  def bloomProbe(
+      bloom: DataFrame, df: DataFrame, keyCol: String,
+      k: Int = 5, m: Int = 4096): DataFrame =
+    df.select(col(keyCol), explode(bloomBits(col(keyCol), k, m)).as("bit"))
+      .join(broadcast(bloom.withColumn("_set", lit(1))), Seq("bit"), "left")
+      .groupBy(col(keyCol))
+      .agg((count(lit(1)) === sum(coalesce(col("_set"), lit(0)))).as("bloom_pos"))
 }

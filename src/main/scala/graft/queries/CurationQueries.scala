@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.operators.{BpeTrainer, Curation, DataProfiler}
+import graft.operators.{BpeTrainer, Curation, DataProfiler, Sketches}
 import org.apache.spark.sql.functions._
 
 /** Training-data curation over `documents`: deterministic dataset
@@ -742,6 +742,121 @@ object CurationQueries {
           .select($"doc_id", tokenCount($"text").as("w")),
         "doc_id", "w", k = 50)
         .orderBy($"doc_id")
+    },
+
+    // rendezvous (HRW) sharding: per-shard doc counts at 8 and 9
+    // shards plus how many docs each shard gained in the 8→9 split —
+    // only ~1/9 of keys move, vs ~8/9 under mod-N. Both assignments
+    // come from ONE narrow pass (two in-row argmaxes, no shuffle
+    // until the count)
+    Q.sql(
+      "q129_rendezvous",
+      """WITH x AS (
+        |  SELECT doc_id, CAST(unnest(range(0, 9)) AS BIGINT) AS s,
+        |    md5(CAST(doc_id AS VARCHAR) || '#' || CAST(unnest(range(0, 9)) AS VARCHAR)) AS h
+        |  FROM documents),
+        |a8 AS (SELECT doc_id, arg_max(s, h) AS shard8 FROM x WHERE s < 8 GROUP BY doc_id),
+        |a9 AS (SELECT doc_id, arg_max(s, h) AS shard9 FROM x GROUP BY doc_id),
+        |j AS (SELECT a8.shard8, a9.shard9 FROM a8 JOIN a9 USING (doc_id)),
+        |c8 AS (SELECT shard8 AS shard, CAST(count(*) AS BIGINT) AS cnt8 FROM j GROUP BY 1),
+        |c9 AS (SELECT shard9 AS shard, CAST(count(*) AS BIGINT) AS cnt9,
+        |  CAST(sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS BIGINT) AS moved_in
+        |  FROM j GROUP BY 1)
+        |SELECT c9.shard AS shard, coalesce(c8.cnt8, 0) AS cnt8, c9.cnt9 AS cnt9,
+        |  c9.moved_in AS moved_in
+        |FROM c9 LEFT JOIN c8 USING (shard) ORDER BY shard""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val assigned = Curation.rendezvousShard(
+        Tables.documents(s, d).select($"doc_id"), "doc_id", 8)
+        .withColumnRenamed("shard", "shard8")
+        .transform(Curation.rendezvousShard(_, "doc_id", 9))
+        .withColumnRenamed("shard", "shard9")
+      val c8 = assigned.groupBy($"shard8".as("shard"))
+        .agg(count(lit(1)).as("cnt8"))
+      val c9 = assigned.groupBy($"shard9".as("shard"))
+        .agg(count(lit(1)).as("cnt9"),
+          sum(when($"shard8" =!= $"shard9", 1L).otherwise(0L)).as("moved_in"))
+      c9.join(c8, Seq("shard"), "left")
+        .select($"shard", coalesce($"cnt8", lit(0L)).as("cnt8"), $"cnt9", $"moved_in")
+        .orderBy($"shard")
+    },
+
+    // corpus concentration: per-source Gini coefficient of document
+    // lengths — one per-source sort-rank window + one aggregation;
+    // the inequality audit a mixture rebalance starts from
+    Q.sql(
+      "q130_gini",
+      """WITH r AS (SELECT source, CAST(n_chars AS DOUBLE) AS x,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars) AS i FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(2.0 * sum(i * x) / (count(*) * sum(x))
+        |    - (count(*) + 1.0) / count(*), 6) AS gini
+        |FROM r GROUP BY source ORDER BY source""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Curation.giniBySource(Tables.documents(s, d), "source", "n_chars")
+        .orderBy($"source")
+    },
+
+    // Bloom-filter membership pruning: a 4096-bit / 5-hash filter over
+    // orders' customer keys probed by every customer — the broadcast
+    // summary that replaces a shuffle semi-join at 100 TB, with its
+    // false-positive cost measured against exact membership
+    Q.sql(
+      "q131_bloom",
+      """WITH keys AS (SELECT DISTINCT o_custkey AS key FROM orders),
+        |bits AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(CAST(key AS VARCHAR) || '#' || CAST(j AS VARCHAR)), 1, 15))::BIGINT % 4096 AS bit
+        |  FROM keys CROSS JOIN (SELECT unnest(range(0, 5)) AS j) js),
+        |probe AS (SELECT c_custkey AS key FROM customer),
+        |pb AS (SELECT DISTINCT key,
+        |    ('0x' || substr(md5(CAST(key AS VARCHAR) || '#' || CAST(j AS VARCHAR)), 1, 15))::BIGINT % 4096 AS bit
+        |  FROM probe CROSS JOIN (SELECT unnest(range(0, 5)) AS j) js),
+        |flag AS (SELECT pb.key,
+        |    CASE WHEN count(*) = sum(CASE WHEN bits.bit IS NOT NULL THEN 1 ELSE 0 END)
+        |      THEN 1 ELSE 0 END AS pos
+        |  FROM pb LEFT JOIN bits ON pb.bit = bits.bit GROUP BY pb.key),
+        |truth AS (SELECT key, CASE WHEN key IN (SELECT key FROM keys)
+        |    THEN 1 ELSE 0 END AS is_mem FROM probe)
+        |SELECT CAST(count(*) AS BIGINT) AS n_probe,
+        |  CAST(sum(flag.pos) AS BIGINT) AS bloom_pos,
+        |  CAST(sum(truth.is_mem) AS BIGINT) AS true_pos,
+        |  CAST(sum(CASE WHEN flag.pos = 1 AND truth.is_mem = 0 THEN 1 ELSE 0 END) AS BIGINT) AS false_pos
+        |FROM flag JOIN truth USING (key)""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val keys = Tables.orders(s, d).select($"o_custkey".as("key")).distinct()
+      val bloom = Sketches.bloomBuild(keys, "key", k = 5, m = 4096)
+      val probe = Tables.customer(s, d).select($"c_custkey".as("key"))
+      val flags = Sketches.bloomProbe(bloom, probe, "key", k = 5, m = 4096)
+      val truth = probe.join(keys.withColumn("_mem", lit(1)), Seq("key"), "left")
+        .select($"key", coalesce($"_mem", lit(0)).as("is_mem"))
+      flags.join(truth, "key").agg(
+        count(lit(1)).as("n_probe"),
+        sum(when($"bloom_pos", 1L).otherwise(0L)).as("bloom_pos"),
+        sum($"is_mem".cast("long")).as("true_pos"),
+        sum(when($"bloom_pos" && $"is_mem" === 0, 1L).otherwise(0L)).as("false_pos"))
+    },
+
+    // Pareto frontier of customers on (total spend, order count):
+    // the non-dominated set via one sort + exclusive running max —
+    // no quadratic dominance self-join
+    Q.sql(
+      "q132_pareto",
+      """WITH agg AS (SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS spend,
+        |  CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1),
+        |r AS (SELECT custkey, spend, n_orders, max(n_orders) OVER (
+        |  ORDER BY spend DESC, n_orders DESC, custkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best FROM agg)
+        |SELECT custkey, spend, n_orders FROM r WHERE best IS NULL OR n_orders > best
+        |ORDER BY spend DESC, custkey""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val agg = Tables.orders(s, d).groupBy($"o_custkey".as("custkey"))
+        .agg(round(sum($"o_totalprice"), 2).as("spend"), count(lit(1)).as("n_orders"))
+      Curation.paretoFront2D(agg, "spend", "n_orders", Seq("custkey"))
+        .orderBy($"spend".desc, $"custkey")
     }
   )
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.operators.{Clustering, DupGraph, Similarity}
+import graft.operators.{Clustering, DupGraph, Learning, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over the embeddings table.
@@ -808,6 +808,78 @@ object SimilarityQueries {
       Clustering.pcaPowerIteration(
         Tables.embeddings(s, d), "vec_id", "embedding", iters = 3)
         .orderBy($"dim")
+    },
+
+    // distributed logistic regression: 3 full-batch gradient steps on
+    // 4 embedding dims + bias predicting label >= 5, every weight
+    // iterate rounded to 6 dp and replayed in SQL — the learned
+    // quality-classifier primitive, as one scan per step
+    Q.sql(
+      "q126_logreg_gd",
+      """WITH f AS (
+        |  SELECT vec_id, CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END AS y,
+        |    list_append(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)), 1.0) AS xs
+        |  FROM embeddings),
+        |d AS (SELECT vec_id, y, CAST(unnest(range(0, len(xs))) AS BIGINT) AS dim,
+        |  unnest(xs) AS x FROM f),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+        |w0 AS (SELECT DISTINCT dim, 0.0 AS w FROM d),
+        |p1 AS (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
+        |  SELECT d.vec_id, any_value(d.y) AS y, round(sum(d.x * w0.w), 6) AS m
+        |  FROM d JOIN w0 USING (dim) GROUP BY d.vec_id) m),
+        |g1 AS (SELECT d.dim, sum((p1.p - p1.y) * d.x) / n.n AS g
+        |  FROM d JOIN p1 USING (vec_id) CROSS JOIN n GROUP BY d.dim, n.n),
+        |w1 AS (SELECT w0.dim, round(w0.w - 0.5 * g1.g, 6) AS w FROM w0 JOIN g1 USING (dim)),
+        |p2 AS (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
+        |  SELECT d.vec_id, any_value(d.y) AS y, round(sum(d.x * w1.w), 6) AS m
+        |  FROM d JOIN w1 USING (dim) GROUP BY d.vec_id) m),
+        |g2 AS (SELECT d.dim, sum((p2.p - p2.y) * d.x) / n.n AS g
+        |  FROM d JOIN p2 USING (vec_id) CROSS JOIN n GROUP BY d.dim, n.n),
+        |w2 AS (SELECT w1.dim, round(w1.w - 0.5 * g2.g, 6) AS w FROM w1 JOIN g2 USING (dim)),
+        |p3 AS (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
+        |  SELECT d.vec_id, any_value(d.y) AS y, round(sum(d.x * w2.w), 6) AS m
+        |  FROM d JOIN w2 USING (dim) GROUP BY d.vec_id) m),
+        |g3 AS (SELECT d.dim, sum((p3.p - p3.y) * d.x) / n.n AS g
+        |  FROM d JOIN p3 USING (vec_id) CROSS JOIN n GROUP BY d.dim, n.n),
+        |w3 AS (SELECT w2.dim, round(w2.w - 0.5 * g3.g, 6) AS w FROM w2 JOIN g3 USING (dim)),
+        |p4 AS (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
+        |  SELECT d.vec_id, any_value(d.y) AS y, round(sum(d.x * w3.w), 6) AS m
+        |  FROM d JOIN w3 USING (dim) GROUP BY d.vec_id) m),
+        |acc AS (SELECT round(avg(CASE WHEN (p >= 0.5) = (y > 0.5) THEN 1.0 ELSE 0.0 END), 4)
+        |  AS accuracy FROM p4)
+        |SELECT w3.dim AS dim, w3.w AS weight, acc.accuracy AS accuracy
+        |FROM w3 CROSS JOIN acc ORDER BY dim""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d).select($"embedding",
+        when($"label" >= 5, 1.0).otherwise(0.0).as("y"))
+      Learning.logisticRegressionGD(emb, "embedding", "y", nDims = 4, iters = 3, lr = 0.5)
+        .orderBy($"dim")
+    },
+
+    // classifier evaluation without a threshold sweep: AUC by the
+    // tie-corrected Mann-Whitney rank-sum over one global sort —
+    // score = first embedding dim, label = label >= 5
+    Q.sql(
+      "q127_auc",
+      """WITH s AS (SELECT round(CAST(embedding[1] AS DOUBLE), 6) AS s,
+        |  CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings),
+        |r AS (SELECT s, y, row_number() OVER (ORDER BY s) AS rn FROM s),
+        |a AS (SELECT s, y, avg(rn) OVER (PARTITION BY s) AS r FROM r)
+        |SELECT round((sum(CASE WHEN y = 1 THEN r END)
+        |    - sum(CASE WHEN y = 1 THEN 1.0 ELSE 0.0 END)
+        |      * (sum(CASE WHEN y = 1 THEN 1.0 ELSE 0.0 END) + 1) / 2)
+        |  / (sum(CASE WHEN y = 1 THEN 1.0 ELSE 0.0 END)
+        |     * sum(CASE WHEN y = 0 THEN 1.0 ELSE 0.0 END)), 6) AS auc,
+        |  CAST(sum(y) AS BIGINT) AS n_pos,
+        |  CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+        |FROM a""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d).select(
+        round($"embedding" (0).cast("double"), 6).as("score"),
+        when($"label" >= 5, 1).otherwise(0).as("y"))
+      Learning.aucRankSum(emb, "score", "y")
     }
   )
 }

@@ -432,6 +432,28 @@ object WindowStatsQueries {
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"), sum($"w").as("total_w"))
         .orderBy($"event_type")
+    },
+
+    // distribution drift alarm: two-sample Kolmogorov-Smirnov between
+    // click and purchase value distributions — ties collapse in ONE
+    // partial-agg'd groupBy, then two cumulative windows over the
+    // at-most-|distinct values| frame
+    Q.sql(
+      "q128_ks_drift",
+      """WITH c AS (
+        |  SELECT CAST(value AS DOUBLE) AS v,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+        |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY v),
+        |cum AS (SELECT sum(ca) OVER (ORDER BY v) AS cuma,
+        |  sum(cb) OVER (ORDER BY v) AS cumb FROM c),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM c)
+        |SELECT round(max(abs(cuma * 1.0 / n_a - cumb * 1.0 / n_b)), 6) AS ks_stat,
+        |  max(n_a) AS n_a, max(n_b) AS n_b
+        |FROM cum CROSS JOIN t""".stripMargin
+    ) { (s, d) =>
+      graft.operators.Learning.ksTwoSample(
+        Tables.events(s, d), "value", "event_type", "click", "purchase")
     }
   )
 }

@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.{Curation, Learning, Sketches}
+import org.apache.spark.sql.functions._
+
+/** Invariants for the learned-scoring / membership / concentration
+  * operators that the DuckDB oracles (q126-q132) certify numerically:
+  * here we pin the MATH properties — GD separates separable data, AUC
+  * hits its closed-form extremes, KS is 0 against itself, Bloom never
+  * false-negatives, HRW moves only into the new shard, Gini and the
+  * Pareto front match hand-computed answers.
+  */
+class LearningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sep = {
+    // linearly separable on dim 0: x0 = (2y-1) +/- 0.25
+    val rows = (0 until 40).map { i =>
+      val y = i % 2
+      (i.toLong, Array((2 * y - 1) + (if (i % 4 < 2) 0.25f else -0.25f), 0.0f), y.toDouble)
+    }
+    rows.toDF("id", "vec", "y")
+  }
+
+  test("logisticRegressionGD separates separable data and improves accuracy") {
+    val out = Learning.logisticRegressionGD(sep, "vec", "y", nDims = 2, iters = 5, lr = 1.0)
+      .collect()
+    assert(out.length == 3) // 2 dims + bias
+    val acc = out.head.getAs[Double]("accuracy")
+    assert(acc == 1.0, s"separable data must reach accuracy 1.0, got $acc")
+    val w0 = out.find(_.getAs[Long]("dim") == 0).get.getAs[Double]("weight")
+    assert(w0 > 0, "weight on the separating dim must be positive")
+  }
+
+  test("aucRankSum is 1 for perfect ranking, 0.5 under label-free scores") {
+    val perfect = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)).toDF("s", "y")
+    assert(Learning.aucRankSum(perfect, "s", "y").collect().head
+      .getAs[Double]("auc") == 1.0)
+    // all scores tied -> every pair is a coin flip -> exactly 0.5
+    val tied = Seq((0.5, 1), (0.5, 1), (0.5, 0), (0.5, 0)).toDF("s", "y")
+    assert(Learning.aucRankSum(tied, "s", "y").collect().head
+      .getAs[Double]("auc") == 0.5)
+  }
+
+  test("aucRankSum matches the pair-counting definition with ties") {
+    val df = Seq((0.1, 0), (0.3, 0), (0.3, 1), (0.7, 1), (0.9, 0)).toDF("s", "y")
+    // pairs (pos > neg): (0.3,1) beats 0.1; (0.7,1) beats 0.1,0.3; tie (0.3 vs 0.3) = 0.5
+    // auc = (1 + 2 + 0.5) / (2*3)
+    val got = Learning.aucRankSum(df, "s", "y").collect().head
+    assert(got.getAs[Double]("auc") == math.rint(3.5 / 6.0 * 1e6) / 1e6)
+    assert(got.getAs[Long]("n_pos") == 2 && got.getAs[Long]("n_neg") == 3)
+  }
+
+  test("ksTwoSample is 0 for identical samples, 1 for disjoint supports") {
+    val same = Seq(("a", 1.0), ("b", 1.0), ("a", 2.0), ("b", 2.0)).toDF("g", "v")
+    assert(Learning.ksTwoSample(same, "v", "g", "a", "b").collect().head
+      .getAs[Double]("ks_stat") == 0.0)
+    val disjoint = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    assert(Learning.ksTwoSample(disjoint, "v", "g", "a", "b").collect().head
+      .getAs[Double]("ks_stat") == 1.0)
+  }
+
+  test("bloomProbe has no false negatives and bounded false positives") {
+    val members = (0L until 200L).toDF("key")
+    val bloom = Sketches.bloomBuild(members, "key", k = 5, m = 4096)
+    val probes = (0L until 1000L).toDF("key")
+    val flags = Sketches.bloomProbe(bloom, probes, "key", k = 5, m = 4096)
+    val fn = flags.filter($"key" < 200 && !$"bloom_pos").count()
+    assert(fn == 0, "a Bloom filter must never reject a member")
+    val fp = flags.filter($"key" >= 200 && $"bloom_pos").count()
+    // m=4096, k=5, n=200 -> theoretical fp ~ (1-e^{-kn/m})^5 ~ 2e-4
+    assert(fp <= 8, s"false-positive count $fp far above the 4096-bit design rate")
+  }
+
+  test("rendezvousShard moves keys ONLY into the new shard on grow") {
+    val keys = (0L until 500L).toDF("k")
+    val both = Curation.rendezvousShard(keys, "k", 8).withColumnRenamed("shard", "s8")
+      .transform(Curation.rendezvousShard(_, "k", 9))
+    val moved = both.filter($"s8" =!= $"shard")
+    assert(moved.filter($"shard" =!= 8).count() == 0,
+      "HRW growth may only move keys to the added shard")
+    val movedN = moved.count()
+    assert(movedN > 20 && movedN < 120, s"~1/9 of 500 keys should move, got $movedN")
+    // every shard id in range and populated
+    assert(both.select("shard").distinct().count() == 9)
+  }
+
+  test("giniBySource: equal sizes -> 0; one-holds-all is maximal") {
+    val equal = Seq(("s", 10), ("s", 10), ("s", 10), ("s", 10)).toDF("src", "n")
+    assert(Curation.giniBySource(equal, "src", "n").collect().head
+      .getAs[Double]("gini") == 0.0)
+    val skewed = Seq(("s", 0), ("s", 0), ("s", 0), ("s", 100)).toDF("src", "n")
+    // G = 2*(4*100)/(4*100) - 5/4 = 0.75 (the n=4 maximum)
+    assert(Curation.giniBySource(skewed, "src", "n").collect().head
+      .getAs[Double]("gini") == 0.75)
+  }
+
+  test("paretoFront2D keeps exactly the non-dominated points") {
+    val pts = Seq((1L, 5.0, 5L), (2L, 4.0, 9L), (3L, 3.0, 1L), (4L, 5.0, 4L),
+      (5L, 2.0, 9L)).toDF("id", "x", "y")
+    val front = Curation.paretoFront2D(pts, "x", "y", Seq("id"))
+      .select("id").as[Long].collect().toSet
+    // (5,5) dominates (5,4); (4,9) dominates (3,1) and (2,9)
+    assert(front == Set(1L, 2L))
+  }
+}

@@ -33,7 +33,11 @@ class PlanAuditSpec extends SparkSpec {
     // q124 broadcasts the 1-row Rayleigh-quotient frame onto the
     // 64-row component vector; q125 cross-joins its two 1-row
     // candidate/verified count frames per config
-    "q124_pca_power", "q125_lsh_tuning")
+    "q124_pca_power", "q125_lsh_tuning",
+    // q126 broadcasts the 1-row training-accuracy frame onto the
+    // 5-row weight vector; q128 broadcasts the 1-row (n_a, n_b)
+    // totals onto the distinct-value CDF frame
+    "q126_logreg_gd", "q128_ks_drift")
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
