@@ -34,9 +34,14 @@ object Learning {
     * Returns (dim, weight, accuracy): the final weights plus the
     * training accuracy (p >= 0.5 predicts 1) rounded to 4.
     */
-  def logisticRegressionGD(
+  /** Shared GD loop: (feats triples, per-row sigmoid scorer, final
+    * weights). `margins(w)` is one broadcast join + one partial agg
+    * per evaluation; the per-row margin rounds to 6 dp before the
+    * sigmoid so engines agree on p.
+    */
+  private def trainGD(
       df: DataFrame, vecCol: String, labelCol: String,
-      nDims: Int, iters: Int = 3, lr: Double = 0.5): DataFrame = {
+      nDims: Int, iters: Int, lr: Double): (DataFrame => DataFrame, DataFrame) = {
     require(nDims >= 1 && iters >= 1, "need nDims >= 1 and iters >= 1")
     val feats = df.select(
       monotonically_increasing_id().as("_rid"),
@@ -64,11 +69,101 @@ object Learning {
         .select(col("dim"), round(col("w") - lit(lr) * col("g"), 6).as("w"))
         .localCheckpoint(true)
     }
+    (margins, w)
+  }
+
+  def logisticRegressionGD(
+      df: DataFrame, vecCol: String, labelCol: String,
+      nDims: Int, iters: Int = 3, lr: Double = 0.5): DataFrame = {
+    val (margins, w) = trainGD(df, vecCol, labelCol, nDims, iters, lr)
     val acc = margins(w)
       .agg(round(avg(when((col("p") >= 0.5) === (col("_y") > 0.5), 1.0)
         .otherwise(0.0)), 4).as("accuracy"))
     w.crossJoin(broadcast(acc))
       .select(col("dim").cast("long").as("dim"), col("w").as("weight"), col("accuracy"))
+  }
+
+  /** Per-row predictions (y, p) of the trained model — the input to
+    * calibration and threshold analysis.
+    */
+  def logisticPredict(
+      df: DataFrame, vecCol: String, labelCol: String,
+      nDims: Int, iters: Int = 3, lr: Double = 0.5): DataFrame = {
+    val (margins, w) = trainGD(df, vecCol, labelCol, nDims, iters, lr)
+    margins(w).select(col("_y").as("y"), col("p"))
+  }
+
+  /** Reliability diagram: predictions bucketed into `bins` equal-width
+    * probability bins (floor(p·bins), top-clamped), each with its
+    * count, mean predicted probability, and empirical positive rate —
+    * the calibration check a learned quality filter needs before its
+    * scores gate data. One groupBy, rounds to 6.
+    */
+  def calibrationBins(
+      preds: DataFrame, probCol: String, labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need bins >= 2")
+    preds.select(
+      least(floor(col(probCol) * bins), lit(bins - 1)).cast("long").as("bin"),
+      col(probCol).cast("double").as("_p"), col(labelCol).cast("double").as("_y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("_p")), 6).as("mean_p"),
+        round(avg(col("_y")), 6).as("frac_pos"))
+  }
+
+  /** Chi-squared association between item presence and a class column
+    * over (item, cls) presence pairs (one row per item x document).
+    * `clsTotals` = (cls, n_cls) document counts. For each item the
+    * 2 x K contingency table (present/absent x class) is reduced to
+    * chi2 = sum (O-E)^2/E via the class marginals — one groupBy over
+    * the pairs plus a broadcast of the K-row totals; the full table
+    * is never materialized.
+    */
+  def chi2Presence(pairs: DataFrame, clsTotals: DataFrame): DataFrame = {
+    val present = pairs.groupBy(col("item"), col("cls"))
+      .agg(count(lit(1)).as("o1"))
+    // cross the per-item universe with the K-row class totals so
+    // classes where an item never occurs contribute o1 = 0 cells
+    val byItem = present.select(col("item")).distinct()
+      .crossJoin(broadcast(clsTotals))
+      .join(present, Seq("item", "cls"), "left")
+      .select(col("item"), col("cls"), col("n_cls"),
+        coalesce(col("o1"), lit(0L)).as("o1"))
+    val n = clsTotals.agg(sum(col("n_cls")).as("nn"))
+    val r1 = byItem.groupBy(col("item")).agg(sum(col("o1")).as("r1"))
+    byItem.join(broadcast(r1), Seq("item")).crossJoin(broadcast(n))
+      // an item present in EVERY document has e0 = 0 (chi2 undefined)
+      .filter(col("r1") < col("nn"))
+      .select(col("item"), col("n_cls"), col("o1"), col("r1"), col("nn"),
+        (col("n_cls") * col("r1") / col("nn")).as("e1"),
+        (col("n_cls") * (col("nn") - col("r1")) / col("nn")).as("e0"))
+      .groupBy(col("item"))
+      .agg(round(sum(
+        pow(col("o1") - col("e1"), 2) / col("e1") +
+          pow(col("n_cls") - col("o1") - col("e0"), 2) / col("e0")), 6).as("chi2"),
+        max(col("r1")).as("doc_freq"))
+  }
+
+  /** Mutual information (nats) between two categorical columns, plus
+    * both marginal entropies: MI = sum p(a,b) ln(p(a,b)/(p(a)p(b))).
+    * One joint groupBy; marginals re-aggregate the (tiny) joint frame
+    * and broadcast back. Returns one row (mi, h_a, h_b), rounded 6.
+    */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val joint = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val n = joint.agg(sum(col("c")).as("n"))
+    val ma = joint.groupBy(col("a")).agg(sum(col("c")).as("ca"))
+    val mb = joint.groupBy(col("b")).agg(sum(col("c")).as("cb"))
+    val mi = joint.join(broadcast(ma), "a").join(broadcast(mb), "b")
+      .crossJoin(broadcast(n))
+      .agg(round(sum((col("c") / col("n")) *
+        log(col("c") * col("n") / (col("ca") * col("cb")))), 6).as("mi"))
+    val ha = ma.crossJoin(broadcast(n))
+      .agg(round(-sum((col("ca") / col("n")) * log(col("ca") / col("n"))), 6).as("h_a"))
+    val hb = mb.crossJoin(broadcast(n))
+      .agg(round(-sum((col("cb") / col("n")) * log(col("cb") / col("n"))), 6).as("h_b"))
+    mi.crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
   }
 
   /** AUC of a score against a binary label by the Mann-Whitney

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions.tokens
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Lexical retrieval and rank fusion — the search-side primitives a
@@ -67,5 +68,28 @@ object Retrieval {
       .reduce(_.unionByName(_))
       .groupBy(col(idCol))
       .agg(round(sum(col("c")), 6).as("rrf_score"), count(lit(1)).as("n_lists"))
+  }
+
+  /** NDCG of ranked result lists (Järvelin & Kekäläinen 2002):
+    * input (query_id, rank — 1-based, rel — nonnegative gain).
+    * DCG = Σ rel/log2(rank+1); IDCG re-ranks the SAME gains
+    * descending via a per-query window; queries with no relevant
+    * result get ndcg = 0 (not null), so means stay defined.
+    * Two per-query windows + one groupBy — no global sort, no join.
+    * Returns (query_id, dcg, idcg, ndcg), rounded 6.
+    */
+  def ndcg(results: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("rank"))
+    results
+      .select(col("query_id"), col("rank"), col("rel").cast("double").as("rel"))
+      .withColumn("irank", row_number().over(w).cast("long"))
+      .groupBy(col("query_id"))
+      .agg(
+        round(sum(col("rel") / log2(col("rank") + 1)), 6).as("dcg"),
+        round(sum(col("rel") / log2(col("irank") + 1)), 6).as("idcg"))
+      .withColumn("ndcg",
+        when(col("idcg") === 0.0, 0.0)
+          .otherwise(round(col("dcg") / col("idcg"), 6)))
   }
 }

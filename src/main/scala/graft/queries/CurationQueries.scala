@@ -857,6 +857,29 @@ object CurationQueries {
         .agg(round(sum($"o_totalprice"), 2).as("spend"), count(lit(1)).as("n_orders"))
       Curation.paretoFront2D(agg, "spend", "n_orders", Seq("custkey"))
         .orderBy($"spend".desc, $"custkey")
+    },
+
+    // corpus-composition dependence: mutual information (nats)
+    // between source and lang plus both marginal entropies — high MI
+    // means language mix is not exchangeable across sources, so
+    // per-source language quotas are load-bearing
+    Q.sql(
+      "q136_mutual_info",
+      """WITH joint AS (SELECT source AS a, lang AS b, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM joint),
+        |ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM joint GROUP BY 1),
+        |mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM joint GROUP BY 1),
+        |mi AS (SELECT round(sum((c * 1.0 / n.n) * ln(c * 1.0 * n.n / (ca * 1.0 * cb))), 6) AS mi
+        |  FROM joint JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN n),
+        |ha AS (SELECT round(-sum((ca * 1.0 / n.n) * ln(ca * 1.0 / n.n)), 6) AS h_a
+        |  FROM ma CROSS JOIN n),
+        |hb AS (SELECT round(-sum((cb * 1.0 / n.n) * ln(cb * 1.0 / n.n)), 6) AS h_b
+        |  FROM mb CROSS JOIN n)
+        |SELECT mi.mi AS mi, ha.h_a AS h_a, hb.h_b AS h_b
+        |FROM mi CROSS JOIN ha CROSS JOIN hb""".stripMargin
+    ) { (s, d) =>
+      graft.operators.Learning.mutualInfo(Tables.documents(s, d), "source", "lang")
     }
   )
 }

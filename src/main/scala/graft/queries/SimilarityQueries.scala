@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.operators.{Clustering, DupGraph, Learning, Similarity}
+import graft.operators.{Clustering, DupGraph, Learning, Retrieval, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over the embeddings table.
@@ -880,6 +880,95 @@ object SimilarityQueries {
         round($"embedding" (0).cast("double"), 6).as("score"),
         when($"label" >= 5, 1).otherwise(0).as("y"))
       Learning.aucRankSum(emb, "score", "y")
+    },
+
+    // reliability diagram for the q126 classifier: predictions
+    // bucketed into 10 probability bins, each with count, mean
+    // confidence, and empirical positive rate — the calibration
+    // check before learned scores gate data
+    Q.sql(
+      "q133_calibration",
+      """WITH f AS (
+        |  SELECT vec_id, CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END AS y,
+        |    list_append(list_transform(embedding[1:64], x -> CAST(x AS DOUBLE)), 1.0) AS xs
+        |  FROM embeddings),
+        |d AS (SELECT vec_id, y, CAST(unnest(range(0, len(xs))) AS BIGINT) AS dim,
+        |  unnest(xs) AS x FROM f),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+        |w0 AS (SELECT DISTINCT dim, 0.0 AS w FROM d),
+        |p1 AS (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
+        |  SELECT d.vec_id, any_value(d.y) AS y, round(sum(d.x * w0.w), 6) AS m
+        |  FROM d JOIN w0 USING (dim) GROUP BY d.vec_id) m),
+        |g1 AS (SELECT d.dim, sum((p1.p - p1.y) * d.x) / n.n AS g
+        |  FROM d JOIN p1 USING (vec_id) CROSS JOIN n GROUP BY d.dim, n.n),
+        |w1 AS (SELECT w0.dim, round(w0.w - 8.0 * g1.g, 6) AS w FROM w0 JOIN g1 USING (dim)),
+        |p2 AS (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
+        |  SELECT d.vec_id, any_value(d.y) AS y, round(sum(d.x * w1.w), 6) AS m
+        |  FROM d JOIN w1 USING (dim) GROUP BY d.vec_id) m),
+        |g2 AS (SELECT d.dim, sum((p2.p - p2.y) * d.x) / n.n AS g
+        |  FROM d JOIN p2 USING (vec_id) CROSS JOIN n GROUP BY d.dim, n.n),
+        |w2 AS (SELECT w1.dim, round(w1.w - 8.0 * g2.g, 6) AS w FROM w1 JOIN g2 USING (dim)),
+        |p3 AS (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
+        |  SELECT d.vec_id, any_value(d.y) AS y, round(sum(d.x * w2.w), 6) AS m
+        |  FROM d JOIN w2 USING (dim) GROUP BY d.vec_id) m),
+        |g3 AS (SELECT d.dim, sum((p3.p - p3.y) * d.x) / n.n AS g
+        |  FROM d JOIN p3 USING (vec_id) CROSS JOIN n GROUP BY d.dim, n.n),
+        |w3 AS (SELECT w2.dim, round(w2.w - 8.0 * g3.g, 6) AS w FROM w2 JOIN g3 USING (dim)),
+        |p4 AS (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
+        |  SELECT d.vec_id, any_value(d.y) AS y, round(sum(d.x * w3.w), 6) AS m
+        |  FROM d JOIN w3 USING (dim) GROUP BY d.vec_id) m)
+        |SELECT CAST(least(floor(p * 50), 49) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(p), 6) AS mean_p, round(avg(y), 6) AS frac_pos
+        |FROM p4 GROUP BY 1 ORDER BY bin""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d).select($"embedding",
+        when($"label" >= 5, 1.0).otherwise(0.0).as("y"))
+      val preds = Learning.logisticPredict(
+        emb, "embedding", "y", nDims = 64, iters = 3, lr = 8.0)
+      Learning.calibrationBins(preds, "p", "y", bins = 50)
+        .orderBy($"bin")
+    },
+
+    // ranking-quality audit of the exact ANN path: NDCG@10 with
+    // same-label relevance — per-query DCG against its ideal
+    // re-ranking, two windows, no global sort
+    Q.sql(
+      "q134_ndcg",
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT vec_id, label, v FROM e WHERE vec_id < 30),
+        |topk AS (SELECT query_id, rel, rank FROM (
+        |  SELECT q.vec_id AS query_id,
+        |    CASE WHEN q.label = n.label THEN 1.0 ELSE 0.0 END AS rel,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      round(list_dot_product(q.v, n.v) / sqrt(list_dot_product(q.v, q.v))
+        |            / sqrt(list_dot_product(n.v, n.v)), 6) DESC, n.vec_id)
+        |      AS BIGINT) AS rank
+        |  FROM e n JOIN q ON q.vec_id <> n.vec_id) WHERE rank <= 10),
+        |i AS (SELECT query_id, rel, rank,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, rank)
+        |    AS BIGINT) AS irank FROM topk),
+        |agg AS (SELECT query_id,
+        |  round(sum(rel / log2(rank + 1)), 6) AS dcg,
+        |  round(sum(rel / log2(irank + 1)), 6) AS idcg
+        |  FROM i GROUP BY query_id)
+        |SELECT query_id, dcg, idcg,
+        |  CASE WHEN idcg = 0 THEN 0.0 ELSE round(dcg / idcg, 6) END AS ndcg
+        |FROM agg ORDER BY query_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val topk = Similarity.bruteForceTopK(
+        emb, emb.filter($"vec_id" < 30), "vec_id", "embedding", k = 10)
+      val withRel = topk
+        .join(emb.select($"vec_id".as("query_id"), $"label".as("_ql")), Seq("query_id"))
+        .join(emb.select($"vec_id".as("neighbor_id"), $"label".as("_nl")),
+          Seq("neighbor_id"))
+        .select($"query_id", $"rank",
+          when($"_ql" === $"_nl", 1.0).otherwise(0.0).as("rel"))
+      Retrieval.ndcg(withRel).orderBy($"query_id")
     }
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.TextFunctions._
-import graft.operators.{Sketches, TextDedup}
+import graft.operators.{Learning, Sketches, TextDedup}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table: token counting
@@ -299,6 +299,49 @@ object TextQueries {
           count(lit(1)).as("n_types"),
           round(regr_slope(log($"c"), log($"rnk")), 6).as("zipf_slope"),
           round(regr_r2(log($"c"), log($"rnk")), 6).as("r2"))
+    },
+
+    // source-discriminative vocabulary: chi-squared association of
+    // token presence with source over the 2xK contingency reduced
+    // relationally (marginal broadcast, never the full table) —
+    // degenerate everywhere-tokens (r1 = N) are excluded, top 20
+    Q.sql(
+      "q135_chi2_tokens",
+      """WITH pairs AS (
+        |  SELECT DISTINCT doc_id, source AS cls,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS item
+        |  FROM documents),
+        |tot AS (SELECT source AS cls, CAST(count(*) AS BIGINT) AS n_cls
+        |  FROM documents GROUP BY 1),
+        |present AS (SELECT item, cls, CAST(count(*) AS BIGINT) AS o1
+        |  FROM pairs GROUP BY 1, 2),
+        |items AS (SELECT DISTINCT item FROM present),
+        |byitem AS (SELECT i.item, t.cls, t.n_cls, coalesce(p.o1, 0) AS o1
+        |  FROM items i CROSS JOIN tot t
+        |  LEFT JOIN present p ON p.item = i.item AND p.cls = t.cls),
+        |n AS (SELECT CAST(sum(n_cls) AS BIGINT) AS nn FROM tot),
+        |r1 AS (SELECT item, CAST(sum(o1) AS BIGINT) AS r1 FROM byitem GROUP BY 1),
+        |cells AS (SELECT b.item, b.n_cls, b.o1, r1.r1, n.nn,
+        |    b.n_cls * r1.r1 / n.nn AS e1,
+        |    b.n_cls * (n.nn - r1.r1) / n.nn AS e0
+        |  FROM byitem b JOIN r1 USING (item) CROSS JOIN n
+        |  WHERE r1.r1 < n.nn)
+        |SELECT item AS token,
+        |  round(sum(pow(o1 - e1, 2) / e1 + pow(n_cls - o1 - e0, 2) / e0), 6) AS chi2,
+        |  CAST(max(r1) AS BIGINT) AS doc_freq
+        |FROM cells GROUP BY item ORDER BY chi2 DESC, token LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val pairs = docs
+        .select($"doc_id", $"source".as("cls"),
+          explode(tokens(trim(lower($"text")))).as("item"))
+        .distinct()
+      val tot = docs.groupBy($"source".as("cls")).agg(count(lit(1)).as("n_cls"))
+      Learning.chi2Presence(pairs.select($"item", $"cls"), tot)
+        .select($"item".as("token"), $"chi2", $"doc_freq")
+        .orderBy($"chi2".desc, $"token")
+        .limit(20)
     }
   )
 }

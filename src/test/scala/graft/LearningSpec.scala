@@ -95,6 +95,54 @@ class LearningSpec extends SparkSpec {
       .getAs[Double]("gini") == 0.75)
   }
 
+  test("calibrationBins partitions all predictions and clamps p = 1.0") {
+    val preds = Seq((0.05, 0.0), (0.12, 0.0), (0.5, 1.0), (0.97, 1.0), (1.0, 1.0))
+      .toDF("p", "y")
+    val bins = Learning.calibrationBins(preds, "p", "y", bins = 10).collect()
+    assert(bins.map(_.getAs[Long]("n")).sum == 5)
+    // p = 1.0 must land in the top bin (9), not a phantom bin 10
+    assert(bins.map(_.getAs[Long]("bin")).max == 9)
+    val b0 = bins.find(_.getAs[Long]("bin") == 0).get
+    assert(b0.getAs[Double]("frac_pos") == 0.0 && b0.getAs[Long]("n") == 1)
+  }
+
+  test("chi2Presence: independent item has chi2 0, perfect discriminator is maximal") {
+    // 4 docs in cls a, 4 in cls b; "both" appears once per class pair,
+    // "onlya" in every a-doc only, "alldocs" everywhere (degenerate)
+    val pairs = Seq(
+      ("both", "a"), ("both", "a"), ("both", "b"), ("both", "b"),
+      ("onlya", "a"), ("onlya", "a"), ("onlya", "a"), ("onlya", "a")) ++
+      Seq("a", "a", "a", "a", "b", "b", "b", "b").map(("alldocs", _))
+    val tot = Seq(("a", 4L), ("b", 4L)).toDF("cls", "n_cls")
+    val out = Learning.chi2Presence(pairs.toDF("item", "cls"), tot).collect()
+    val byItem = out.map(r => r.getAs[String]("item") -> r.getAs[Double]("chi2")).toMap
+    assert(byItem("both") == 0.0, "class-balanced item must have chi2 = 0")
+    assert(byItem("onlya") == 8.0, "perfect 4/4-vs-0/4 discriminator: chi2 = N")
+    assert(!byItem.contains("alldocs"), "degenerate everywhere-item excluded")
+  }
+
+  test("mutualInfo: independence gives 0; identical columns give MI = H") {
+    val ind = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")).toDF("a", "b")
+    val r1 = Learning.mutualInfo(ind, "a", "b").collect().head
+    assert(r1.getAs[Double]("mi") == 0.0)
+    val same = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("z", "z")).toDF("a", "b")
+    val r2 = Learning.mutualInfo(same, "a", "b").collect().head
+    assert(r2.getAs[Double]("mi") == r2.getAs[Double]("h_a"))
+    assert(r2.getAs[Double]("h_a") == r2.getAs[Double]("h_b"))
+  }
+
+  test("ndcg: ideal order gives 1, reversed relevance is scored below it") {
+    import graft.operators.Retrieval
+    val ideal = Seq((1L, 1L, 1.0), (1L, 2L, 1.0), (1L, 3L, 0.0)).toDF("query_id", "rank", "rel")
+    assert(Retrieval.ndcg(ideal).collect().head.getAs[Double]("ndcg") == 1.0)
+    val worst = Seq((1L, 1L, 0.0), (1L, 2L, 0.0), (1L, 3L, 1.0)).toDF("query_id", "rank", "rel")
+    val w = Retrieval.ndcg(worst).collect().head
+    assert(w.getAs[Double]("ndcg") == math.rint(1.0 / 2.0 * 1e6) / 1e6,
+      "single hit at rank 3: dcg = 1/log2(4) = 0.5, idcg = 1")
+    val none = Seq((1L, 1L, 0.0), (1L, 2L, 0.0)).toDF("query_id", "rank", "rel")
+    assert(Retrieval.ndcg(none).collect().head.getAs[Double]("ndcg") == 0.0)
+  }
+
   test("paretoFront2D keeps exactly the non-dominated points") {
     val pts = Seq((1L, 5.0, 5L), (2L, 4.0, 9L), (3L, 3.0, 1L), (4L, 5.0, 4L),
       (5L, 2.0, 9L)).toDF("id", "x", "y")
