@@ -43,28 +43,36 @@ object Learning {
       df: DataFrame, vecCol: String, labelCol: String,
       nDims: Int, iters: Int, lr: Double): (DataFrame => DataFrame, DataFrame) = {
     require(nDims >= 1 && iters >= 1, "need nDims >= 1 and iters >= 1")
-    val feats = df.select(
-      monotonically_increasing_id().as("_rid"),
+    val rows = df.select(
       col(labelCol).cast("double").as("_y"),
       concat(slice(col(vecCol).cast("array<double>"), 1, nDims), array(lit(1.0)))
         .as("_xs"))
-      .select(col("_rid"), col("_y"), posexplode(col("_xs")).as(Seq("dim", "x")))
       .localCheckpoint(true)
-    val n = feats.select(col("_rid")).distinct().count().toDouble
-    var w = feats.select(col("dim")).distinct()
-      .select(col("dim"), lit(0.0).as("w"))
+    val n = rows.count().toDouble
+    var w = df.sparkSession.range(nDims + 1)
+      .select(col("id").as("dim"), lit(0.0).as("w"))
       .localCheckpoint(true)
+    // the (nDims+1)-row weight frame as a 1-row dim-ordered array,
+    // broadcast onto every row: the margin is an IN-ROW dot product
+    // (zip_with + aggregate), so scoring never shuffles the corpus
+    def asArray(wt: DataFrame) =
+      wt.agg(array_sort(collect_list(struct(col("dim"), col("w")))).as("_sw"))
+        .select(transform(col("_sw"), s => s.getField("w")).as("_w"))
     def margins(wt: DataFrame) =
-      feats.join(broadcast(wt), Seq("dim"))
-        .groupBy(col("_rid"), col("_y"))
-        .agg(round(sum(col("x") * col("w")), 6).as("m"))
-        .select(col("_rid"), col("_y"),
+      rows.crossJoin(broadcast(asArray(wt)))
+        .select(col("_y"), col("_xs"),
+          round(aggregate(zip_with(col("_xs"), col("_w"), (x, wv) => x * wv),
+            lit(0.0), (acc, v) => acc + v), 6).as("m"))
+        .select(col("_y"), col("_xs"),
           (lit(1.0) / (lit(1.0) + exp(-col("m")))).as("p"))
     for (_ <- 1 to iters) {
-      val grad = margins(w).select(col("_rid"), col("p"))
-        .join(feats, Seq("_rid"))
+      // gradient: posexplode the features under the per-row residual
+      // and partial-aggregate into nDims+1 groups — the shuffle
+      // carries one row per (dim, partition), nothing else
+      val grad = margins(w)
+        .select((col("p") - col("_y")).as("_r"), posexplode(col("_xs")).as(Seq("dim", "x")))
         .groupBy(col("dim"))
-        .agg((sum((col("p") - col("_y")) * col("x")) / lit(n)).as("g"))
+        .agg((sum(col("_r") * col("x")) / lit(n)).as("g"))
       w = w.join(broadcast(grad), Seq("dim"))
         .select(col("dim"), round(col("w") - lit(lr) * col("g"), 6).as("w"))
         .localCheckpoint(true)

@@ -38,10 +38,12 @@ class PlanAuditSpec extends SparkSpec {
     // 5-row weight vector; q128 broadcasts the 1-row (n_a, n_b)
     // totals onto the distinct-value CDF frame
     "q126_logreg_gd", "q128_ks_drift",
-    // q134 rides bruteForceTopK's broadcast query set; q135 crosses
-    // the item universe with the K-row class-totals frame; q136
-    // cross-joins its three 1-row MI/entropy frames
-    "q134_ndcg", "q135_chi2_tokens", "q136_mutual_info")
+    // q133 broadcasts the 1-row weight-array frame onto the corpus
+    // each GD step (the in-row dot-product scoring path); q134 rides
+    // bruteForceTopK's broadcast query set; q135 crosses the item
+    // universe with the K-row class-totals frame; q136 cross-joins
+    // its three 1-row MI/entropy frames
+    "q133_calibration", "q134_ndcg", "q135_chi2_tokens", "q136_mutual_info")
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
