@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -200,5 +200,57 @@ object Clustering {
       .groupBy(col("label"))
       .agg(round(sqrt(sum((col("_ca") - col("_cb")) * (col("_ca") - col("_cb")))), 6)
         .as("centroid_dist"))
+  }
+
+  /** k-center greedy coreset selection (Gonzalez 1985, the 2-approx
+    * farthest-first traversal): start from the minimum-id point, then
+    * repeatedly add the point farthest from its nearest chosen center
+    * — the classic diversity-maximizing data-selection primitive.
+    *
+    * Scale shape: the per-point nearest-center distance is a running
+    * IN-ROW minimum (one broadcast of the single new center per step,
+    * no pairwise join); the argmax is a global top-1 (TakeOrdered).
+    * Each step is one narrow corpus pass. Distances round to 6 before
+    * comparison, ties break on the smaller id, so the trace is
+    * engine-exact.
+    *
+    * Returns (step 1..k, center_id, radius): the coverage radius
+    * (max over points of min-distance to the selected set) AFTER each
+    * center joins the set.
+    */
+  def kCenterGreedy(
+      emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val s = emb.sparkSession
+    import s.implicits._
+    val base = emb.select(col(idCol).cast("long").as("_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+      .localCheckpoint(true)
+    def distTo(center: DataFrame) =
+      round(sqrt(aggregate(
+        zip_with(col("_v"), col("_cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, v) => acc + v)), 6)
+    var picked = Vector.empty[(Int, Long, Double)]
+    // state: (_id, _v, _d) = distance to nearest selected center
+    var state: DataFrame = null
+    for (step <- 1 to k) {
+      val center =
+        if (step == 1) base.orderBy(col("_id")).limit(1)
+          .select(col("_id").as("_cid"), col("_v").as("_cv"))
+        else state.orderBy(col("_d").desc, col("_id")).limit(1)
+          .select(col("_id").as("_cid"), col("_v").as("_cv"))
+      val withD = (if (step == 1) base.withColumn("_d", lit(Double.MaxValue))
+                   else state)
+        .crossJoin(broadcast(center))
+        .select(col("_id"), col("_v"), col("_cid"),
+          least(col("_d"), distTo(center)).as("_d"))
+        .localCheckpoint(true)
+      val Row(cid: Long, radius: Double) = withD
+        .agg(first(col("_cid")).as("cid"), max(col("_d")).as("r")).head()
+      picked = picked :+ ((step, cid, radius))
+      state = withD.select(col("_id"), col("_v"), col("_d"))
+    }
+    picked.toDF("step", "center_id", "radius")
+      .select(col("step").cast("long").as("step"), col("center_id"), col("radius"))
   }
 }

@@ -317,6 +317,36 @@ object AdvancedQueries {
         a, "a_start", "a_end", b, "b_start", "b_end", binWidth = HourUs)
         .groupBy($"a_id").agg(count(lit(1)).as("n_overlaps"))
         .orderBy($"a_id")
+    },
+
+    // shuffle-planner diagnostic: the join/groupBy key frequency
+    // distribution of lineitem's order key — max/p99/mean and the
+    // skew ratio that decides whether salting or AQE skew handling
+    // is needed before a key-partitioned stage
+    Q.sql(
+      "q138_key_skew",
+      """WITH f AS (SELECT l_orderkey AS key, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(max(c) AS BIGINT) AS max_freq,
+        |  CAST(min(c) AS BIGINT) AS min_freq,
+        |  round(avg(c), 6) AS avg_freq,
+        |  round(quantile_cont(c, 0.99), 6) AS p99_freq,
+        |  round(max(c) / avg(c), 6) AS skew_ratio,
+        |  round(stddev_pop(c) / avg(c), 6) AS cv
+        |FROM f""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_orderkey".as("key")).agg(count(lit(1)).as("c"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          max($"c").as("max_freq"),
+          min($"c").as("min_freq"),
+          round(avg($"c"), 6).as("avg_freq"),
+          round(percentile($"c", lit(0.99)), 6).as("p99_freq"),
+          round(max($"c") / avg($"c"), 6).as("skew_ratio"),
+          round(stddev_pop($"c") / avg($"c"), 6).as("cv"))
     }
   )
 }

@@ -969,6 +969,49 @@ object SimilarityQueries {
         .select($"query_id", $"rank",
           when($"_ql" === $"_nl", 1.0).otherwise(0.0).as("rel"))
       Retrieval.ndcg(withRel).orderBy($"query_id")
+    },
+
+    // diversity-maximizing data selection: k-center greedy
+    // (farthest-first traversal) — 5 centers over the embeddings with
+    // the coverage radius after each pick; per-step cost is one
+    // narrow corpus pass + a global top-1
+    Q.sql(
+      "q137_kcenter",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c1 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 1),
+        |d1 AS (SELECT e.vec_id, e.v, round(list_distance(e.v, c1.cv), 6) AS d
+        |  FROM e CROSS JOIN c1),
+        |r1 AS (SELECT 1 AS step, c1.cid AS center_id,
+        |  (SELECT max(d) FROM d1) AS radius FROM c1),
+        |c2 AS (SELECT vec_id AS cid, v AS cv FROM d1 ORDER BY d DESC, vec_id LIMIT 1),
+        |d2 AS (SELECT d1.vec_id, d1.v,
+        |  least(d1.d, round(list_distance(d1.v, c2.cv), 6)) AS d FROM d1 CROSS JOIN c2),
+        |r2 AS (SELECT 2 AS step, c2.cid AS center_id,
+        |  (SELECT max(d) FROM d2) AS radius FROM c2),
+        |c3 AS (SELECT vec_id AS cid, v AS cv FROM d2 ORDER BY d DESC, vec_id LIMIT 1),
+        |d3 AS (SELECT d2.vec_id, d2.v,
+        |  least(d2.d, round(list_distance(d2.v, c3.cv), 6)) AS d FROM d2 CROSS JOIN c3),
+        |r3 AS (SELECT 3 AS step, c3.cid AS center_id,
+        |  (SELECT max(d) FROM d3) AS radius FROM c3),
+        |c4 AS (SELECT vec_id AS cid, v AS cv FROM d3 ORDER BY d DESC, vec_id LIMIT 1),
+        |d4 AS (SELECT d3.vec_id, d3.v,
+        |  least(d3.d, round(list_distance(d3.v, c4.cv), 6)) AS d FROM d3 CROSS JOIN c4),
+        |r4 AS (SELECT 4 AS step, c4.cid AS center_id,
+        |  (SELECT max(d) FROM d4) AS radius FROM c4),
+        |c5 AS (SELECT vec_id AS cid, v AS cv FROM d4 ORDER BY d DESC, vec_id LIMIT 1),
+        |d5 AS (SELECT d4.vec_id,
+        |  least(d4.d, round(list_distance(d4.v, c5.cv), 6)) AS d FROM d4 CROSS JOIN c5),
+        |r5 AS (SELECT 5 AS step, c5.cid AS center_id,
+        |  (SELECT max(d) FROM d5) AS radius FROM c5)
+        |SELECT CAST(step AS BIGINT) AS step, center_id, radius FROM (
+        |  SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+        |  UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r5)
+        |ORDER BY step""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Clustering.kCenterGreedy(Tables.embeddings(s, d), "vec_id", "embedding", k = 5)
+        .orderBy($"step")
     }
   )
 }

@@ -143,6 +143,21 @@ class LearningSpec extends SparkSpec {
     assert(Retrieval.ndcg(none).collect().head.getAs[Double]("ndcg") == 0.0)
   }
 
+  test("kCenterGreedy picks farthest-first with non-increasing radius") {
+    import graft.operators.Clustering
+    // 1-D line: 0, 1, 10, 11, 20 — greedy from min id (x=0):
+    // next 20 (d=20), then 10 (d=10 -> min(10, |10-20|=10)=10), ...
+    val pts = Seq((0L, Array(0.0f)), (1L, Array(1.0f)), (2L, Array(10.0f)),
+      (3L, Array(11.0f)), (4L, Array(20.0f))).toDF("id", "v")
+    val out = Clustering.kCenterGreedy(pts, "id", "v", k = 3)
+      .orderBy("step").collect()
+    assert(out.map(_.getAs[Long]("center_id")).toSeq == Seq(0L, 4L, 2L))
+    val radii = out.map(_.getAs[Double]("radius")).toSeq
+    assert(radii == Seq(20.0, 10.0, 1.0))
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      "coverage radius must be non-increasing")
+  }
+
   test("paretoFront2D keeps exactly the non-dominated points") {
     val pts = Seq((1L, 5.0, 5L), (2L, 4.0, 9L), (3L, 3.0, 1L), (4L, 5.0, 4L),
       (5L, 2.0, 9L)).toDF("id", "x", "y")

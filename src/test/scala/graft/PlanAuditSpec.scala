@@ -43,7 +43,10 @@ class PlanAuditSpec extends SparkSpec {
     // bruteForceTopK's broadcast query set; q135 crosses the item
     // universe with the K-row class-totals frame; q136 cross-joins
     // its three 1-row MI/entropy frames
-    "q133_calibration", "q134_ndcg", "q135_chi2_tokens", "q136_mutual_info")
+    "q133_calibration", "q134_ndcg", "q135_chi2_tokens", "q136_mutual_info",
+    // q137 broadcasts the single newest center onto the corpus each
+    // greedy step (the running in-row min-distance update)
+    "q137_kcenter")
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
