@@ -152,6 +152,108 @@ object Learning {
         max(col("r1")).as("doc_freq"))
   }
 
+  /** Entropy of a binary rate p, in nats, with the 0·ln0 = 0
+    * convention at the degenerate ends.
+    */
+  private def binEntropy(p: org.apache.spark.sql.Column) =
+    when(p <= 0.0 || p >= 1.0, 0.0)
+      .otherwise(-(p * log(p) + (lit(1.0) - p) * log(lit(1.0) - p)))
+
+  /** Best decision-stump split per feature dimension: for each dim of
+    * the (sliced) feature vector, the threshold maximizing information
+    * gain of `x <= t` against a binary label, over candidate
+    * thresholds = the 1-dp-rounded observed values.
+    *
+    * Shape: posexplode to (dim, t, y) counts (ONE partial-agg'd
+    * groupBy — candidates collapse here), cumulative windows per dim
+    * give every split's left/right class counts at once, and the
+    * argmax is a per-dim row_number — no per-threshold rescan of the
+    * corpus, the classic histogram split-finder of distributed GBDTs.
+    *
+    * Returns (dim, threshold, gain, n_left, n_right); gain rounds to
+    * 6, ties break on the smaller threshold.
+    */
+  def bestStumpSplits(
+      df: DataFrame, vecCol: String, labelCol: String, nDims: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nDims >= 1, "need nDims >= 1")
+    val counts = df.select(col(labelCol).cast("double").as("_y"),
+      posexplode(slice(col(vecCol).cast("array<double>"), 1, nDims))
+        .as(Seq("dim", "x")))
+      .groupBy(col("dim").cast("long").as("dim"), round(col("x"), 1).as("t"))
+      .agg(count(lit(1)).as("c"), sum(col("_y")).as("pos"))
+    val w = Window.partitionBy(col("dim")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("dim"))
+    val splits = counts
+      .withColumn("nl", sum(col("c")).over(w))
+      .withColumn("posl", sum(col("pos")).over(w))
+      .withColumn("n", sum(col("c")).over(tot))
+      .withColumn("post", sum(col("pos")).over(tot))
+      .filter(col("nl") < col("n")) // a split must leave a right side
+      .select(col("dim"), col("t"), col("nl"), col("n"),
+        (col("n") - col("nl")).as("nr"),
+        binEntropy(col("post") / col("n")).as("hp"),
+        binEntropy(col("posl") / col("nl")).as("hl"),
+        binEntropy((col("post") - col("posl")) / (col("n") - col("nl"))).as("hr"))
+      .select(col("dim"), col("t"), col("nl"), col("nr"),
+        round(col("hp") - (col("nl") / col("n")) * col("hl")
+          - (col("nr") / col("n")) * col("hr"), 6).as("gain"))
+    val pick = Window.partitionBy(col("dim"))
+      .orderBy(col("gain").desc, col("t"))
+    splits.withColumn("_rk", row_number().over(pick))
+      .filter(col("_rk") === 1)
+      .select(col("dim"), col("t").as("threshold"), col("gain"),
+        col("nl").as("n_left"), col("nr").as("n_right"))
+  }
+
+  /** Multinomial Naive Bayes with add-one smoothing, trained and
+    * resubstitution-scored in one relational pipeline: per-(token,
+    * class) counts → smoothed log-likelihoods over the full
+    * vocabulary × class grid (zero counts included), documents scored
+    * by one token join + one (doc, class) aggregation, predictions by
+    * per-doc argmax (rounded 6, lexicographic tie-break).
+    *
+    * Returns the confusion matrix (cls, pred, n). The corpus is
+    * scanned twice (train counts, scoring join) and never collected;
+    * the model itself is the |vocab| × K logprob frame.
+    */
+  def naiveBayesConfusion(
+      docs: DataFrame, idCol: String, textCol: String, clsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.tokens
+    val toks = docs.select(col(idCol).as("_id"), col(clsCol).as("cls"),
+      explode(tokens(lower(col(textCol)))).as("tok"))
+      .localCheckpoint(true)
+    val clsDocs = docs.groupBy(col(clsCol).as("cls")).agg(count(lit(1)).as("nd"))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val prior = clsDocs.crossJoin(broadcast(nDocs))
+      .select(col("cls"), log(col("nd") / col("n")).as("lprior"))
+    val tokCls = toks.groupBy(col("tok"), col("cls")).agg(count(lit(1)).as("c"))
+    val clsTok = toks.groupBy(col("cls")).agg(count(lit(1)).as("tt"))
+    val vocabN = toks.select(col("tok")).distinct().agg(count(lit(1)).as("v"))
+    val grid = toks.select(col("tok")).distinct()
+      .crossJoin(broadcast(clsTok))
+      .join(tokCls, Seq("tok", "cls"), "left")
+      .crossJoin(broadcast(vocabN))
+      .select(col("tok"), col("cls").as("scls"),
+        log((coalesce(col("c"), lit(0L)) + lit(1.0)) / (col("tt") + col("v")))
+          .as("ll"))
+    val scores = toks
+      .join(grid, Seq("tok"))
+      .groupBy(col("_id"), col("cls"), col("scls"))
+      .agg(sum(col("ll")).as("_s"))
+      .join(broadcast(prior.select(col("cls").as("scls"), col("lprior"))), Seq("scls"))
+      .select(col("_id"), col("cls"), col("scls"),
+        round(col("_s") + col("lprior"), 6).as("score"))
+    val pick = Window.partitionBy(col("_id"))
+      .orderBy(col("score").desc, col("scls"))
+    scores.withColumn("_rk", row_number().over(pick))
+      .filter(col("_rk") === 1)
+      .groupBy(col("cls"), col("scls").as("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Mutual information (nats) between two categorical columns, plus
     * both marginal entropies: MI = sum p(a,b) ln(p(a,b)/(p(a)p(b))).
     * One joint groupBy; marginals re-aggregate the (tiny) joint frame

@@ -1012,6 +1012,50 @@ object SimilarityQueries {
       import s.implicits._
       Clustering.kCenterGreedy(Tables.embeddings(s, d), "vec_id", "embedding", k = 5)
         .orderBy($"step")
+    },
+
+    // histogram split-finder (the distributed-GBDT primitive): per
+    // feature dim, the information-gain-maximizing stump threshold
+    // from ONE collapsed (dim, t, y) count frame + cumulative windows
+    // — no per-threshold corpus rescan
+    Q.sql(
+      "q139_best_split",
+      """WITH f AS (SELECT CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END AS y,
+        |    CAST(unnest(range(0, 4)) AS BIGINT) AS dim,
+        |    round(CAST(unnest(embedding[1:4]) AS DOUBLE), 1) AS t
+        |  FROM embeddings),
+        |counts AS (SELECT dim, t, CAST(count(*) AS BIGINT) AS c, sum(y) AS pos
+        |  FROM f GROUP BY 1, 2),
+        |cum AS (SELECT dim, t,
+        |    sum(c) OVER (PARTITION BY dim ORDER BY t) AS nl,
+        |    sum(pos) OVER (PARTITION BY dim ORDER BY t) AS posl,
+        |    sum(c) OVER (PARTITION BY dim) AS n,
+        |    sum(pos) OVER (PARTITION BY dim) AS post
+        |  FROM counts),
+        |g AS (SELECT dim, t, CAST(nl AS BIGINT) AS n_left,
+        |    CAST(n - nl AS BIGINT) AS n_right,
+        |    round(
+        |      (CASE WHEN post / n <= 0 OR post / n >= 1 THEN 0
+        |        ELSE -((post / n) * ln(post / n) + (1 - post / n) * ln(1 - post / n)) END)
+        |      - (nl * 1.0 / n) *
+        |      (CASE WHEN posl / nl <= 0 OR posl / nl >= 1 THEN 0
+        |        ELSE -((posl / nl) * ln(posl / nl) + (1 - posl / nl) * ln(1 - posl / nl)) END)
+        |      - ((n - nl) * 1.0 / n) *
+        |      (CASE WHEN (post - posl) / (n - nl) <= 0 OR (post - posl) / (n - nl) >= 1 THEN 0
+        |        ELSE -(((post - posl) / (n - nl)) * ln((post - posl) / (n - nl))
+        |          + (1 - (post - posl) / (n - nl)) * ln(1 - (post - posl) / (n - nl))) END),
+        |      6) AS gain
+        |  FROM cum WHERE nl < n)
+        |SELECT dim, t AS threshold, gain, n_left, n_right FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY dim ORDER BY gain DESC, t) AS rk
+        |  FROM g) WHERE rk = 1
+        |ORDER BY dim""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d).select($"embedding",
+        when($"label" >= 5, 1.0).otherwise(0.0).as("y"))
+      Learning.bestStumpSplits(emb, "embedding", "y", nDims = 4)
+        .orderBy($"dim")
     }
   )
 }

@@ -342,6 +342,43 @@ object TextQueries {
         .select($"item".as("token"), $"chi2", $"doc_freq")
         .orderBy($"chi2".desc, $"token")
         .limit(20)
+    },
+
+    // multinomial Naive Bayes source classifier with add-one
+    // smoothing, trained and resubstitution-scored relationally —
+    // the model is the |vocab| x K logprob frame, never collected;
+    // output is the source confusion matrix
+    Q.sql(
+      "q140_naive_bayes",
+      """WITH toks AS (SELECT doc_id AS id, source AS cls,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents),
+        |clsdocs AS (SELECT source AS cls, CAST(count(*) AS BIGINT) AS nd
+        |  FROM documents GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |prior AS (SELECT cls, ln(nd * 1.0 / n) AS lprior FROM clsdocs CROSS JOIN nn),
+        |tokcls AS (SELECT tok, cls, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+        |clstok AS (SELECT cls, CAST(count(*) AS BIGINT) AS tt FROM toks GROUP BY 1),
+        |vocab AS (SELECT DISTINCT tok FROM toks),
+        |vn AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+        |grid AS (SELECT vocab.tok, clstok.cls AS scls,
+        |    ln((coalesce(tokcls.c, 0) + 1.0) / (clstok.tt + vn.v)) AS ll
+        |  FROM vocab CROSS JOIN clstok
+        |  LEFT JOIN tokcls ON tokcls.tok = vocab.tok AND tokcls.cls = clstok.cls
+        |  CROSS JOIN vn),
+        |scores AS (SELECT toks.id, toks.cls, grid.scls, sum(grid.ll) AS s
+        |  FROM toks JOIN grid ON grid.tok = toks.tok GROUP BY 1, 2, 3),
+        |sc2 AS (SELECT scores.id, scores.cls, scores.scls,
+        |    round(scores.s + prior.lprior, 6) AS score
+        |  FROM scores JOIN prior ON prior.cls = scores.scls)
+        |SELECT cls, scls AS pred, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT id, cls, scls,
+        |    row_number() OVER (PARTITION BY id ORDER BY score DESC, scls) AS rk
+        |  FROM sc2) WHERE rk = 1
+        |GROUP BY 1, 2 ORDER BY cls, pred""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Learning.naiveBayesConfusion(Tables.documents(s, d), "doc_id", "text", "source")
+        .orderBy($"cls", $"pred")
     }
   )
 }

@@ -158,6 +158,34 @@ class LearningSpec extends SparkSpec {
       "coverage radius must be non-increasing")
   }
 
+  test("bestStumpSplits finds the perfect separator and its gain") {
+    // dim 0 separates perfectly at 0.0 (x = -1 -> y=0, x = 1 -> y=1);
+    // dim 1 is constant (no informative split survives the filter)
+    val rows = (0 until 20).map { i =>
+      val y = i % 2
+      (Array((2 * y - 1).toFloat, 1.0f), y.toDouble)
+    }
+    val out = Learning.bestStumpSplits(rows.toDF("vec", "y"), "vec", "y", nDims = 2)
+      .collect().map(r => r.getAs[Long]("dim") -> r).toMap
+    val d0 = out(0L)
+    assert(d0.getAs[Double]("threshold") == -1.0)
+    // perfect split: gain = parent entropy = ln 2
+    assert(d0.getAs[Double]("gain") == math.rint(math.log(2) * 1e6) / 1e6)
+    assert(d0.getAs[Long]("n_left") == 10 && d0.getAs[Long]("n_right") == 10)
+    assert(!out.contains(1L), "constant dim has no valid split (nl < n never holds)")
+  }
+
+  test("naiveBayesConfusion is diagonal on disjoint vocabularies") {
+    val docs = Seq(
+      (1L, "apple banana apple", "fruit"), (2L, "banana apple", "fruit"),
+      (3L, "iron copper zinc", "metal"), (4L, "copper iron", "metal"))
+      .toDF("id", "text", "cls")
+    val cm = Learning.naiveBayesConfusion(docs, "id", "text", "cls")
+      .collect().map(r => (r.getAs[String]("cls"), r.getAs[String]("pred")) ->
+        r.getAs[Long]("n")).toMap
+    assert(cm == Map(("fruit", "fruit") -> 2L, ("metal", "metal") -> 2L))
+  }
+
   test("paretoFront2D keeps exactly the non-dominated points") {
     val pts = Seq((1L, 5.0, 5L), (2L, 4.0, 9L), (3L, 3.0, 1L), (4L, 5.0, 4L),
       (5L, 2.0, 9L)).toDF("id", "x", "y")

@@ -45,8 +45,10 @@ class PlanAuditSpec extends SparkSpec {
     // its three 1-row MI/entropy frames
     "q133_calibration", "q134_ndcg", "q135_chi2_tokens", "q136_mutual_info",
     // q137 broadcasts the single newest center onto the corpus each
-    // greedy step (the running in-row min-distance update)
-    "q137_kcenter")
+    // greedy step (the running in-row min-distance update); q140
+    // crosses the vocabulary with the K-row class-totals frame (the
+    // smoothed logprob grid needs zero-count cells)
+    "q137_kcenter", "q140_naive_bayes")
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
