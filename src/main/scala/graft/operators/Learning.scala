@@ -229,20 +229,29 @@ object Learning {
     val nDocs = docs.agg(count(lit(1)).as("n"))
     val prior = clsDocs.crossJoin(broadcast(nDocs))
       .select(col("cls"), log(col("nd") / col("n")).as("lprior"))
+    // every model statistic reduces from the (tok, cls) count frame —
+    // the raw token stream aggregates exactly twice (here and docToks)
     val tokCls = toks.groupBy(col("tok"), col("cls")).agg(count(lit(1)).as("c"))
-    val clsTok = toks.groupBy(col("cls")).agg(count(lit(1)).as("tt"))
-    val vocabN = toks.select(col("tok")).distinct().agg(count(lit(1)).as("v"))
-    val grid = toks.select(col("tok")).distinct()
+      .localCheckpoint(true)
+    val clsTok = tokCls.groupBy(col("cls")).agg(sum(col("c")).as("tt"))
+    val vocabN = tokCls.select(col("tok")).distinct().agg(count(lit(1)).as("v"))
+    val grid = tokCls.select(col("tok")).distinct()
       .crossJoin(broadcast(clsTok))
       .join(tokCls, Seq("tok", "cls"), "left")
       .crossJoin(broadcast(vocabN))
       .select(col("tok"), col("cls").as("scls"),
         log((coalesce(col("c"), lit(0L)) + lit(1.0)) / (col("tt") + col("v")))
           .as("ll"))
-    val scores = toks
+    // collapse to per-doc token multiplicities BEFORE the K-way grid
+    // join: the joined stream shrinks from |token instances| x K to
+    // |distinct doc-token pairs| x K, and the logprob contribution
+    // becomes cnt * ll (same sum, 6-dp rounding absorbs the order)
+    val docToks = toks.groupBy(col("_id"), col("cls"), col("tok"))
+      .agg(count(lit(1)).as("_cnt"))
+    val scores = docToks
       .join(grid, Seq("tok"))
       .groupBy(col("_id"), col("cls"), col("scls"))
-      .agg(sum(col("ll")).as("_s"))
+      .agg(sum(col("_cnt") * col("ll")).as("_s"))
       .join(broadcast(prior.select(col("cls").as("scls"), col("lprior"))), Seq("scls"))
       .select(col("_id"), col("cls"), col("scls"),
         round(col("_s") + col("lprior"), 6).as("score"))
