@@ -226,6 +226,8 @@ object Clustering {
     val base = emb.select(col(idCol).cast("long").as("_id"),
       col(vecCol).cast("array<double>").as("_v"))
       .localCheckpoint(true)
+    if (base.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("step", "center_id", "radius")
     def distTo(center: DataFrame) =
       round(sqrt(aggregate(
         zip_with(col("_v"), col("_cv"), (a, b) => (a - b) * (a - b)),

@@ -110,6 +110,35 @@ class EmptyInputSpec extends SparkSpec {
     assert(LanguageModel.interpolatedNegLogProb(emptyDocs, "doc_id", "text").count() == 0)
   }
 
+  test("learned-scoring and placement operators handle empty frames") {
+    val e = Seq.empty[(Long, Array[Float], Double)].toDF("id", "vec", "y")
+    assert(Learning.logisticRegressionGD(e, "vec", "y", nDims = 2).count() == 0)
+    assert(Learning.calibrationBins(
+      Seq.empty[(Double, Double)].toDF("p", "y"), "p", "y").count() == 0)
+    assert(Learning.bestStumpSplits(e, "vec", "y", nDims = 2).count() == 0)
+    // scalar evaluators degrade to one well-formed all-null row
+    val sv = Seq.empty[(Double, Int)].toDF("s", "y")
+    assert(Learning.aucRankSum(sv, "s", "y").collect().head.isNullAt(0))
+    val gv2 = Seq.empty[(String, Double)].toDF("g", "v")
+    assert(Learning.ksTwoSample(gv2, "v", "g", "a", "b").count() == 1)
+    assert(Learning.mutualInfo(emptyDocs, "source", "text").count() == 1)
+    assert(Learning.naiveBayesConfusion(emptyDocs, "doc_id", "text", "source").count() == 0)
+    assert(Learning.chi2Presence(
+      Seq.empty[(String, String)].toDF("item", "cls"),
+      Seq.empty[(String, Long)].toDF("cls", "n_cls")).count() == 0)
+    val keys = Seq.empty[Long].toDF("k")
+    assert(Curation.rendezvousShard(keys, "k", 8).count() == 0)
+    assert(Curation.giniBySource(emptyDocs, "source", "doc_id").count() == 0)
+    assert(Curation.paretoFront2D(
+      Seq.empty[(Long, Double, Long)].toDF("id", "x", "y"), "x", "y", Seq("id")).count() == 0)
+    assert(Sketches.bloomBuild(keys, "k").count() == 0)
+    assert(Sketches.bloomProbe(Sketches.bloomBuild(keys, "k"), keys, "k").count() == 0)
+    val emb = Seq.empty[(Long, Array[Float])].toDF("id", "v")
+    assert(Clustering.kCenterGreedy(emb, "id", "v", k = 3).count() == 0)
+    assert(Retrieval.ndcg(
+      Seq.empty[(Long, Long, Double)].toDF("query_id", "rank", "rel")).count() == 0)
+  }
+
   test("sinks handle empty frames") {
     val dir = tmpDir("empty-sinks")
     val e = Seq.empty[(Long, String)].toDF("id", "split")
