@@ -57,6 +57,21 @@ object TextFunctions {
   def hash60(c: Column, seed: Int): Column =
     hash60(concat(c, lit("#"), lit(seed.toString)))
 
+  /** Scala-side mirror of [[hash60]] for typed (Dataset) operators —
+    * streaming stateful groups can't evaluate Columns. Bit-identical
+    * to the Column form (asserted in HashExprSpec): md5 hex of the
+    * UTF-8 bytes, first 15 hex chars as a 60-bit long.
+    */
+  def hash60Scala(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Seeded Scala mirror of hash60(c, seed). */
+  def hash60Scala(s: String, seed: Int): Long = hash60Scala(s + "#" + seed)
+
   /** Element-wise hash60 over a string array — hash shingles ONCE,
     * then signatures/simhash/Jaccard all work on the long values
     * (DuckDB: list_transform(xs, s -> hash60 SQL)).

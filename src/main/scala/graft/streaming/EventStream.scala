@@ -199,6 +199,37 @@ object EventStream {
       }
   }
 
+  final case class CmsCell(row_id: Long, bucket: Long, cnt: Long)
+
+  /** Streaming count-min sketch with cross-batch state: the online
+    * heavy-hitter summary. Each token updates `rows` counters (same
+    * seeded 60-bit md5 family as the batch
+    * [[graft.operators.Sketches.countMinSketch]], via the Scala
+    * mirror — asserted bit-identical in HashExprSpec), keyed by
+    * (row, bucket) so state is bounded by rows × width REGARDLESS of
+    * stream length — the whole point of a sketch over an unbounded
+    * token stream. Every batch emits the post-update count of each
+    * touched cell; the latest emission per cell IS the sketch, and it
+    * equals the batch sketch over the full prefix (StreamingSpec).
+    */
+  def streamingCountMin(tokens: Dataset[String], rows: Int = 4,
+      width: Int = 64): Dataset[CmsCell] = {
+    require(rows >= 1 && width >= 1, "sketch needs rows >= 1, width >= 1")
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    import graft.functions.TextFunctions.hash60Scala
+    tokens
+      .flatMap(t => (0 until rows).map(j =>
+        (j.toLong, hash60Scala(t, j) % width)))
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, CmsCell](GroupStateTimeout.NoTimeout()) {
+        (cell: (Long, Long), incoming: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val cnt = state.getOption.getOrElse(0L) + incoming.size
+          state.update(cnt)
+          CmsCell(cell._1, cell._2, cnt)
+      }
+  }
+
   final case class DriftState(ewma: Double, n: Long)
   final case class DriftScore(event_type: String, event_id: Long, value: Double,
       ewma: Double, drift: Double)

@@ -112,4 +112,19 @@ class HashExprSpec extends SparkSpec {
       .filter($"h".isNotNull).count()
     assert(n == 80)
   }
+
+  test("hash60Scala (typed-operator mirror) == hash60 Column form") {
+    import graft.functions.TextFunctions
+    val rnd = new scala.util.Random(7)
+    val samples = Seq("", "a", "#", "0", "München ☃") ++
+      Seq.fill(40)(rnd.alphanumeric.take(1 + rnd.nextInt(20)).mkString)
+    val viaColumn = samples.toDF("s")
+      .select($"s", TextFunctions.hash60($"s").as("h"),
+        TextFunctions.hash60($"s", 3).as("h3"))
+      .as[(String, Long, Long)].collect()
+    for ((s, h, h3) <- viaColumn) {
+      assert(TextFunctions.hash60Scala(s) == h, s"plain mismatch on '$s'")
+      assert(TextFunctions.hash60Scala(s, 3) == h3, s"seeded mismatch on '$s'")
+    }
+  }
 }

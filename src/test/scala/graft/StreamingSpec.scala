@@ -214,4 +214,32 @@ class StreamingSpec extends SparkSpec {
     // e1: first value seeds the average; e2: .5*8+.5*4=6; e3: .5*2+.5*6=4
     assert(rows.toSeq == Seq((1L, 4.0, 0.0), (2L, 6.0, 2.0), (3L, 4.0, 2.0)))
   }
+
+  test("streamingCountMin converges to the batch sketch across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val query = EventStream.streamingCountMin(input.toDS(), rows = 3, width = 16)
+      .writeStream.format("memory").queryName("scms").outputMode("update").start()
+    val b1 = Seq("apple", "banana", "apple", "cherry")
+    val b2 = Seq("apple", "banana", "banana", "durian", "apple")
+    input.addData(b1: _*)
+    query.processAllAvailable()
+    input.addData(b2: _*)
+    query.processAllAvailable()
+    // the latest emission per cell is the live sketch
+    val live = spark.table("scms")
+      .groupBy($"row_id", $"bucket").agg(max($"cnt").as("cnt"))
+    val batch = graft.operators.Sketches.countMinSketch(
+      (b1 ++ b2).toDF("tok"), "tok", rows = 3, width = 16)
+    assert(live.join(batch, Seq("row_id", "bucket"))
+      .filter(live("cnt") =!= batch("cnt")).count() == 0)
+    assert(live.count() == batch.count(),
+      "streaming sketch must touch exactly the batch sketch's cells")
+    // estimates agree with true counts on this collision-free fixture
+    val est = graft.operators.Sketches.cmsEstimate(
+      live, Seq("apple", "banana", "durian").toDF("tok"), "tok", rows = 3, width = 16)
+      .orderBy($"tok").as[(String, Long)].collect().toSeq
+    query.stop()
+    assert(est == Seq(("apple", 4L), ("banana", 3L), ("durian", 1L)))
+  }
 }
