@@ -880,6 +880,32 @@ object CurationQueries {
         |FROM mi CROSS JOIN ha CROSS JOIN hb""".stripMargin
     ) { (s, d) =>
       graft.operators.Learning.mutualInfo(Tables.documents(s, d), "source", "lang")
+    },
+
+    // release-safety audit: k-anonymity of the (nation, segment)
+    // quasi-identifier over customers — how many equivalence classes
+    // fall under k=10 and what fraction of rows they expose; one
+    // groupBy + one summary agg
+    Q.sql(
+      "q141_k_anon",
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |  CAST(min(n) AS BIGINT) AS min_class,
+        |  CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+        |  round(sum(CASE WHEN n < 10 THEN n ELSE 0 END) * 1.0 / sum(n), 6) AS frac_at_risk
+        |FROM g""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .groupBy($"c_nationkey", $"c_mktsegment").agg(count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).as("n_classes"),
+          sum(when($"n" < 10, 1L).otherwise(0L)).as("n_violating"),
+          min($"n").as("min_class"),
+          sum(when($"n" < 10, $"n").otherwise(0L)).as("rows_at_risk"),
+          round(sum(when($"n" < 10, $"n").otherwise(0L)) / sum($"n"), 6).as("frac_at_risk"))
     }
   )
 }
