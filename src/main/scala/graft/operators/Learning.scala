@@ -263,6 +263,41 @@ object Learning {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Split-conformal calibration (Vovk et al. / Lei et al.): from a
+    * calibration frame of nonconformity scores, the distribution-free
+    * threshold q̂ = the ⌈(n+1)(1−α)⌉-th smallest score, and the
+    * coverage that threshold actually achieves on a test frame
+    * (≥ 1−α in expectation, regardless of the score's distribution).
+    *
+    * One sort-rank over the calibration scores picks the order
+    * statistic (a global top-⌈…⌉ — range-partitioned sort at scale),
+    * then the broadcast 1-row threshold scores the test side in a
+    * narrow pass. Returns (n_cal, n_test, qhat, coverage), rounded 6.
+    */
+  def splitConformal(
+      cal: DataFrame, test: DataFrame, scoreCol: String,
+      alpha: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0 && alpha < 1, "need 0 < alpha < 1")
+    val n = cal.count()
+    require(n >= 1, "conformal calibration needs at least one score")
+    val k = math.min(n, math.ceil((n + 1) * (1 - alpha)).toLong)
+    val qhat = cal
+      .select(round(col(scoreCol).cast("double"), 6).as("_s"))
+      .withColumn("_rk", row_number().over(Window.orderBy(col("_s"))))
+      .filter(col("_rk") === k)
+      .select(col("_s").as("qhat"), lit(n).as("n_cal"))
+    test.select(round(col(scoreCol).cast("double"), 6).as("_s"))
+      .crossJoin(broadcast(qhat))
+      .agg(
+        max(col("n_cal")).as("n_cal"),
+        count(lit(1)).as("n_test"),
+        max(col("qhat")).as("qhat"),
+        round(avg(when(col("_s") <= col("qhat"), 1.0).otherwise(0.0)), 6)
+          .as("coverage"))
+      .select(col("n_cal"), col("n_test"), col("qhat"), col("coverage"))
+  }
+
   /** Mutual information (nats) between two categorical columns, plus
     * both marginal entropies: MI = sum p(a,b) ln(p(a,b)/(p(a)p(b))).
     * One joint groupBy; marginals re-aggregate the (tiny) joint frame

@@ -70,6 +70,77 @@ object Retrieval {
       .agg(round(sum(col("c")), 6).as("rrf_score"), count(lit(1)).as("n_lists"))
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    * 1998): greedily select `k` of each query's candidates maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-selected — the
+    * diversity-aware cut of a redundant top-k.
+    *
+    * Inputs: `candidates` (query_id, cand_id, rel) — a BOUNDED
+    * per-query candidate set (an upstream top-k, not a corpus) — and
+    * `pairSims` (query_id, a, b, s) holding both orientations of each
+    * intra-candidate-set similarity, both with 6-dp-rounded
+    * similarities. Each greedy step is one (remaining ⋈ sims ⋈
+    * selected) aggregation + a per-query window argmax: cost is
+    * bounded by |candidates|·k per query, never corpus-sized.
+    *
+    * Scores are EXACT INTEGERS: similarities scale to micro-units
+    * (round(s·1e6)) and the weights are integer tenths, so
+    * score = relTenths·rel_µ − divTenths·ms_µ in 1e-7 units — no
+    * decimal multiply whose half-way rounding can disagree between
+    * engines (0.7·0.371485 sits exactly on a 6-dp boundary and DID).
+    * Ties break on the smaller id; the greedy trace is engine-exact
+    * by construction.
+    *
+    * Returns (query_id, cand_id, step, score) — score a BIGINT in
+    * 1e-7 units of the λ·rel − (1−λ)·maxsim objective.
+    */
+  def mmrSelect(
+      candidates: DataFrame, pairSims: DataFrame, k: Int,
+      relTenths: Int = 7, divTenths: Int = 3): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    require(relTenths >= 0 && divTenths >= 0, "weights must be nonnegative")
+    def micro(c: org.apache.spark.sql.Column) =
+      round(c * lit(1000000L)).cast("long")
+    val pickW = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id"))
+    val cands = candidates
+      .select(col("query_id"), col("cand_id"), micro(col("rel")).as("_rel"))
+      .localCheckpoint(true)
+    var selected = cands
+      .select(col("query_id"), col("cand_id"),
+        (lit(relTenths.toLong) * col("_rel")).as("score"))
+      .withColumn("_rk", row_number().over(pickW))
+      .filter(col("_rk") === 1)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("step"), col("score"))
+      .localCheckpoint(true)
+    var remaining = cands
+      .join(selected.select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"), "left_anti")
+      .localCheckpoint(true)
+    for (step <- 2 to k) {
+      val next = remaining
+        .join(pairSims.select(col("query_id"), col("a").as("cand_id"),
+          col("b"), micro(col("s")).as("_s")), Seq("query_id", "cand_id"))
+        .join(selected.select(col("query_id"), col("cand_id").as("b")),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("cand_id"))
+        .agg(first(col("_rel")).as("_rel"), max(col("_s")).as("_ms"))
+        .select(col("query_id"), col("cand_id"),
+          (lit(relTenths.toLong) * col("_rel") -
+            lit(divTenths.toLong) * col("_ms")).as("score"))
+        .withColumn("_rk", row_number().over(pickW))
+        .filter(col("_rk") === 1)
+        .select(col("query_id"), col("cand_id"), lit(step.toLong).as("step"),
+          col("score"))
+      selected = selected.unionByName(next).localCheckpoint(true)
+      remaining = remaining
+        .join(next.select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"), "left_anti")
+        .localCheckpoint(true)
+    }
+    selected
+  }
+
   /** NDCG of ranked result lists (Järvelin & Kekäläinen 2002):
     * input (query_id, rank — 1-based, rel — nonnegative gain).
     * DCG = Σ rel/log2(rank+1); IDCG re-ranks the SAME gains

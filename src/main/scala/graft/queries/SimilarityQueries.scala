@@ -1056,6 +1056,116 @@ object SimilarityQueries {
         when($"label" >= 5, 1.0).otherwise(0.0).as("y"))
       Learning.bestStumpSplits(emb, "embedding", "y", nDims = 4)
         .orderBy($"dim")
+    },
+
+    // distribution-free uncertainty: split-conformal threshold from
+    // the even-id calibration half (the ⌈(n+1)(1−α)⌉-th smallest
+    // nonconformity score) and the coverage it achieves on the odd-id
+    // test half — ≥ 90% in expectation with NO distributional
+    // assumption on the score
+    Q.sql(
+      "q142_conformal",
+      """WITH s AS (SELECT vec_id, round(abs(CAST(embedding[1] AS DOUBLE)), 6) AS sc
+        |  FROM embeddings),
+        |cal AS (SELECT sc FROM s WHERE vec_id % 2 = 0),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+        |q AS (SELECT sc AS qhat FROM (
+        |    SELECT sc, row_number() OVER (ORDER BY sc) AS rk FROM cal) r
+        |  CROSS JOIN n
+        |  WHERE rk = least(n.n_cal, CAST(ceil((n.n_cal + 1) * 0.9) AS BIGINT))),
+        |t AS (SELECT sc FROM s WHERE vec_id % 2 = 1)
+        |SELECT n.n_cal AS n_cal, CAST(count(*) AS BIGINT) AS n_test,
+        |  max(q.qhat) AS qhat,
+        |  round(avg(CASE WHEN t.sc <= q.qhat THEN 1.0 ELSE 0.0 END), 6) AS coverage
+        |FROM t CROSS JOIN q CROSS JOIN n GROUP BY n.n_cal""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val scored = Tables.embeddings(s, d).select($"vec_id",
+        abs($"embedding" (0).cast("double")).as("sc"))
+      Learning.splitConformal(
+        scored.filter(pmod($"vec_id", lit(2)) === 0),
+        scored.filter(pmod($"vec_id", lit(2)) === 1), "sc", alpha = 0.1)
+    },
+
+    // diversity-aware top-k: maximal marginal relevance over each
+    // query's brute-force top-10 — 3 greedy picks trading relevance
+    // (λ=0.7) against similarity to already-picked results, the
+    // redundancy cut a dedup-heavy corpus needs at retrieval time
+    Q.sql(
+      "q143_mmr",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 6),
+        |cand AS (SELECT query_id, cand_id,
+        |    CAST(round(rel * 1000000) AS BIGINT) AS reli FROM (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS cand_id,
+        |    round(list_dot_product(q.v, n.v) / sqrt(list_dot_product(q.v, q.v))
+        |          / sqrt(list_dot_product(n.v, n.v)), 6) AS rel,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      round(list_dot_product(q.v, n.v) / sqrt(list_dot_product(q.v, q.v))
+        |            / sqrt(list_dot_product(n.v, n.v)), 6) DESC, n.vec_id) AS rk
+        |  FROM e n JOIN q ON q.vec_id <> n.vec_id) WHERE rk <= 10),
+        |sym AS (SELECT c1.query_id, c1.cand_id AS a, c2.cand_id AS b,
+        |    CAST(round(round(list_dot_product(ea.v, eb.v) / sqrt(list_dot_product(ea.v, ea.v))
+        |          / sqrt(list_dot_product(eb.v, eb.v)), 6) * 1000000) AS BIGINT) AS svi
+        |  FROM cand c1 JOIN cand c2
+        |    ON c1.query_id = c2.query_id AND c1.cand_id <> c2.cand_id
+        |  JOIN e ea ON ea.vec_id = c1.cand_id
+        |  JOIN e eb ON eb.vec_id = c2.cand_id),
+        |s1 AS (SELECT query_id, cand_id, 1 AS step, score FROM (
+        |  SELECT query_id, cand_id, 7 * reli AS score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY 7 * reli DESC, cand_id) AS rk FROM cand)
+        |  WHERE rk = 1),
+        |r1 AS (SELECT c.* FROM cand c LEFT JOIN s1
+        |  ON s1.query_id = c.query_id AND s1.cand_id = c.cand_id
+        |  WHERE s1.cand_id IS NULL),
+        |m2 AS (SELECT r.query_id, r.cand_id, any_value(r.reli) AS reli, max(sym.svi) AS ms
+        |  FROM r1 r JOIN sym ON sym.query_id = r.query_id AND sym.a = r.cand_id
+        |  JOIN s1 ON s1.query_id = sym.query_id AND s1.cand_id = sym.b
+        |  GROUP BY 1, 2),
+        |s2 AS (SELECT query_id, cand_id, 2 AS step, score FROM (
+        |  SELECT query_id, cand_id, 7 * reli - 3 * ms AS score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY 7 * reli - 3 * ms DESC, cand_id) AS rk FROM m2)
+        |  WHERE rk = 1),
+        |r2 AS (SELECT c.* FROM r1 c LEFT JOIN s2
+        |  ON s2.query_id = c.query_id AND s2.cand_id = c.cand_id
+        |  WHERE s2.cand_id IS NULL),
+        |sel2 AS (SELECT query_id, cand_id FROM s1 UNION ALL SELECT query_id, cand_id FROM s2),
+        |m3 AS (SELECT r.query_id, r.cand_id, any_value(r.reli) AS reli, max(sym.svi) AS ms
+        |  FROM r2 r JOIN sym ON sym.query_id = r.query_id AND sym.a = r.cand_id
+        |  JOIN sel2 ON sel2.query_id = sym.query_id AND sel2.cand_id = sym.b
+        |  GROUP BY 1, 2),
+        |s3 AS (SELECT query_id, cand_id, 3 AS step, score FROM (
+        |  SELECT query_id, cand_id, 7 * reli - 3 * ms AS score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY 7 * reli - 3 * ms DESC, cand_id) AS rk FROM m3)
+        |  WHERE rk = 1)
+        |SELECT query_id, cand_id, CAST(step AS BIGINT) AS step,
+        |  CAST(score AS BIGINT) AS score FROM (
+        |  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+        |ORDER BY query_id, step""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      import graft.functions.GraftFunctions
+      val emb = Tables.embeddings(s, d)
+      val cand = Similarity.bruteForceTopK(
+        emb, emb.filter($"vec_id" < 6), "vec_id", "embedding", k = 10)
+        .select($"query_id", $"neighbor_id".as("cand_id"), $"sim".as("rel"))
+        .localCheckpoint(true)
+      val withVec = cand
+        .join(emb.select($"vec_id".as("cand_id"), $"embedding".as("_v")), Seq("cand_id"))
+        .select($"query_id", $"cand_id", $"_v")
+      val sym = withVec.alias("x")
+        .join(withVec.alias("y"),
+          col("x.query_id") === col("y.query_id") &&
+            col("x.cand_id") =!= col("y.cand_id"))
+        .select(col("x.query_id").as("query_id"), col("x.cand_id").as("a"),
+          col("y.cand_id").as("b"),
+          round(GraftFunctions.cosineFast(col("x._v"), col("y._v")), 6).as("s"))
+      Retrieval.mmrSelect(cand, sym, k = 3)
+        .orderBy($"query_id", $"step")
     }
   )
 }

@@ -162,6 +162,43 @@ class LearningFuzzSpec extends SparkSpec {
     }
   }
 
+  test("mmrSelect matches the sequential greedy MMR") {
+    for (seed <- 1 to 8) {
+      val rnd = new Random(90 + seed)
+      val nCand = 4 + rnd.nextInt(6)
+      val cand = (0 until nCand).map(i => (1L, i.toLong, rnd.nextInt(1000) / 1000.0))
+      val simMap = (for {
+        a <- 0 until nCand; b <- 0 until nCand if a != b
+      } yield {
+        val key = (math.min(a, b), math.max(a, b))
+        key -> key
+      }).distinct.map { case (k, _) => k -> rnd.nextInt(1000) / 1000.0 }.toMap
+      val sims = simMap.toSeq.flatMap { case ((a, b), s) =>
+        Seq((1L, a.toLong, b.toLong, s), (1L, b.toLong, a.toLong, s)) }
+      val k = 2 + rnd.nextInt(2)
+      // sequential reference in micro-units
+      val relU = cand.map { case (_, id, r) => id -> math.round(r * 1e6) }.toMap
+      def simU(a: Long, b: Long) =
+        math.round(simMap((math.min(a, b).toInt, math.max(a, b).toInt)) * 1e6)
+      var sel = Vector.empty[(Long, Long)] // (id, score)
+      var rem = cand.map(_._2).toSet
+      for (step <- 1 to k) {
+        val scored = rem.toSeq.map { id =>
+          val ms = if (sel.isEmpty) 0L else sel.map(s => simU(id, s._1)).max
+          id -> (7L * relU(id) - (if (sel.isEmpty) 0L else 3L * ms))
+        }
+        val (pickId, pickScore) = scored.minBy { case (id, sc) => (-sc, id) }
+        sel = sel :+ ((pickId, pickScore))
+        rem -= pickId
+      }
+      val got = graft.operators.Retrieval.mmrSelect(
+        cand.toDF("query_id", "cand_id", "rel"),
+        sims.toDF("query_id", "a", "b", "s"), k)
+        .orderBy("step").select("cand_id", "score").as[(Long, Long)].collect().toVector
+      assert(got == sel, s"seed=$seed")
+    }
+  }
+
   test("mutualInfo matches the direct plug-in estimate") {
     for (seed <- 1 to 10) {
       val rnd = new Random(70 + seed)

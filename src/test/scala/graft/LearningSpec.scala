@@ -186,6 +186,36 @@ class LearningSpec extends SparkSpec {
     assert(cm == Map(("fruit", "fruit") -> 2L, ("metal", "metal") -> 2L))
   }
 
+  test("splitConformal picks the right order statistic and scores coverage") {
+    // cal scores 1..10, alpha=0.2 -> k = ceil(11*0.8) = 9 -> qhat = 9
+    val cal = (1 to 10).map(_.toDouble).toDF("s")
+    val test = Seq(0.5, 5.0, 9.0, 9.5, 20.0).toDF("s")
+    val r = Learning.splitConformal(cal, test, "s", alpha = 0.2).collect().head
+    assert(r.getAs[Double]("qhat") == 9.0)
+    assert(r.getAs[Long]("n_cal") == 10 && r.getAs[Long]("n_test") == 5)
+    assert(r.getAs[Double]("coverage") == 0.6) // 0.5, 5, 9 covered
+    // alpha tiny -> qhat = max score
+    val r2 = Learning.splitConformal(cal, test, "s", alpha = 0.01).collect().head
+    assert(r2.getAs[Double]("qhat") == 10.0)
+  }
+
+  test("mmrSelect trades relevance for diversity") {
+    import graft.operators.Retrieval
+    // query 1: a(rel .9); b(rel .89) is a near-dup of a; c(rel .6) diverse
+    val cand = Seq((1L, 10L, 0.9), (1L, 11L, 0.89), (1L, 12L, 0.6))
+      .toDF("query_id", "cand_id", "rel")
+    val sims = Seq(
+      (1L, 10L, 11L, 0.99), (1L, 11L, 10L, 0.99),
+      (1L, 10L, 12L, 0.1), (1L, 12L, 10L, 0.1),
+      (1L, 11L, 12L, 0.1), (1L, 12L, 11L, 0.1))
+      .toDF("query_id", "a", "b", "s")
+    val picks = Retrieval.mmrSelect(cand, sims, k = 2)
+      .orderBy("step").select("cand_id").as[Long].collect().toSeq
+    // plain top-2 by relevance is (10, 11); MMR's step-2 scores:
+    // b = 7*890000 - 3*990000 = 3,260,000 < c = 7*600000 - 3*100000 = 3,900,000
+    assert(picks == Seq(10L, 12L))
+  }
+
   test("paretoFront2D keeps exactly the non-dominated points") {
     val pts = Seq((1L, 5.0, 5L), (2L, 4.0, 9L), (3L, 3.0, 1L), (4L, 5.0, 4L),
       (5L, 2.0, 9L)).toDF("id", "x", "y")

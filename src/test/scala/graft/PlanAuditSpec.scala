@@ -48,7 +48,10 @@ class PlanAuditSpec extends SparkSpec {
     // greedy step (the running in-row min-distance update); q140
     // crosses the vocabulary with the K-row class-totals frame (the
     // smoothed logprob grid needs zero-count cells)
-    "q137_kcenter", "q140_naive_bayes")
+    "q137_kcenter", "q140_naive_bayes",
+    // q142 broadcasts the 1-row conformal-threshold frame onto the
+    // test scores
+    "q142_conformal")
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
