@@ -199,6 +199,23 @@ class LearningFuzzSpec extends SparkSpec {
     }
   }
 
+  test("splitConformal matches the sequential order statistic and coverage") {
+    for (seed <- 1 to 10) {
+      val rnd = new Random(110 + seed)
+      val cal = Seq.fill(5 + rnd.nextInt(40))(rnd.nextInt(500) / 10.0)
+      val test = Seq.fill(5 + rnd.nextInt(40))(rnd.nextInt(500) / 10.0)
+      val alpha = Seq(0.05, 0.1, 0.2)(rnd.nextInt(3))
+      val n = cal.size
+      val k = math.min(n, math.ceil((n + 1) * (1 - alpha)).toInt)
+      val qhat = cal.sorted.apply(k - 1)
+      val cov = r6(test.count(_ <= qhat).toDouble / test.size)
+      val got = Learning.splitConformal(
+        cal.toDF("s"), test.toDF("s"), "s", alpha).collect().head
+      assert(got.getAs[Double]("qhat") == qhat, s"seed=$seed qhat")
+      assert(got.getAs[Double]("coverage") == cov, s"seed=$seed coverage")
+    }
+  }
+
   test("mutualInfo matches the direct plug-in estimate") {
     for (seed <- 1 to 10) {
       val rnd = new Random(70 + seed)
