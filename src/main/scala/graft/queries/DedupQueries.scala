@@ -662,6 +662,45 @@ object DedupQueries {
       import s.implicits._
       TextDedup.lshTuningTable(Tables.documents(s, d), "doc_id", "text")
         .orderBy($"bands")
+    },
+
+    // dedup economics: the near-dup cluster SIZE distribution — how
+    // many families of each size exist and how many rows deduping to
+    // one-per-family would remove; two aggregations over the
+    // already-certified component labeling
+    Q.sql(
+      "q144_cluster_sizes",
+      """WITH RECURSIVE
+        |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        |      FROM embeddings WHERE vec_id < 300),
+        |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+        |      FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |      WHERE round(list_dot_product(a.vv, b.vv)
+        |            / sqrt(list_dot_product(a.vv, a.vv))
+        |            / sqrt(list_dot_product(b.vv, b.vv)), 6) >= 0.40),
+        |edges AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+        |walk AS (
+        |  SELECT a AS node, a AS label FROM edges
+        |  UNION
+        |  SELECT e2.a AS node, w.label AS label FROM edges e2 JOIN walk w ON w.node = e2.b
+        |),
+        |comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node),
+        |sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS csize
+        |  FROM comp GROUP BY component)
+        |SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(count(*) * (csize - 1) AS BIGINT) AS removable
+        |FROM sizes GROUP BY csize ORDER BY csize""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val pairs = graft.operators.Similarity.cosineDupPairs(
+        Tables.embeddings(s, d).filter($"vec_id" < 300), "vec_id", "embedding",
+        threshold = 0.40)
+      graft.operators.DupGraph.connectedComponents(pairs)
+        .groupBy($"component").agg(count(lit(1)).as("csize"))
+        .groupBy($"csize").agg(count(lit(1)).as("n_clusters"))
+        .select($"csize", $"n_clusters",
+          ($"n_clusters" * ($"csize" - 1)).as("removable"))
+        .orderBy($"csize")
     }
   )
 }
