@@ -906,6 +906,27 @@ object CurationQueries {
           min($"n").as("min_class"),
           sum(when($"n" < 10, $"n").otherwise(0L)).as("rows_at_risk"),
           round(sum(when($"n" < 10, $"n").otherwise(0L)) / sum($"n"), 6).as("frac_at_risk"))
+    },
+
+    // cross-source score comparability: per-source percentile-rank
+    // normalization of document lengths — scores from different
+    // sources become mixable on a common [0,1] scale (one per-source
+    // sort window, id tie-breaks make ranks exact)
+    Q.sql(
+      "q145_rank_normalize",
+      """SELECT doc_id, source,
+        |  round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id), 6)
+        |    AS pct_rank
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d)
+        .select($"doc_id", $"source",
+          round(percent_rank().over(
+            Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")), 6)
+            .as("pct_rank"))
+        .orderBy($"doc_id")
     }
   )
 }
