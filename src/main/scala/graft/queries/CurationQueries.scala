@@ -927,6 +927,37 @@ object CurationQueries {
             Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")), 6)
             .as("pct_rank"))
         .orderBy($"doc_id")
+    },
+
+    // data-constrained scaling planner (Muennighoff et al. 2023): a
+    // 1M-token training budget split equally across sources — how
+    // many EPOCHS of each source that implies and which sources
+    // exceed the ~4-epoch band where repeated data stops helping
+    Q.sql(
+      "q146_epoch_budget",
+      """WITH t AS (SELECT source,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY 1),
+        |k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM t)
+        |SELECT source, toks,
+        |  CAST(floor(1000000.0 / k.k) AS BIGINT) AS alloc_toks,
+        |  round(floor(1000000.0 / k.k) / toks, 6) AS epochs,
+        |  CAST(CASE WHEN floor(1000000.0 / k.k) / toks > 4 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS over_four
+        |FROM t CROSS JOIN k ORDER BY source""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val t = Tables.documents(s, d)
+        .groupBy($"source")
+        .agg(sum(size(split(trim($"text"), "\\s+")).cast("long")).as("toks"))
+      val k = t.agg(count(lit(1)).as("k"))
+      t.crossJoin(broadcast(k))
+        .select($"source", $"toks",
+          floor(lit(1000000.0) / $"k").cast("long").as("alloc_toks"),
+          round(floor(lit(1000000.0) / $"k") / $"toks", 6).as("epochs"),
+          when(floor(lit(1000000.0) / $"k") / $"toks" > 4, 1L).otherwise(0L)
+            .as("over_four"))
+        .orderBy($"source")
     }
   )
 }
