@@ -50,8 +50,9 @@ class PlanAuditSpec extends SparkSpec {
     // smoothed logprob grid needs zero-count cells)
     "q137_kcenter", "q140_naive_bayes",
     // q142 broadcasts the 1-row conformal-threshold frame onto the
-    // test scores
-    "q142_conformal")
+    // test scores; q146 broadcasts the 1-row source-count frame onto
+    // the per-source token totals
+    "q142_conformal", "q146_epoch_budget")
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
