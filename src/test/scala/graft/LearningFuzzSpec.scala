@@ -233,6 +233,41 @@ class LearningFuzzSpec extends SparkSpec {
     }
   }
 
+  test("rendezvousShard matches the sequential HRW argmax") {
+    def md5hex(s: String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    }
+    for (seed <- 1 to 6) {
+      val rnd = new Random(120 + seed)
+      val n = 3 + rnd.nextInt(8)
+      val keys = Seq.fill(30)(rnd.nextLong().abs % 100000)
+      val ref = keys.distinct.map(k =>
+        k -> (0 until n).maxBy(s => (md5hex(s"$k#$s"), s)).toLong).toMap
+      val got = Curation.rendezvousShard(keys.distinct.toDF("k"), "k", n)
+        .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("shard")).toMap
+      assert(got == ref, s"seed=$seed")
+    }
+  }
+
+  test("bloomProbe matches the sequential bit-set simulation") {
+    import graft.functions.TextFunctions.hash60Scala
+    for (seed <- 1 to 6) {
+      val rnd = new Random(130 + seed)
+      val m = 256
+      val kh = 3 + rnd.nextInt(3)
+      val members = Seq.fill(40)(rnd.nextInt(10000).toLong).distinct
+      val probes = Seq.fill(60)(rnd.nextInt(10000).toLong).distinct
+      def bits(key: Long) = (0 until kh).map(j => hash60Scala(key.toString, j) % m).toSet
+      val setBits = members.flatMap(bits).toSet
+      val ref = probes.map(p => p -> bits(p).subsetOf(setBits)).toMap
+      val bloom = graft.operators.Sketches.bloomBuild(members.toDF("key"), "key", kh, m)
+      val got = graft.operators.Sketches.bloomProbe(bloom, probes.toDF("key"), "key", kh, m)
+        .collect().map(r => r.getAs[Long]("key") -> r.getAs[Boolean]("bloom_pos")).toMap
+      assert(got == ref, s"seed=$seed")
+    }
+  }
+
   test("chi2Presence matches the direct contingency computation") {
     for (seed <- 1 to 8) {
       val rnd = new Random(80 + seed)
