@@ -41,12 +41,13 @@ object Learning {
     */
   private def trainGD(
       df: DataFrame, vecCol: String, labelCol: String,
-      nDims: Int, iters: Int, lr: Double): (DataFrame => DataFrame, DataFrame) = {
+      nDims: Int, iters: Int, lr: Double,
+      keepCols: Seq[String] = Nil): (DataFrame => DataFrame, DataFrame) = {
     require(nDims >= 1 && iters >= 1, "need nDims >= 1 and iters >= 1")
-    val rows = df.select(
+    val rows = df.select(keepCols.map(col) ++ Seq(
       col(labelCol).cast("double").as("_y"),
       concat(slice(col(vecCol).cast("array<double>"), 1, nDims), array(lit(1.0)))
-        .as("_xs"))
+        .as("_xs")): _*)
       .localCheckpoint(true)
     val n = rows.count().toDouble
     var w = df.sparkSession.range(nDims + 1)
@@ -60,11 +61,11 @@ object Learning {
         .select(transform(col("_sw"), s => s.getField("w")).as("_w"))
     def margins(wt: DataFrame) =
       rows.crossJoin(broadcast(asArray(wt)))
-        .select(col("_y"), col("_xs"),
+        .select(keepCols.map(col) ++ Seq(col("_y"), col("_xs"),
           round(aggregate(zip_with(col("_xs"), col("_w"), (x, wv) => x * wv),
-            lit(0.0), (acc, v) => acc + v), 6).as("m"))
-        .select(col("_y"), col("_xs"),
-          (lit(1.0) / (lit(1.0) + exp(-col("m")))).as("p"))
+            lit(0.0), (acc, v) => acc + v), 6).as("m")): _*)
+        .select(keepCols.map(col) ++ Seq(col("_y"), col("_xs"),
+          (lit(1.0) / (lit(1.0) + exp(-col("m")))).as("p")): _*)
     for (_ <- 1 to iters) {
       // gradient: posexplode the features under the per-row residual
       // and partial-aggregate into nDims+1 groups — the shuffle
@@ -96,9 +97,10 @@ object Learning {
     */
   def logisticPredict(
       df: DataFrame, vecCol: String, labelCol: String,
-      nDims: Int, iters: Int = 3, lr: Double = 0.5): DataFrame = {
-    val (margins, w) = trainGD(df, vecCol, labelCol, nDims, iters, lr)
-    margins(w).select(col("_y").as("y"), col("p"))
+      nDims: Int, iters: Int = 3, lr: Double = 0.5,
+      keepCols: Seq[String] = Nil): DataFrame = {
+    val (margins, w) = trainGD(df, vecCol, labelCol, nDims, iters, lr, keepCols)
+    margins(w).select(keepCols.map(col) :+ col("_y").as("y") :+ col("p"): _*)
   }
 
   /** Reliability diagram: predictions bucketed into `bins` equal-width

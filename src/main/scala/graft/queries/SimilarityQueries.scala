@@ -1166,6 +1166,67 @@ object SimilarityQueries {
           round(GraftFunctions.cosineFast(col("x._v"), col("y._v")), 6).as("s"))
       Retrieval.mmrSelect(cand, sym, k = 3)
         .orderBy($"query_id", $"step")
+},
+
+    // learned quality gate with a coverage guarantee: the q133 model's
+    // positive-class nonconformity (1 - p) conformally calibrated on
+    // the even-id half — the threshold that admits >= 90% of true
+    // positives, and the coverage it actually achieves on the odd half
+    Q.sql(
+      "q147_learned_gate",
+      """WITH f AS (
+        |  SELECT vec_id, CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END AS y,
+        |    list_append(list_transform(embedding[1:64], x -> CAST(x AS DOUBLE)), 1.0) AS xs
+        |  FROM embeddings),
+        |d AS (SELECT vec_id, y, CAST(unnest(range(0, len(xs))) AS BIGINT) AS dim,
+        |  unnest(xs) AS x FROM f),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+        |w0 AS (SELECT DISTINCT dim, 0.0 AS w FROM d),
+        |p1 AS (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
+        |  SELECT d.vec_id, any_value(d.y) AS y, round(sum(d.x * w0.w), 6) AS m
+        |  FROM d JOIN w0 USING (dim) GROUP BY d.vec_id) m),
+        |g1 AS (SELECT d.dim, sum((p1.p - p1.y) * d.x) / n.n AS g
+        |  FROM d JOIN p1 USING (vec_id) CROSS JOIN n GROUP BY d.dim, n.n),
+        |w1 AS (SELECT w0.dim, round(w0.w - 8.0 * g1.g, 6) AS w FROM w0 JOIN g1 USING (dim)),
+        |p2 AS (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
+        |  SELECT d.vec_id, any_value(d.y) AS y, round(sum(d.x * w1.w), 6) AS m
+        |  FROM d JOIN w1 USING (dim) GROUP BY d.vec_id) m),
+        |g2 AS (SELECT d.dim, sum((p2.p - p2.y) * d.x) / n.n AS g
+        |  FROM d JOIN p2 USING (vec_id) CROSS JOIN n GROUP BY d.dim, n.n),
+        |w2 AS (SELECT w1.dim, round(w1.w - 8.0 * g2.g, 6) AS w FROM w1 JOIN g2 USING (dim)),
+        |p3 AS (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
+        |  SELECT d.vec_id, any_value(d.y) AS y, round(sum(d.x * w2.w), 6) AS m
+        |  FROM d JOIN w2 USING (dim) GROUP BY d.vec_id) m),
+        |g3 AS (SELECT d.dim, sum((p3.p - p3.y) * d.x) / n.n AS g
+        |  FROM d JOIN p3 USING (vec_id) CROSS JOIN n GROUP BY d.dim, n.n),
+        |w3 AS (SELECT w2.dim, round(w2.w - 8.0 * g3.g, 6) AS w FROM w2 JOIN g3 USING (dim)),
+        |p4 AS (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
+        |  SELECT d.vec_id, any_value(d.y) AS y, round(sum(d.x * w3.w), 6) AS m
+        |  FROM d JOIN w3 USING (dim) GROUP BY d.vec_id) m),
+        |scored AS (SELECT vec_id, round(1 - p, 6) AS sc FROM p4 WHERE y = 1.0),
+        |cal AS (SELECT sc FROM scored WHERE vec_id % 2 = 0),
+        |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+        |qh AS (SELECT sc AS qhat FROM (
+        |    SELECT sc, row_number() OVER (ORDER BY sc) AS rk FROM cal) r
+        |  CROSS JOIN n2
+        |  WHERE rk = least(n2.n_cal, CAST(ceil((n2.n_cal + 1) * 0.9) AS BIGINT))),
+        |t2 AS (SELECT sc FROM scored WHERE vec_id % 2 = 1)
+        |SELECT n2.n_cal AS n_cal, CAST(count(*) AS BIGINT) AS n_test,
+        |  max(qh.qhat) AS qhat,
+        |  round(avg(CASE WHEN t2.sc <= qh.qhat THEN 1.0 ELSE 0.0 END), 6) AS coverage
+        |FROM t2 CROSS JOIN qh CROSS JOIN n2 GROUP BY n2.n_cal""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding",
+        when($"label" >= 5, 1.0).otherwise(0.0).as("y"))
+      val preds = Learning.logisticPredict(
+        emb, "embedding", "y", nDims = 64, iters = 3, lr = 8.0,
+        keepCols = Seq("vec_id"))
+      val scored = preds.filter($"y" === 1.0)
+        .select($"vec_id", round(lit(1.0) - $"p", 6).as("sc"))
+      Learning.splitConformal(
+        scored.filter(pmod($"vec_id", lit(2)) === 0),
+        scored.filter(pmod($"vec_id", lit(2)) === 1), "sc", alpha = 0.1)
     }
   )
 }

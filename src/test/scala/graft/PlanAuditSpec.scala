@@ -52,7 +52,10 @@ class PlanAuditSpec extends SparkSpec {
     // q142 broadcasts the 1-row conformal-threshold frame onto the
     // test scores; q146 broadcasts the 1-row source-count frame onto
     // the per-source token totals
-    "q142_conformal", "q146_epoch_budget")
+    "q142_conformal", "q146_epoch_budget",
+    // q147 composes q133's broadcast-weight scoring with q142's
+    // 1-row conformal-threshold broadcast
+    "q147_learned_gate")
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
