@@ -233,6 +233,44 @@ class LearningFuzzSpec extends SparkSpec {
     }
   }
 
+  test("bestStumpSplits matches the sequential threshold scan") {
+    def h(p: Double) =
+      if (p <= 0 || p >= 1) 0.0
+      else -(p * math.log(p) + (1 - p) * math.log(1 - p))
+    for (seed <- 1 to 8) {
+      val rnd = new Random(140 + seed)
+      val nDims = 1 + rnd.nextInt(3)
+      val data = Seq.fill(15 + rnd.nextInt(40))(
+        (Array.fill(nDims)((rnd.nextInt(40) - 20) / 10.0f), rnd.nextInt(2).toDouble))
+      val ref = (0 until nDims).flatMap { dim =>
+        // candidates = 1-dp-rounded values, exactly like the operator
+        val pts = data.map { case (v, y) =>
+          (BigDecimal(v(dim).toDouble).setScale(1, RoundingMode.HALF_UP).toDouble, y) }
+        val n = pts.size; val post = pts.map(_._2).sum
+        val hp = h(post / n)
+        val cands = pts.map(_._1).distinct.sorted
+        val splits = cands.map { t =>
+          val left = pts.filter(_._1 <= t)
+          val nl = left.size; val posl = left.map(_._2).sum
+          (t, nl, n - nl,
+            if (nl == n) Double.NaN
+            else r6(hp - (nl.toDouble / n) * h(posl / nl)
+              - ((n - nl).toDouble / n) * h((post - posl) / (n - nl))))
+        }.filter(!_._4.isNaN)
+        if (splits.isEmpty) None
+        else {
+          val best = splits.minBy { case (t, _, _, g) => (-g, t) }
+          Some(dim.toLong -> best)
+        }
+      }.toMap
+      val got = Learning.bestStumpSplits(data.toDF("vec", "y"), "vec", "y", nDims)
+        .collect().map(r => r.getAs[Long]("dim") ->
+          ((r.getAs[Double]("threshold"), r.getAs[Long]("n_left").toInt,
+            r.getAs[Long]("n_right").toInt, r.getAs[Double]("gain")))).toMap
+      assert(got == ref, s"seed=$seed")
+    }
+  }
+
   test("rendezvousShard matches the sequential HRW argmax") {
     def md5hex(s: String) = {
       val md = java.security.MessageDigest.getInstance("MD5")
