@@ -1227,6 +1227,70 @@ object SimilarityQueries {
       Learning.splitConformal(
         scored.filter(pmod($"vec_id", lit(2)) === 0),
         scored.filter(pmod($"vec_id", lit(2)) === 1), "sc", alpha = 0.1)
+},
+
+    // the ANN quality curve as a first-class query: recall@k of the
+    // multiprobe LSH path against the exact brute-force top-10, for
+    // k = 1/5/10 — both sides are the already-certified pipelines,
+    // joined on (query, neighbor) and cut at each k
+    Q.sql(
+      "q148_ann_recall",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |buck AS (
+        |  SELECT vec_id, v, t,
+        |    CAST(list_sum(list_transform(range(0, 6), p ->
+        |      CASE WHEN list_sum(list_transform(range(0, len(v)), i ->
+        |        v[i+1] * ((CAST(('0x'||substr(md5(t||'_'||p||'_'||i),1,15)) AS BIGINT) % 2001 - 1000)/1000.0))) >= 0
+        |      THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+        |  FROM e, (SELECT CAST(range AS BIGINT) AS t FROM range(8)) tt),
+        |probes AS (
+        |  SELECT b.vec_id AS query_id, b.v AS qv, b.t,
+        |    CASE WHEN f.f = -1 THEN b.bucket ELSE xor(b.bucket, (CAST(1 AS BIGINT) << f.f)) END AS bucket
+        |  FROM buck b, (SELECT CAST(range AS BIGINT) AS f FROM range(-1, 6)) f
+        |  WHERE b.vec_id < 5),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, n.vec_id AS neighbor_id
+        |  FROM probes p JOIN buck n ON p.t = n.t AND p.bucket = n.bucket
+        |  WHERE p.query_id <> n.vec_id),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    round(list_dot_product(q.v, n.v)/sqrt(list_dot_product(q.v, q.v))/sqrt(list_dot_product(n.v, n.v)), 6) AS sim
+        |  FROM cand c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.neighbor_id),
+        |lsh AS (SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored) t WHERE rank <= 10),
+        |brute AS (SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      round(list_dot_product(q.v, n.v)/sqrt(list_dot_product(q.v, q.v))/sqrt(list_dot_product(n.v, n.v)), 6) DESC,
+        |      n.vec_id) AS rank
+        |  FROM e n JOIN e q ON q.vec_id < 5 AND q.vec_id <> n.vec_id) t
+        |  WHERE rank <= 10),
+        |hits AS (SELECT l.query_id, l.rank AS lr, b.rank AS br
+        |  FROM lsh l JOIN brute b
+        |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id),
+        |ks AS (SELECT CAST(unnest([1, 5, 10]) AS BIGINT) AS kk)
+        |SELECT kk AS k,
+        |  round(sum(CASE WHEN lr <= kk AND br <= kk THEN 1 ELSE 0 END) * 1.0 / (5 * kk), 6) AS recall
+        |FROM ks CROSS JOIN hits GROUP BY kk ORDER BY k""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter($"vec_id" < 5)
+      val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+        k = 10, tables = 8, planesPerTable = 6)
+        .select($"query_id", $"neighbor_id", $"rank".as("lr"))
+      val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+        .select($"query_id", $"neighbor_id", $"rank".as("br"))
+      val hits = lsh.join(brute, Seq("query_id", "neighbor_id"))
+      val ks = Seq(1L, 5L, 10L).toDF("kk")
+      broadcast(ks).crossJoin(hits)
+        .groupBy($"kk")
+        .agg(round(sum(when($"lr" <= $"kk" && $"br" <= $"kk", 1L).otherwise(0L)) * lit(1.0)
+          / (lit(5) * $"kk"), 6).as("recall"))
+        .select($"kk".as("k"), $"recall")
+        .orderBy($"k")
     }
   )
 }

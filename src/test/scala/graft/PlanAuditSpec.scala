@@ -54,8 +54,9 @@ class PlanAuditSpec extends SparkSpec {
     // the per-source token totals
     "q142_conformal", "q146_epoch_budget",
     // q147 composes q133's broadcast-weight scoring with q142's
-    // 1-row conformal-threshold broadcast
-    "q147_learned_gate")
+    // 1-row conformal-threshold broadcast; q148 rides the ANN paths'
+    // broadcast query sets and crosses the 3-row k frame onto the hits
+    "q147_learned_gate", "q148_ann_recall")
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
