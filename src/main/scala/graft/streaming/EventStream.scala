@@ -230,6 +230,47 @@ object EventStream {
       }
   }
 
+  final case class QuantileEstimate(bucket_lo: Double, n_total: Long, q: Double)
+
+  /** Streaming quantile with BOUNDED state: values land in fixed-width
+    * histogram buckets (one count per touched bucket — state is the
+    * histogram, not the stream), and each batch emits the current
+    * q-quantile estimate as the lower edge of the bucket where the
+    * cumulative count crosses q·n. Error is one bucket width — the
+    * classic bounded-memory quantile for monitoring dashboards; the
+    * exact batch operator (`Quantiles`) remains the offline path.
+    *
+    * Single global group (key = ()): the histogram merge is one
+    * state update per batch; per-key variants shard the same state by
+    * key. Deterministic: bucket counts are order-insensitive.
+    */
+  def streamingQuantile(values: Dataset[Double], q: Double,
+      bucketWidth: Double): Dataset[QuantileEstimate] = {
+    require(q > 0 && q < 1, "need 0 < q < 1")
+    require(bucketWidth > 0, "need bucketWidth > 0")
+    val spark = values.sparkSession
+    import spark.implicits._
+    values
+      .groupByKey(_ => 0)
+      .mapGroupsWithState[Map[Long, Long], QuantileEstimate](
+        GroupStateTimeout.NoTimeout()) {
+        (_: Int, incoming: Iterator[Double], state: GroupState[Map[Long, Long]]) =>
+          val hist = incoming.foldLeft(state.getOption.getOrElse(Map.empty[Long, Long])) {
+            (acc, v) =>
+              val b = math.floor(v / bucketWidth).toLong
+              acc.updated(b, acc.getOrElse(b, 0L) + 1L)
+          }
+          state.update(hist)
+          val n = hist.values.sum
+          val target = q * n
+          var cum = 0L
+          val crossing = hist.toSeq.sortBy(_._1).find { case (_, c) =>
+            cum += c; cum >= target
+          }.map(_._1).getOrElse(0L)
+          QuantileEstimate(crossing * bucketWidth, n, q)
+      }
+  }
+
   final case class DriftState(ewma: Double, n: Long)
   final case class DriftScore(event_type: String, event_id: Long, value: Double,
       ewma: Double, drift: Double)

@@ -242,4 +242,23 @@ class StreamingSpec extends SparkSpec {
     query.stop()
     assert(est == Seq(("apple", 4L), ("banana", 3L), ("durian", 1L)))
   }
+
+  test("streamingQuantile tracks the batch quantile within one bucket") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Double]
+    val query = EventStream.streamingQuantile(input.toDS(), q = 0.5, bucketWidth = 1.0)
+      .writeStream.format("memory").queryName("squant").outputMode("update").start()
+    input.addData(1.2, 2.7, 3.1, 9.9)            // median in bucket 2
+    query.processAllAvailable()
+    input.addData(10.1, 10.5, 11.0, 12.2, 13.3)  // pooled median moves right
+    query.processAllAvailable()
+    val rows = spark.table("squant")
+      .orderBy($"n_total").as[(Double, Long, Double)].collect()
+    query.stop()
+    assert(rows.length == 2)
+    assert(rows(0) == ((2.0, 4L, 0.5)), "batch 1: cum crosses 2 at bucket [2,3)")
+    // pooled: 9 values, target 4.5; cum hits 4 at bucket [9,10) and
+    // 6 at [10,11) -> crossing at bucket [10,11)
+    assert(rows(1) == ((10.0, 9L, 0.5)), "state must pool across batches")
+  }
 }
