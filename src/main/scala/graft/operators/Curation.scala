@@ -573,7 +573,9 @@ object Curation {
     * ranks in any order without changing the sum.
     */
   def giniBySource(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    val ranked = df.select(col(groupCol), col(valueCol).cast("double").as("_x"))
+    // null sizes are excluded: engines disagree on null sort order
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("double").as("_x"))
       .withColumn("_i", row_number().over(
         Window.partitionBy(col(groupCol)).orderBy(col("_x"))))
     ranked.groupBy(col(groupCol))

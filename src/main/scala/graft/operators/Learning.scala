@@ -112,7 +112,7 @@ object Learning {
   def calibrationBins(
       preds: DataFrame, probCol: String, labelCol: String, bins: Int = 10): DataFrame = {
     require(bins >= 2, "need bins >= 2")
-    preds.select(
+    preds.filter(col(probCol).isNotNull).select(
       least(floor(col(probCol) * bins), lit(bins - 1)).cast("long").as("bin"),
       col(probCol).cast("double").as("_p"), col(labelCol).cast("double").as("_y"))
       .groupBy(col("bin"))
@@ -338,8 +338,11 @@ object Learning {
     */
   def aucRankSum(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ranked = df.select(col(scoreCol).cast("double").as("s"),
-      col(labelCol).cast("int").as("y"))
+    // null scores are EXCLUDED (engines disagree on null sort order,
+    // and an unscored row has no rank) — same policy as ksTwoSample
+    val ranked = df.filter(col(scoreCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("int").as("y"))
       .withColumn("rn", row_number().over(Window.orderBy(col("s"))))
       .withColumn("r", avg(col("rn")).over(Window.partitionBy(col("s"))))
     ranked.agg(
@@ -370,7 +373,7 @@ object Learning {
       groupA: String, groupB: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df
-      .filter(col(groupCol).isin(groupA, groupB))
+      .filter(col(groupCol).isin(groupA, groupB) && col(valueCol).isNotNull)
       .groupBy(col(valueCol).cast("double").as("v"))
       .agg(
         sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ca"),

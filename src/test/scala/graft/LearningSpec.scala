@@ -216,6 +216,20 @@ class LearningSpec extends SparkSpec {
     assert(picks == Seq(10L, 12L))
   }
 
+  test("scalar evaluators exclude null scores instead of ranking them") {
+    val auc = Seq((Some(0.9), 1), (None, 1), (Some(0.1), 0), (None, 0))
+      .toDF("s", "y")
+    val r = Learning.aucRankSum(auc, "s", "y").collect().head
+    assert(r.getAs[Double]("auc") == 1.0 && r.getAs[Long]("n_pos") == 1)
+    val ks = Seq(("a", Some(1.0)), ("a", None), ("b", Some(1.0)), ("b", None))
+      .toDF("g", "v")
+    assert(Learning.ksTwoSample(ks, "v", "g", "a", "b").collect().head
+      .getAs[Double]("ks_stat") == 0.0)
+    val gini = Seq(("s", Some(10)), ("s", Some(10)), ("s", None)).toDF("src", "n")
+    val g = Curation.giniBySource(gini, "src", "n").collect().head
+    assert(g.getAs[Double]("gini") == 0.0 && g.getAs[Long]("n_docs") == 2)
+  }
+
   test("paretoFront2D keeps exactly the non-dominated points") {
     val pts = Seq((1L, 5.0, 5L), (2L, 4.0, 9L), (3L, 3.0, 1L), (4L, 5.0, 4L),
       (5L, 2.0, 9L)).toDF("id", "x", "y")
