@@ -121,6 +121,37 @@ object Learning {
         round(avg(col("_y")), 6).as("frac_pos"))
   }
 
+  /** Brier score with the Murphy (1973) decomposition: the proper
+    * scoring rule avg((p−y)²) split into
+    * reliability (miscalibration, Σ n_k(p̄_k−ō_k)²/N — lower better)
+    * − resolution (discrimination, Σ n_k(ō_k−ō)²/N — higher better)
+    * + uncertainty (ō(1−ō), data-inherent). Bins follow
+    * [[calibrationBins]]; one pass for the score, one tiny bin
+    * aggregation for the decomposition. Returns one row
+    * (brier, reliability, resolution, uncertainty), rounded 6.
+    */
+  def brierDecomposition(
+      preds: DataFrame, probCol: String, labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need bins >= 2")
+    val scored = preds.filter(col(probCol).isNotNull).select(
+      least(floor(col(probCol) * bins), lit(bins - 1)).cast("long").as("bin"),
+      col(probCol).cast("double").as("_p"), col(labelCol).cast("double").as("_y"))
+      .localCheckpoint(true)
+    val brier = scored.agg(
+      round(avg(pow(col("_p") - col("_y"), 2)), 6).as("brier"),
+      avg(col("_y")).as("_obar"), count(lit(1)).as("_n"))
+    val binStats = scored.groupBy(col("bin"))
+      .agg(count(lit(1)).as("nk"), avg(col("_p")).as("pbar"), avg(col("_y")).as("obar_k"))
+    binStats.crossJoin(broadcast(brier))
+      .agg(
+        max(col("brier")).as("brier"),
+        round(sum(col("nk") * pow(col("pbar") - col("obar_k"), 2)) / max(col("_n")), 6)
+          .as("reliability"),
+        round(sum(col("nk") * pow(col("obar_k") - col("_obar"), 2)) / max(col("_n")), 6)
+          .as("resolution"),
+        round(max(col("_obar")) * (lit(1.0) - max(col("_obar"))), 6).as("uncertainty"))
+  }
+
   /** Chi-squared association between item presence and a class column
     * over (item, cls) presence pairs (one row per item x document).
     * `clsTotals` = (cls, n_cls) document counts. For each item the

@@ -1291,6 +1291,60 @@ object SimilarityQueries {
           / (lit(5) * $"kk"), 6).as("recall"))
         .select($"kk".as("k"), $"recall")
         .orderBy($"k")
+},
+
+    // proper-scoring-rule audit: the q133 model's Brier score with
+    // the Murphy decomposition — reliability (miscalibration, lower
+    // better) - resolution (discrimination, higher better) +
+    // uncertainty (data-inherent), over the same 50 bins
+    Q.sql(
+      "q149_brier",
+      """WITH f AS (
+        |  SELECT vec_id, CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END AS y,
+        |    list_append(list_transform(embedding[1:64], x -> CAST(x AS DOUBLE)), 1.0) AS xs
+        |  FROM embeddings),
+        |d AS (SELECT vec_id, y, CAST(unnest(range(0, len(xs))) AS BIGINT) AS dim,
+        |  unnest(xs) AS x FROM f),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+        |w0 AS (SELECT DISTINCT dim, 0.0 AS w FROM d),
+        |p1 AS (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
+        |  SELECT d.vec_id, any_value(d.y) AS y, round(sum(d.x * w0.w), 6) AS m
+        |  FROM d JOIN w0 USING (dim) GROUP BY d.vec_id) m),
+        |g1 AS (SELECT d.dim, sum((p1.p - p1.y) * d.x) / n.n AS g
+        |  FROM d JOIN p1 USING (vec_id) CROSS JOIN n GROUP BY d.dim, n.n),
+        |w1 AS (SELECT w0.dim, round(w0.w - 8.0 * g1.g, 6) AS w FROM w0 JOIN g1 USING (dim)),
+        |p2 AS (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
+        |  SELECT d.vec_id, any_value(d.y) AS y, round(sum(d.x * w1.w), 6) AS m
+        |  FROM d JOIN w1 USING (dim) GROUP BY d.vec_id) m),
+        |g2 AS (SELECT d.dim, sum((p2.p - p2.y) * d.x) / n.n AS g
+        |  FROM d JOIN p2 USING (vec_id) CROSS JOIN n GROUP BY d.dim, n.n),
+        |w2 AS (SELECT w1.dim, round(w1.w - 8.0 * g2.g, 6) AS w FROM w1 JOIN g2 USING (dim)),
+        |p3 AS (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
+        |  SELECT d.vec_id, any_value(d.y) AS y, round(sum(d.x * w2.w), 6) AS m
+        |  FROM d JOIN w2 USING (dim) GROUP BY d.vec_id) m),
+        |g3 AS (SELECT d.dim, sum((p3.p - p3.y) * d.x) / n.n AS g
+        |  FROM d JOIN p3 USING (vec_id) CROSS JOIN n GROUP BY d.dim, n.n),
+        |w3 AS (SELECT w2.dim, round(w2.w - 8.0 * g3.g, 6) AS w FROM w2 JOIN g3 USING (dim)),
+        |p4 AS (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
+        |  SELECT d.vec_id, any_value(d.y) AS y, round(sum(d.x * w3.w), 6) AS m
+        |  FROM d JOIN w3 USING (dim) GROUP BY d.vec_id) m),
+        |scored AS (SELECT CAST(least(floor(p * 50), 49) AS BIGINT) AS bin, p, y FROM p4),
+        |b AS (SELECT round(avg(pow(p - y, 2)), 6) AS brier, avg(y) AS obar,
+        |  CAST(count(*) AS BIGINT) AS n FROM scored),
+        |bs AS (SELECT bin, CAST(count(*) AS BIGINT) AS nk, avg(p) AS pbar,
+        |  avg(y) AS obar_k FROM scored GROUP BY bin)
+        |SELECT max(b.brier) AS brier,
+        |  round(sum(bs.nk * pow(bs.pbar - bs.obar_k, 2)) / max(b.n), 6) AS reliability,
+        |  round(sum(bs.nk * pow(bs.obar_k - b.obar, 2)) / max(b.n), 6) AS resolution,
+        |  round(max(b.obar) * (1 - max(b.obar)), 6) AS uncertainty
+        |FROM bs CROSS JOIN b""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d).select($"embedding",
+        when($"label" >= 5, 1.0).otherwise(0.0).as("y"))
+      val preds = Learning.logisticPredict(
+        emb, "embedding", "y", nDims = 64, iters = 3, lr = 8.0)
+      Learning.brierDecomposition(preds, "p", "y", bins = 50)
     }
   )
 }

@@ -56,7 +56,10 @@ class PlanAuditSpec extends SparkSpec {
     // q147 composes q133's broadcast-weight scoring with q142's
     // 1-row conformal-threshold broadcast; q148 rides the ANN paths'
     // broadcast query sets and crosses the 3-row k frame onto the hits
-    "q147_learned_gate", "q148_ann_recall")
+    "q147_learned_gate", "q148_ann_recall",
+    // q149 rides q133's broadcast-weight scoring and crosses the
+    // 1-row Brier frame onto the 50-row bin stats
+    "q149_brier")
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
