@@ -216,6 +216,22 @@ class LearningSpec extends SparkSpec {
     assert(picks == Seq(10L, 12L))
   }
 
+  test("brierDecomposition hits its closed-form extremes") {
+    // perfect confident predictions: brier 0, no miscalibration,
+    // resolution equals the data uncertainty
+    val perfect = Seq((1.0, 1.0), (1.0, 1.0), (0.0, 0.0), (0.0, 0.0)).toDF("p", "y")
+    val r = Learning.brierDecomposition(perfect, "p", "y", bins = 10).collect().head
+    assert(r.getAs[Double]("brier") == 0.0)
+    assert(r.getAs[Double]("reliability") == 0.0)
+    assert(r.getAs[Double]("resolution") == r.getAs[Double]("uncertainty"))
+    assert(r.getAs[Double]("uncertainty") == 0.25)
+    // constant base-rate prediction: calibrated but zero discrimination
+    val flat = Seq((0.5, 1.0), (0.5, 0.0), (0.5, 1.0), (0.5, 0.0)).toDF("p", "y")
+    val f = Learning.brierDecomposition(flat, "p", "y", bins = 10).collect().head
+    assert(f.getAs[Double]("brier") == 0.25)
+    assert(f.getAs[Double]("reliability") == 0.0 && f.getAs[Double]("resolution") == 0.0)
+  }
+
   test("scalar evaluators exclude null scores instead of ranking them") {
     val auc = Seq((Some(0.9), 1), (None, 1), (Some(0.1), 0), (None, 0))
       .toDF("s", "y")
