@@ -473,11 +473,16 @@ object DupGraph {
   }
 
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // Eager localCheckpoint rather than persist: the canonical edge
+    // frame is reused four times below, but a persist here would pin
+    // cached blocks for the session (no safe point to unpersist a
+    // lazily-returned result). Checkpoint blocks are released by the
+    // ContextCleaner once the plan is garbage-collected.
     val e = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") < col("b")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val tri = e
       .join(e.select(col("a").as("b"), col("b").as("c")), "b")
       .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))

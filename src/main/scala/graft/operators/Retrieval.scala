@@ -79,9 +79,12 @@ object Retrieval {
     * per-query candidate set (an upstream top-k, not a corpus) — and
     * `pairSims` (query_id, a, b, s) holding both orientations of each
     * intra-candidate-set similarity, both with 6-dp-rounded
-    * similarities. Each greedy step is one (remaining ⋈ sims ⋈
-    * selected) aggregation + a per-query window argmax: cost is
-    * bounded by |candidates|·k per query, never corpus-sized.
+    * similarities. `pairSims` may be SPARSE: a (cand, selected) pair
+    * with no row is treated as similarity 0 (zero-sim rows can be
+    * omitted at build time). Each greedy step pairs remaining
+    * candidates with the selected set, left-joins the sims, and takes
+    * a per-query window argmax: cost is bounded by |candidates|·k per
+    * query, never corpus-sized.
     *
     * Scores are EXACT INTEGERS: similarities scale to micro-units
     * (round(s·1e6)) and the weights are integer tenths, so
@@ -118,13 +121,20 @@ object Retrieval {
         Seq("query_id", "cand_id"), "left_anti")
       .localCheckpoint(true)
     for (step <- 2 to k) {
+      // Pair every remaining candidate with every already-selected item
+      // (per-query cross, bounded by |candidates|·k) FIRST, then
+      // left-join the similarity rows: a (cand, selected) pair absent
+      // from pairSims means similarity 0, not "drop the candidate from
+      // the argmax" — callers may legitimately supply sparse sims.
       val next = remaining
-        .join(pairSims.select(col("query_id"), col("a").as("cand_id"),
-          col("b"), micro(col("s")).as("_s")), Seq("query_id", "cand_id"))
         .join(selected.select(col("query_id"), col("cand_id").as("b")),
-          Seq("query_id", "b"))
+          Seq("query_id"))
+        .join(pairSims.select(col("query_id"), col("a").as("cand_id"),
+          col("b"), micro(col("s")).as("_s")),
+          Seq("query_id", "cand_id", "b"), "left")
         .groupBy(col("query_id"), col("cand_id"))
-        .agg(first(col("_rel")).as("_rel"), max(col("_s")).as("_ms"))
+        .agg(first(col("_rel")).as("_rel"),
+          max(coalesce(col("_s"), lit(0L))).as("_ms"))
         .select(col("query_id"), col("cand_id"),
           (lit(relTenths.toLong) * col("_rel") -
             lit(divTenths.toLong) * col("_ms")).as("score"))

@@ -40,17 +40,22 @@ object Sketches {
   /** Point-frequency estimates for a (small) set of query tokens:
     * est(t) = min over sketch rows of the counter at t's bucket.
     * Never an undercount; collisions only inflate. The query side is
-    * exploded to (tok, row_id, bucket) and equi-joined against the
-    * sketch — both sides tiny, the corpus is never re-read.
+    * exploded to (tok, row_id, bucket) and LEFT-joined against the
+    * sketch with absent cells coalesced to 0 — the sketch frame only
+    * materializes touched cells, so a never-incremented cell is an
+    * implicit 0 counter and a token absent from the build stream
+    * correctly estimates 0 (the canonical CMS estimator). The sketch
+    * side is at most rows·width records by construction, so it
+    * broadcasts; the corpus is never re-read.
     */
   def cmsEstimate(
       sketch: DataFrame, items: DataFrame, tokCol: String,
       rows: Int = 4, width: Int = 64): DataFrame =
     items.select(col(tokCol), explode(rowBuckets(col(tokCol), rows, width)).as("rb"))
       .select(col(tokCol), col("rb.row_id").as("row_id"), col("rb.bucket").as("bucket"))
-      .join(sketch, Seq("row_id", "bucket"))
+      .join(broadcast(sketch), Seq("row_id", "bucket"), "left")
       .groupBy(col(tokCol))
-      .agg(min(col("cnt")).as("cms_est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
 
   /** Positions a key sets/tests in an m-bit Bloom filter with k
     * seeded hash60 functions — deduplicated, since two seeds may

@@ -212,7 +212,12 @@ object TextDedup {
         round(col("n_verified").cast("double") /
           greatest(col("n_candidates"), lit(1L)), 6).as("precision"))
     }
-    rows.reduce(_ unionByName _)
+    // One row per config: materialize eagerly so the persisted
+    // signature frame can be released before returning (a lazy return
+    // here would leak sh's cached blocks for the session).
+    val out = rows.reduce(_ unionByName _).localCheckpoint(true)
+    sh.unpersist()
+    out
   }
 
   /** Cross-group duplicate matrix: how many verified near-dup pairs

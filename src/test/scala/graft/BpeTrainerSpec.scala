@@ -84,4 +84,17 @@ class BpeTrainerSpec extends SparkSpec {
     val m = vocab2.as[(String, Long)].collect().toMap
     assert(m.getOrElse("lo", m.getOrElse("low", 0L)) == 3L)
   }
+
+  test("wordTable splits non-BMP text into whole codepoints, not surrogates") {
+    // java.util.regex's '.' matches a full code point (a surrogate PAIR
+    // for astral-plane chars), matching DuckDB's RE2 codepoint
+    // semantics — pin that here so a regression to code-unit splitting
+    // (malformed half-surrogate symbols) is caught.
+    val emoji = new String(Character.toChars(0x1F600)) // astral-plane
+    val df = docs(s"a${emoji}b")
+    val syms = BpeTrainer.wordTable(df, "text")
+      .select($"syms").as[Seq[String]].head()
+    assert(syms == Seq("a", emoji, "b"))
+    assert(syms.forall(s => !Character.isSurrogate(s.charAt(0)) || s.length == 2))
+  }
 }

@@ -96,4 +96,16 @@ class GraphSketchSpec extends SparkSpec {
     assert(est("alpha") >= 10L && est("beta") >= 7L &&
       est("gamma") >= 3L && est("delta") >= 1L)
   }
+
+  test("count-min estimates a never-seen token as 0, not absent") {
+    // the sketch frame only materializes touched cells; a query token
+    // none of whose cells were incremented must still appear with the
+    // canonical estimate 0 (left-join + coalesce, not inner join)
+    val df = Seq.fill(5)("alpha").toDF("tok")
+    val sk = Sketches.countMinSketch(df, "tok", rows = 4, width = 4096)
+    val est = Sketches.cmsEstimate(
+      sk, Seq("alpha", "never_seen").toDF("tok"), "tok", rows = 4, width = 4096)
+      .as[(String, Long)].collect().toMap
+    assert(est == Map("alpha" -> 5L, "never_seen" -> 0L))
+  }
 }

@@ -216,6 +216,21 @@ class LearningSpec extends SparkSpec {
     assert(picks == Seq(10L, 12L))
   }
 
+  test("mmrSelect treats missing pairSims rows as similarity 0") {
+    import graft.operators.Retrieval
+    // sparse sims: only the (a, b) near-dup pair is supplied; c has NO
+    // similarity row to anything. c must still be eligible (sim 0), and
+    // with zero diversity penalty it beats the penalized near-dup b.
+    val cand = Seq((1L, 10L, 0.9), (1L, 11L, 0.89), (1L, 12L, 0.6))
+      .toDF("query_id", "cand_id", "rel")
+    val sparse = Seq((1L, 10L, 11L, 0.99), (1L, 11L, 10L, 0.99))
+      .toDF("query_id", "a", "b", "s")
+    val picks = Retrieval.mmrSelect(cand, sparse, k = 3)
+      .orderBy("step").select("cand_id").as[Long].collect().toSeq
+    // step2: b = 7*890000 - 3*990000 = 3.26e6 < c = 7*600000 - 0 = 4.2e6
+    assert(picks == Seq(10L, 12L, 11L))
+  }
+
   test("brierDecomposition hits its closed-form extremes") {
     // perfect confident predictions: brier 0, no miscalibration,
     // resolution equals the data uncertainty
