@@ -101,19 +101,36 @@ object CsvIngest {
       .option("mode", "PERMISSIVE")
       .option("multiLine", "true")
       .csv(path)
-    val dataCols = raw.columns.map(col)
     val tagged = raw
-      .select(dataCols :+ col("_metadata.file_path").as("_file"): _*)
-      .withColumn("_seq", monotonically_increasing_id())
-    val inFileW = Window.partitionBy(col("_file")).orderBy(col("_seq"))
-    val withIn = tagged.withColumn("_in_file", row_number().over(inFileW).cast("long"))
-    val baseW = Window.orderBy(col("_file"))
+      .select(raw.columns.map(col) :+ col("_metadata.file_path").as(FileTag): _*)
+    mintFileAwareIds(tagged, raw.columns.toSeq)
+  }
+
+  /** Column under which [[readPathFileAware]] / the streaming ingest
+    * tag each row's source file before minting ids.
+    */
+  val FileTag = "_file"
+
+  /** Mint file-aware dense 1-based ids over a frame tagged with
+    * [[FileTag]], where each file was read as an UNSPLITTABLE unit
+    * (`multiLine=true`), so a file's rows are contiguous in one
+    * partition in input order and `monotonically_increasing_id` is
+    * order-consistent with in-file position. Shared by the batch
+    * multi-file reader and the streaming micro-batch ingest — identity
+    * = (lexical file path order, row order within file), independent
+    * of partition layout.
+    */
+  def mintFileAwareIds(tagged: DataFrame, dataCols: Seq[String]): DataFrame = {
+    val withSeq = tagged.withColumn("_seq", monotonically_increasing_id())
+    val inFileW = Window.partitionBy(col(FileTag)).orderBy(col("_seq"))
+    val withIn = withSeq.withColumn("_in_file", row_number().over(inFileW).cast("long"))
+    val baseW = Window.orderBy(col(FileTag))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = withIn.groupBy(col("_file")).agg(count(lit(1)).as("_n"))
+    val bases = withIn.groupBy(col(FileTag)).agg(count(lit(1)).as("_n"))
       .withColumn("_base", coalesce(sum(col("_n")).over(baseW), lit(0L)))
-      .select(col("_file"), col("_base"))
-    withIn.join(broadcast(bases), "_file")
+      .select(col(FileTag), col("_base"))
+    withIn.join(broadcast(bases), FileTag)
       .withColumn(RowId, col("_base") + col("_in_file"))
-      .select(dataCols :+ col(RowId): _*)
+      .select(dataCols.map(col) :+ col(RowId): _*)
   }
 }

@@ -5,6 +5,7 @@ import graft.dedup.Dedup
 import graft.ingest.CsvIngest
 import graft.validate.SchemaValidator
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -25,6 +26,14 @@ object StreamingIngest {
   /** Start the streaming import for an entity: watch `spec.source`
     * (a directory) for new CSV files, validate + dedup each
     * micro-batch, append to `outDir/stage` and `outDir/errors`.
+    *
+    * Row identity is DETERMINISTIC: `multiLine=true` makes each file
+    * an unsplittable read unit and rows are tagged with their source
+    * file, so `_row_id` = (lexical file order within the batch,
+    * in-file position) — exactly the batch reader's file-aware ids
+    * ([[CsvIngest.readPathFileAware]]), never partition-layout-
+    * dependent. Keep-first/keep-last dedup inside a micro-batch is
+    * therefore reproducible across replays and cluster layouts.
     */
   def start(
       spark: SparkSession,
@@ -39,8 +48,11 @@ object StreamingIngest {
     val schema = StructType(spec.fields.map(f => StructField(f.name, StringType)))
     val stream = spark.readStream
       .option("header", "true")
+      .option("multiLine", "true")
       .schema(schema)
       .csv(spec.source)
+      .select(schema.fieldNames.map(col) :+
+        col("_metadata.file_path").as(CsvIngest.FileTag): _*)
     startFromSource(stream, spec, outDir, checkpoint)
   }
 
@@ -50,23 +62,49 @@ object StreamingIngest {
     * entity's fields as strings. The file-watching [[start]] is just
     * this with a CSV directory source; a log-bus deployment swaps the
     * source expression and nothing downstream changes.
+    *
+    * `_row_id` minting, in preference order:
+    *   1. the source carries [[CsvIngest.FileTag]] (the file-watching
+    *      [[start]] tags it) → file-aware ids, layout-independent;
+    *   2. `orderCols` names a deterministic per-batch ordering (Kafka
+    *      `partition, offset`; an event id) → `row_number` over it.
+    *      The global window shuffles the micro-batch to one partition
+    *      — fine at micro-batch sizes; at very large batches prefer a
+    *      file/offset tag;
+    *   3. neither → `monotonically_increasing_id`, which is ordering-
+    *      only-within-a-partition: first/last dedup INSIDE a
+    *      micro-batch then depends on partition layout. Documented
+    *      weaker guarantee — supply 1. or 2. when within-batch
+    *      duplicate resolution order matters.
     */
   def startFromSource(
       source: DataFrame,
       spec: EntitySpec,
       outDir: String,
-      checkpoint: String): StreamingQuery = {
+      checkpoint: String,
+      orderCols: Seq[String] = Nil): StreamingQuery = {
     require(source.isStreaming, "startFromSource needs a streaming DataFrame (readStream)")
     val missing = spec.fields.map(_.name).filterNot(source.columns.contains)
     require(missing.isEmpty,
       s"streaming source is missing entity fields: ${missing.mkString(", ")}")
+    val missingOrder = orderCols.filterNot(source.columns.contains)
+    require(missingOrder.isEmpty,
+      s"orderCols not present in streaming source: ${missingOrder.mkString(", ")}")
 
+    val fieldNames = spec.fields.map(_.name)
     source.writeStream
       .queryName(s"graft-ingest-${spec.name}")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(0))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val withIds = batch.withColumn(CsvIngest.RowId, monotonically_increasing_id())
+        val withIds =
+          if (batch.columns.contains(CsvIngest.FileTag))
+            CsvIngest.mintFileAwareIds(batch, fieldNames)
+          else if (orderCols.nonEmpty)
+            batch.withColumn(CsvIngest.RowId,
+              row_number().over(Window.orderBy(orderCols.map(col): _*)).cast("long"))
+          else
+            batch.withColumn(CsvIngest.RowId, monotonically_increasing_id())
         val vr = SchemaValidator.validate(withIds, spec.fields)
         val dd = Dedup(vr.valid, spec.settings.uniqueComposite, spec.settings.duplicateResolution)
         dd.survivors

@@ -73,6 +73,44 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("micro-batch _row_id is file-aware: dedup order is repartition-invariant") {
+    val header = "company_id,employee_id,first_name,last_name,email,gender,birthday_on,country"
+    // same two-file batch processed under different shuffle-partition
+    // settings must resolve the cross-file duplicate identically:
+    // _row_id = (lexical file order, in-file position), never layout
+    val runs = Seq("1", "17").map { parts =>
+      val dir = tmpDir(s"stream-det-$parts")
+      val srcDir = s"$dir/incoming"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      val (cfgPath, _) = Fixtures.materialize(dir)
+      val spec = PipelineConfig.load(cfgPath).entity("employees").copy(source = srcDir)
+      // both files BEFORE the query starts → one micro-batch, two files;
+      // key (1,1) duplicates across files, resolution "last" must keep
+      // the row from the lexically-later file (b.csv)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$srcDir/a.csv"),
+        s"$header\n1,1,Ada,Smith,from-a@example.com,female,1980-03-01,ES" +
+          s"\n1,2,Bea,Jones,bea@example.com,female,1982-05-05,ES")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$srcDir/b.csv"),
+        s"$header\n1,1,Ada,Smith,from-b@example.com,female,1980-03-01,ES")
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        val query = StreamingIngest.start(spark, spec, s"$dir/out", s"$dir/ckpt")
+        try query.processAllAvailable() finally query.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+      spark.read.parquet(s"$dir/out/stage")
+        .select("employee_id", "email", "_row_id")
+        .as[(String, String, Long)].collect().sortBy(_._1).toSeq
+    }
+    assert(runs.head == runs(1)) // identical across layouts
+    val byEmp = runs.head.map(r => r._1 -> r).toMap
+    // a.csv's rows minted ids 1,2; b.csv's row id 3; keep-last kept id 3
+    assert(byEmp("1") == (("1", "from-b@example.com", 3L)))
+    assert(byEmp("2") == (("2", "bea@example.com", 2L)))
+  }
+
   test("non-file source: rate stream drives the same ingest pipeline") {
     val dir = tmpDir("stream-rate")
     val (cfgPath, _) = Fixtures.materialize(dir)
