@@ -33,7 +33,25 @@ final case class Settings(
     uniqueComposite: Seq[Seq[String]] = Seq.empty,
     /** extension (not in reference config): multi-file layout-independent
       * `_row_id` assignment — see CsvIngest.readPathFileAware */
-    fileAware: Boolean = false)
+    fileAware: Boolean = false,
+    /** `duplicate_resolution_compat` — which `last` semantics to run:
+      *   - "documented" (default): keep the FINAL occurrence, per the
+      *     reference's readme.md:92-94;
+      *   - "reference": keep the first occurrence — the behavior the
+      *     reference EXECUTES (its rn>1 window orders by ROWID
+      *     ascending regardless of resolution, main.py:131-152), for
+      *     byte-compatible migrations of real configs.
+      * `first`/`exclude_all` are identical under both modes. */
+    duplicateResolutionCompat: String = "documented") {
+  require(Seq("documented", "reference").contains(duplicateResolutionCompat),
+    s"unknown duplicate_resolution_compat '$duplicateResolutionCompat' " +
+      "(expected 'documented' or 'reference')")
+
+  /** The resolution Dedup actually runs after applying the compat mode. */
+  def effectiveResolution: String =
+    if (duplicateResolutionCompat == "reference" && duplicateResolution == "last") "first"
+    else duplicateResolution
+}
 
 final case class EntitySpec(
     name: String,
@@ -107,7 +125,9 @@ final case class PipelineConfig(entities: Map[String, Any]) {
         uniqueComposite = settingsMap.get("unique_composite")
           .map(_.asInstanceOf[Seq[Any]].map(_.asInstanceOf[Seq[Any]].map(_.toString)))
           .getOrElse(Seq.empty),
-        fileAware = settingsMap.get("file_aware").exists(_.toString.toBoolean)),
+        fileAware = settingsMap.get("file_aware").exists(_.toString.toBoolean),
+        duplicateResolutionCompat = settingsMap.get("duplicate_resolution_compat")
+          .map(_.toString).getOrElse("documented")),
       fields = fields,
       rules = customRules,
       projections = projections,

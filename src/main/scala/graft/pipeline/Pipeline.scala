@@ -95,7 +95,7 @@ object Pipeline {
     }
 
     // 4. dedup raw → stage (main.py:97-159)
-    val dd = Dedup(raw, spec.settings.uniqueComposite, spec.settings.duplicateResolution)
+    val dd = Dedup(raw, spec.settings.uniqueComposite, spec.settings.effectiveResolution)
     val duplicates = dd.removed.persist(StorageLevel.MEMORY_AND_DISK)
     val duplicatesRemoved = duplicates.count()
     if (duplicatesRemoved > 0)

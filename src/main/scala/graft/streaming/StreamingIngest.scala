@@ -106,7 +106,7 @@ object StreamingIngest {
           else
             batch.withColumn(CsvIngest.RowId, monotonically_increasing_id())
         val vr = SchemaValidator.validate(withIds, spec.fields)
-        val dd = Dedup(vr.valid, spec.settings.uniqueComposite, spec.settings.duplicateResolution)
+        val dd = Dedup(vr.valid, spec.settings.uniqueComposite, spec.settings.effectiveResolution)
         dd.survivors
           .withColumn("_batch_id", lit(batchId))
           .write.mode("append").parquet(s"$outDir/stage")

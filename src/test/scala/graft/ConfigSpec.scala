@@ -19,6 +19,27 @@ class ConfigSpec extends SparkSpec {
     assert(e.projections(1).aliases == Map("employee_id" -> "emp_id"))
   }
 
+  test("duplicate_resolution_compat flips last to the executed-reference behavior") {
+    val cfg = PipelineConfig.fromYaml(Fixtures.configYaml)
+    val e = cfg.entity("employees") // no compat key → documented semantics
+    assert(e.settings.duplicateResolutionCompat == "documented")
+    assert(e.settings.effectiveResolution == "last")
+    val compat = e.settings.copy(duplicateResolutionCompat = "reference")
+    // reference mode: 'last' runs as the reference EXECUTES it (keep
+    // first, main.py:131-152); first/exclude_all are unaffected
+    assert(compat.effectiveResolution == "first")
+    assert(compat.copy(duplicateResolution = "first").effectiveResolution == "first")
+    assert(compat.copy(duplicateResolution = "exclude_all").effectiveResolution == "exclude_all")
+    // the yaml key parses through
+    val y = Fixtures.configYaml.replace("custom_validation_mode: \"skip\"",
+      "custom_validation_mode: \"skip\"\n      duplicate_resolution_compat: \"reference\"")
+    assert(PipelineConfig.fromYaml(y).entity("employees").settings.effectiveResolution == "first")
+    // unknown mode rejected
+    intercept[IllegalArgumentException] {
+      e.settings.copy(duplicateResolutionCompat = "nope")
+    }
+  }
+
   test("missing entity raises (validate_config parity, main.py:17-18)") {
     val cfg = PipelineConfig.fromYaml(Fixtures.configYaml)
     val ex = intercept[NoSuchElementException](cfg.entity("nope"))

@@ -41,6 +41,25 @@ class PipelineSpec extends SparkSpec {
     assert(!emails.contains("gus@example.com"))
   }
 
+  test("duplicate_resolution_compat: reference makes 'last' keep the first occurrence") {
+    val dir = tmpDir("pipeline-compat")
+    val (cfgPath, _) = Fixtures.materialize(dir)
+    val yaml = java.nio.file.Files.readString(java.nio.file.Paths.get(cfgPath))
+      .replace("custom_validation_mode: \"skip\"",
+        "custom_validation_mode: \"skip\"\n      duplicate_resolution_compat: \"reference\"")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath), yaml)
+    val r = Pipeline.run(
+      spark, PipelineConfig.load(cfgPath), "employees", s"$dir/output",
+      asOf = LocalDate.parse("2026-01-01"))
+    import spark.implicits._
+    // same dup pair as the keep-last test, but the executed-reference
+    // semantics keep the EARLIER row (gus, not gus2)
+    val emails = r.stage.get.select("email").as[String].collect().toSet
+    assert(emails.contains("gus@example.com"))
+    assert(!emails.contains("gus2@example.com"))
+    assert(r.summary.duplicateRowsRemoved == 2)
+  }
+
   test("export + error CSV layout matches the reference naming") {
     val (_, out) = run
     val files = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
