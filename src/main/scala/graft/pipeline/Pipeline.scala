@@ -110,8 +110,15 @@ object Pipeline {
 
     val stage = rr.survivors.persist(StorageLevel.MEMORY_AND_DISK)
 
-    // 6. projections (user SQL over the stage view)
-    val projections = Projections.run(spark, stage.drop(CsvIngest.RowId), spec)
+    // 6. projections (user SQL over the stage view). The stage is
+    // sorted by _row_id BEFORE the id is dropped so projection output
+    // (and therefore the exports) comes out in input order, matching
+    // the reference's ROWID-ordered table scans (main.py:323). For
+    // plain SELECT projections the sort survives to the single-file
+    // writer; queries that aggregate define their own order, exactly
+    // as in the reference.
+    val projections = Projections.run(
+      spark, stage.orderBy(CsvIngest.RowId).drop(CsvIngest.RowId), spec)
 
     // 7. exports
     for (p <- projections)

@@ -36,7 +36,10 @@ object Sinks {
 
   /** save_errors parity: an `errors` array column is flattened to a
     * "; "-joined string (main.py:391); rows ordered by the original
-    * row id when present.
+    * row id; `row`/`errors` lead the column list like the reference's
+    * structured error records (main.py:388-394); the internal
+    * `_row_id` never reaches the file (the reference exports its `rn`
+    * but not its ROWID).
     */
   def saveErrors(df: DataFrame, errorType: String, entity: String, outputDir: String,
       singleFile: Boolean = true): Option[String] = {
@@ -47,7 +50,10 @@ object Sinks {
           df.withColumn("errors", concat_ws("; ", col("errors")))
         case _ => df
       }
-      Some(writeCsv(ordered(flat), s"$outputDir/errors", s"${entity}_${errorType}_errors.csv", singleFile))
+      val lead = Seq("row", "errors").filter(flat.columns.contains)
+      val rest = flat.columns.filterNot(c => lead.contains(c) || c == RowId)
+      val shaped = ordered(flat).select((lead ++ rest).map(col): _*)
+      Some(writeCsv(shaped, s"$outputDir/errors", s"${entity}_${errorType}_errors.csv", singleFile))
     }
   }
 
