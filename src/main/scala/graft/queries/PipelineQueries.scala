@@ -234,6 +234,58 @@ object PipelineQueries {
         .select($"event_id", lit("dup_member").as("kind"))
       removedFirst.unionByName(dupMembers, allowMissingColumns = true)
         .orderBy($"kind", $"event_id")
+    },
+
+    // S7 export + S8 error sinks under the oracle: write a projection
+    // CSV (with a synthesized comma+quote column so the writer's
+    // quoting path is exercised) and an error CSV (array -> "; " join,
+    // main.py:391) through the REAL sinks, re-read the files, and
+    // certify row count + an order-independent content checksum
+    // against DuckDB computing the same values straight from the
+    // parquet. Any sink defect — dropped rows, mangled quoting, wrong
+    // "; " join, header loss — breaks the hash. Checksumming is
+    // inherently a full-read; the sorted-gather happens on ~file-sized
+    // data (the exported CSV), and at cluster scale the identical
+    // certification runs per exported shard.
+    Q.sql(
+      "export_roundtrip",
+      """WITH exp AS (
+        |  SELECT concat_ws('|', c_custkey, c_name, c_nationkey, c_mktsegment,
+        |                   c_name || ',"' || c_mktsegment || '"') AS line
+        |  FROM customer),
+        |err AS (
+        |  SELECT concat_ws('|', c_custkey, 'acctbal_negative; needs_review') AS line
+        |  FROM customer WHERE c_acctbal < 0)
+        |SELECT (SELECT count(*) FROM exp) AS export_rows,
+        |       (SELECT md5(string_agg(line, '~' ORDER BY line)) FROM exp) AS export_md5,
+        |       (SELECT count(*) FROM err) AS error_rows,
+        |       (SELECT md5(string_agg(line, '~' ORDER BY line)) FROM err) AS error_md5""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_export_rt_").toString
+      val cust = Tables.customer(s, d)
+      // quoted_note forces the CSV writer through quote+escape: the
+      // value itself contains a comma and a double quote
+      val proj = cust.select($"c_custkey", $"c_name", $"c_nationkey", $"c_mktsegment",
+        concat($"c_name", lit(",\""), $"c_mktsegment", lit("\"")).as("quoted_note"))
+      graft.sinks.Sinks.exportProjection(proj, "customer_rt", out)
+      val errs = cust.filter($"c_acctbal" < 0)
+        .select($"c_custkey".as("row"),
+          array(lit("acctbal_negative"), lit("needs_review")).as("errors"))
+      graft.sinks.Sinks.saveErrors(errs, "balance", "customer", out)
+
+      val expRead = s.read.option("header", "true").csv(s"$out/exports/customer_rt.csv")
+      val errRead = s.read.option("header", "true").csv(s"$out/errors/customer_balance_errors.csv")
+      val expLine = concat_ws("|",
+        $"c_custkey", $"c_name", $"c_nationkey", $"c_mktsegment", $"quoted_note")
+      val errLine = concat_ws("|", $"row", $"errors")
+      val expAgg = expRead.agg(
+        count(lit(1)).as("export_rows"),
+        md5(concat_ws("~", array_sort(collect_list(expLine)))).as("export_md5"))
+      val errAgg = errRead.agg(
+        count(lit(1)).as("error_rows"),
+        md5(concat_ws("~", array_sort(collect_list(errLine)))).as("error_md5"))
+      expAgg.crossJoin(errAgg)
     }
   )
 }
