@@ -385,15 +385,28 @@ object TextDedup {
         i => concat(w.substr(lit(1), i - 1), w.substr(i + 1, length(w))))))
       .otherwise(array(lit("")))
     val keys = array_union(array(w), deletions)
-    // join on the 8-byte hash of the key, not the key string: halves
+    // bucket on the 8-byte hash of the key, not the key string: halves
     // shuffle bytes; a hash collision only ADDS a candidate pair,
     // which the exact levenshtein filter below removes
     val keyed = base.select(w, explode(keys).as("k"))
       .select(col("w"), xxhash64(col("k")).as("kh"))
-    val a = keyed.select(col("kh"), col("w").as("word_a"))
-    val b = keyed.select(col("kh"), col("w").as("word_b"))
-    a.join(b, "kh")
-      .filter(col("word_a") < col("word_b"))
+    // ONE shuffle, no join: group the words sharing a key and emit the
+    // intra-bucket pairs. A bucket for key k can only hold k itself
+    // plus strings one insertion away from k — at most (|k|+1)·|Σ|+1
+    // members for alphabet Σ — so collect_set is bounded independent
+    // of corpus size and the pair blowup per bucket is quadratic in
+    // that small constant, never in the data. (The previous self-join
+    // shuffled the keyed frame twice and matched; same candidates,
+    // twice the exchange.)
+    val buckets = keyed.groupBy("kh").agg(collect_set("w").as("ws"))
+      .filter(size(col("ws")) > 1)
+      .select(sort_array(col("ws")).as("ws"))
+    val pairs = buckets.select(explode(flatten(transform(col("ws"),
+        (a, i) => transform(
+          slice(col("ws"), i + lit(2), size(col("ws"))),
+          b => struct(a.as("word_a"), b.as("word_b")))))).as("p"))
+      .select(col("p.word_a"), col("p.word_b"))
+    pairs
       // verify BEFORE deduplicating: filtering first shrinks the dedup
       // shuffle to the verified pairs (a pair can share several keys).
       // The threshold overload computes a banded O(len) distance and

@@ -313,11 +313,13 @@ object DedupQueries {
     ) { (s, d) =>
       import s.implicits._
       val vocab = Tables.customer(s, d).select($"c_name".as("w")).distinct()
-      // materialize the verified pairs before the total sort: orderBy's
-      // range partitioner SAMPLES its child, which would re-run the
-      // whole neighborhood join a second time just to pick bounds
+      // no checkpoint before the total sort: the expensive
+      // candidate+verify work sits on the map side of the dedup
+      // exchange, so under AQE the orderBy's range sampling reads the
+      // materialized shuffle stage instead of recomputing the
+      // neighborhood join (measured: the eager localCheckpoint now
+      // COSTS ~1s at sf0.1 rather than saving a double-compute)
       TextDedup.editDistance1Pairs(vocab, "w")
-        .localCheckpoint(true)
         .orderBy($"word_a", $"word_b")
     },
 
