@@ -248,39 +248,50 @@ object Learning {
     * per-doc argmax (rounded 6, lexicographic tie-break).
     *
     * Returns the confusion matrix (cls, pred, n). The corpus is
-    * scanned twice (train counts, scoring join) and never collected;
-    * the model itself is the |vocab| × K logprob frame.
+    * tokenized exactly once (doc-token multiplicities, materialized);
+    * the model itself is the |vocab| × K logprob frame, never
+    * collected.
     */
   def naiveBayesConfusion(
       docs: DataFrame, idCol: String, textCol: String, clsCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.TextFunctions.tokens
-    val toks = docs.select(col(idCol).as("_id"), col(clsCol).as("cls"),
+    // ONE pass over the raw token stream, straight into per-doc token
+    // multiplicities (the scoring granularity); every training
+    // statistic re-reduces from this materialized frame or its
+    // (tok, cls) roll-up rather than re-exploding the corpus
+    val docToks = docs.select(col(idCol).as("_id"), col(clsCol).as("cls"),
       explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy(col("_id"), col("cls"), col("tok"))
+      .agg(count(lit(1)).as("_cnt"))
       .localCheckpoint(true)
     val clsDocs = docs.groupBy(col(clsCol).as("cls")).agg(count(lit(1)).as("nd"))
     val nDocs = docs.agg(count(lit(1)).as("n"))
     val prior = clsDocs.crossJoin(broadcast(nDocs))
       .select(col("cls"), log(col("nd") / col("n")).as("lprior"))
-    // every model statistic reduces from the (tok, cls) count frame —
-    // the raw token stream aggregates exactly twice (here and docToks)
-    val tokCls = toks.groupBy(col("tok"), col("cls")).agg(count(lit(1)).as("c"))
+    val tokCls = docToks.groupBy(col("tok"), col("cls")).agg(sum(col("_cnt")).as("c"))
       .localCheckpoint(true)
     val clsTok = tokCls.groupBy(col("cls")).agg(sum(col("c")).as("tt"))
-    val vocabN = tokCls.select(col("tok")).distinct().agg(count(lit(1)).as("v"))
-    val grid = tokCls.select(col("tok")).distinct()
+    // |vocab| and K exactly, in one tiny action on the materialized
+    // count frame — v inlines as a literal (one broadcast job fewer)
+    // and v*k sizes the model grid for the join strategy below
+    val stats = tokCls.agg(
+      countDistinct(col("tok")).as("v"), countDistinct(col("cls")).as("k")).head()
+    val (v, k) = (stats.getLong(0), stats.getLong(1))
+    val grid0 = tokCls.select(col("tok")).distinct()
       .crossJoin(broadcast(clsTok))
       .join(tokCls, Seq("tok", "cls"), "left")
-      .crossJoin(broadcast(vocabN))
       .select(col("tok"), col("cls").as("scls"),
-        log((coalesce(col("c"), lit(0L)) + lit(1.0)) / (col("tt") + col("v")))
+        log((coalesce(col("c"), lit(0L)) + lit(1.0)) / (col("tt") + lit(v.toDouble)))
           .as("ll"))
-    // collapse to per-doc token multiplicities BEFORE the K-way grid
-    // join: the joined stream shrinks from |token instances| x K to
-    // |distinct doc-token pairs| x K, and the logprob contribution
-    // becomes cnt * ll (same sum, 6-dp rounding absorbs the order)
-    val docToks = toks.groupBy(col("_id"), col("cls"), col("tok"))
-      .agg(count(lit(1)).as("_cnt"))
+    // the model is |vocab| x K rows: checkpointed inputs carry no
+    // catalyst stats, so AQE can't see that a closed-vocabulary model
+    // is broadcast-sized — decide from the exact count instead. An
+    // open 100 TB vocabulary exceeds the bound and keeps the
+    // scale-safe shuffle join on tok.
+    val grid = if (v * k <= 2000000L) broadcast(grid0) else grid0
+    // the joined stream is |distinct doc-token pairs| x K, never
+    // |token instances| x K; the logprob contribution is cnt * ll
+    // (same sum, 6-dp rounding absorbs the order)
     val scores = docToks
       .join(grid, Seq("tok"))
       .groupBy(col("_id"), col("cls"), col("scls"))
@@ -288,11 +299,12 @@ object Learning {
       .join(broadcast(prior.select(col("cls").as("scls"), col("lprior"))), Seq("scls"))
       .select(col("_id"), col("cls"), col("scls"),
         round(col("_s") + col("lprior"), 6).as("score"))
-    val pick = Window.partitionBy(col("_id"))
-      .orderBy(col("score").desc, col("scls"))
-    scores.withColumn("_rk", row_number().over(pick))
-      .filter(col("_rk") === 1)
-      .groupBy(col("cls"), col("scls").as("pred"))
+    // per-doc argmax as a hash aggregate, not a window: min_by over
+    // (-score, scls) is max score with the lexicographic tie-break,
+    // and skips the window's per-partition sort entirely
+    scores.groupBy(col("_id"), col("cls"))
+      .agg(min_by(col("scls"), struct(-col("score"), col("scls"))).as("pred"))
+      .groupBy(col("cls"), col("pred"))
       .agg(count(lit(1)).as("n"))
   }
 
