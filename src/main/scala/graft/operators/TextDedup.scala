@@ -455,9 +455,11 @@ object TextDedup {
   private def dupNgramWindows(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val ng = ngramHashes(df, idCol, textCol, n)
-    val dup = ng.groupBy(col("nh"))
-      .agg(count(lit(1)).as("_c")).filter(col("_c") > 1).select(col("nh"))
-    ng.join(dup, "nh")
+    // corpus frequency as ONE unordered window count over the gram
+    // hash — the groupBy + join-back shape shuffles the full position
+    // stream twice for the same answer (same pattern as ngramNovelty)
+    ng.withColumn("_c", count(lit(1)).over(Window.partitionBy(col("nh"))))
+      .filter(col("_c") > 1)
       .select(col(idCol), col("pos").as("s"), (col("pos") + (n - 1)).as("e"))
   }
 
@@ -488,9 +490,12 @@ object TextDedup {
     */
   def removeDuplicateSpans(
       df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
-    val cov = dupNgramWindows(df, idCol, textCol, n)
-      .select(col(idCol), explode(sequence(col("s"), col("e"))).as("pos"))
-      .distinct()
+    // explode the MERGED islands, not the raw (overlapping) windows:
+    // every covered position comes out exactly once, so the coverage
+    // stream needs no distinct shuffle and is n× smaller
+    val cov = duplicateNgramSpans(df, idCol, textCol, n)
+      .select(col(idCol),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
     positionedTokens(df, idCol, textCol)
       .join(cov, Seq(idCol, "pos"), "left_anti")
       .groupBy(col(idCol))
