@@ -395,8 +395,9 @@ object DupGraph {
     * languages) across the near-dup/kNN graph.
     *
     * Each round is one equi-join (frontier edges × current labels) +
-    * one count aggregate + one windowed argmax — all keyed shuffles,
-    * labels frame localCheckpoint'ed per round to keep lineage flat.
+    * one count aggregate + one min_by argmax — all keyed hash
+    * shuffles, no per-round sort; labels frame localCheckpoint'ed per
+    * round to keep lineage flat.
     *
     * @param seeds (node, label) trusted assignments
     * @return (node, label, round) — round 0 for seeds, i for nodes
@@ -419,11 +420,12 @@ object DupGraph {
         .join(labels.select(col("node").as("nbr"), col("label")), Seq("nbr"))
         .join(labels.select(col("node"), lit(1).as("_has")), Seq("node"), "left_anti")
         .groupBy(col("node"), col("label")).agg(count(lit(1)).as("_v"))
-      val w = Window.partitionBy(col("node"))
-        .orderBy(col("_v").desc, col("label"))
+      // per-node argmax as a hash aggregate (min_by over (-votes,
+      // label) = max votes with lexicographic tie-break) — no window
+      // sort in the round loop
       val newly = votes
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
+        .groupBy(col("node"))
+        .agg(min_by(col("label"), struct(-col("_v"), col("label"))).as("label"))
         .select(col("node"), col("label"), lit(it.toLong).as("round"))
       labels = labels.unionByName(newly).localCheckpoint(true)
     }

@@ -1,0 +1,145 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Scale-slope harness: synthesize an N× replica of a testdata scale
+  * factor and time the heavy queries at both scales, printing a
+  * per-query slope table (t_scaled / t_base; linear work at 10× ⇒
+  * slope ≈ 10 once past fixed overhead, sublinear ⇒ overhead-bound).
+  *
+  * Replication is REPLICA-SALTED so workload structure scales
+  * linearly instead of collapsing or exploding:
+  *  - fact keys (custkey/orderkey/doc_id/vec_id/event_id/user_id)
+  *    shift by replica × (max+1): per-key group structure (dup
+  *    groups, sessions, per-user streams) is preserved per replica,
+  *    never merged across replicas
+  *  - `c_name` is re-derived from the shifted key, so the edit-1
+  *    vocabulary really grows N×
+  *  - document tokens get an `r<i>_` prefix per replica (i>0): in-
+  *    replica shingle/minhash dup structure is preserved exactly,
+  *    while cross-replica near-dup pairs (which would grow output
+  *    quadratically) are impossible
+  *  - embeddings get a per-(replica, dim) deterministic sign flip —
+  *    an isometry, so within-replica distances are exact while
+  *    cross-replica neighborhoods decorrelate
+  *  - dimension tables (nation/region/part/supplier) copy unscaled
+  *
+  * Usage: runMain graft.tools.ScaleBench [factor] [baseDir] [outDir]
+  * (defaults 10, /root/testdata/sf0.1, /tmp/graft_scale_x<factor>).
+  * SPARK_GRAFT_ONLY=q1,q2 restricts the timed query list. Generation
+  * is skipped when outDir/_SCALE_DONE exists.
+  */
+object ScaleBench {
+
+  val defaultQueries: Seq[String] = Seq(
+    "q01_pricing_summary", "q03_revenue_by_nation", "q19_sessionize_batch",
+    "dedup_first", "fillna_defaults", "exact_dedup_docs", "minhash_lsh_dup",
+    "q72_cc_stars", "q74_edit1_join", "q89_dup_ngram_spans", "q90_span_scrub",
+    "q140_naive_bayes", "q55_tfidf", "ann_topk_lsh", "q78_semantic_dedup",
+    "q126_logreg_gd", "q109_label_prop")
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val baseDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(2).getOrElse(s"/tmp/graft_scale_x$factor")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!Files.exists(Paths.get(s"$outDir/_SCALE_DONE"))) {
+      generate(spark, baseDir, outDir, factor)
+      Files.createDirectories(Paths.get(outDir))
+      Files.writeString(Paths.get(s"$outDir/_SCALE_DONE"), s"factor=$factor base=$baseDir\n")
+    } else println(s"[scale] reusing generated data at $outDir")
+
+    val queries = graft.SparkEntry.queries
+    val timed = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(defaultQueries)
+    def run(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // codegen warm per query at the smallest scale, like graft.Bench
+    for (q <- timed)
+      try run(q, "/root/testdata/sf0.001") catch { case _: Throwable => () }
+
+    println(f"[scale] ${"query"}%-22s ${"base_s"}%8s ${"x${factor}_s"}%9s slope")
+    val rows = timed.map { q =>
+      val tb = run(q, baseDir)
+      val ts = run(q, outDir)
+      println(f"[scale] $q%-22s $tb%8.2f $ts%9.2f ${ts / tb}%5.1f")
+      (q, tb, ts)
+    }
+    def j(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    println("[scale-json] {" + rows.map { case (q, tb, ts) =>
+      "\"" + q + "\":[" + j(tb) + "," + j(ts) + "," + j(ts / tb) + "]"
+    }.mkString(",") + s""","factor":$factor}""")
+    spark.stop()
+  }
+
+  private def generate(spark: SparkSession, baseDir: String, outDir: String, factor: Int): Unit = {
+    def read(t: String) = spark.read.parquet(s"$baseDir/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    def shiftOf(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head().getLong(0) + 1L
+    // one row per (input row, replica)
+    def replicate(df: DataFrame): DataFrame =
+      df.withColumn("_i", explode(sequence(lit(0), lit(factor - 1)))).repartition(32)
+    val i = col("_i")
+
+    // dims copy through unscaled
+    for (t <- Seq("nation", "region", "part", "supplier")) write(read(t), t)
+
+    val custShift = shiftOf(read("customer"), "c_custkey")
+    val orderShift = shiftOf(read("orders"), "o_orderkey")
+    write(replicate(read("customer"))
+      .withColumn("c_custkey", col("c_custkey") + i * custShift)
+      .withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))
+      .drop("_i"), "customer")
+    write(replicate(read("orders"))
+      .withColumn("o_orderkey", col("o_orderkey") + i * orderShift)
+      .withColumn("o_custkey", col("o_custkey") + i * custShift)
+      .drop("_i"), "orders")
+    write(replicate(read("lineitem"))
+      .withColumn("l_orderkey", col("l_orderkey") + i * orderShift)
+      .drop("_i"), "lineitem")
+
+    val ev = read("events")
+    val evShift = shiftOf(ev, "event_id")
+    val userShift = shiftOf(ev, "user_id")
+    write(replicate(ev)
+      .withColumn("event_id", col("event_id") + i * evShift)
+      .withColumn("user_id", col("user_id") + i * userShift)
+      .drop("_i"), "events")
+
+    val docShift = shiftOf(read("documents"), "doc_id")
+    write(replicate(read("documents"))
+      .withColumn("doc_id", col("doc_id") + i * docShift)
+      .withColumn("text", when(i === 0, col("text")).otherwise(
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(lit("r"), i.cast("string"), lit("_"), t)))))
+      .withColumn("n_chars", length(col("text")))
+      .drop("_i"), "documents")
+
+    val vecShift = shiftOf(read("embeddings"), "vec_id")
+    write(replicate(read("embeddings"))
+      .withColumn("vec_id", col("vec_id") + i * vecShift)
+      .withColumn("embedding", when(i === 0, col("embedding")).otherwise(
+        transform(col("embedding"), (x, j) =>
+          (x * when(pmod(xxhash64(i, j), lit(2)) === 0, 1.0d).otherwise(-1.0d))
+            .cast("float"))))
+      .drop("_i"), "embeddings")
+    println(s"[scale] generated ${factor}x of $baseDir at $outDir")
+  }
+}
