@@ -426,6 +426,66 @@ object Similarity {
         Window.partitionBy(col(idCol)).orderBy(sim.desc, col("cell").asc)))
       .filter(col("_crank") === 1)
       .select(col(idCol), col("_v"), col("cell"))
+    dedupFromAssigned(emb, idCol, assigned, threshold)
+  }
+
+  /** [[semanticDedupStride]] with LSH-BUCKETED centroid assignment —
+    * the assignment-stage scale path. The stride codebook grows
+    * k ∝ n (constant expected cell size, linear in-cell pair work),
+    * which makes the EXACT assignment's corpus × all-k scan the
+    * pipeline's quadratic term (n²/centroidStep — measured as the one
+    * steep slope in the 10× scale run). Here vectors and centroids
+    * are hashed by the same sign-bit hyperplane tables as [[lshTopK]],
+    * and each vector takes the most-similar centroid among its
+    * bucket-mates across tables: expected assignment cost
+    * n × k × tables / 2^planesPerTable — raise planesPerTable with
+    * log2(k) to hold per-bucket work constant at any scale. A vector
+    * sharing no bucket with any centroid joins no cell and survives
+    * unpaired (exactly a singleton cell). Fully deterministic
+    * (hash-derived planes, no RNG) and SQL-replayable end to end —
+    * the q150 oracle certifies the whole bucket→assign→pair→
+    * component→survivor chain; agreement with the exact-assignment
+    * variant is pinned in SeriesRecallSpec.
+    */
+  def semanticDedupBucketed(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidStep: Int,
+      threshold: Double,
+      tables: Int = 4,
+      planesPerTable: Int = 4): (DataFrame, DataFrame) = {
+    GraftFunctions.register(emb.sparkSession)
+    def bucketed(df: DataFrame): DataFrame = df
+      .select(df.columns.map(col) :+
+        posexplode(GraftFunctions.lshBuckets(col("_v"), tables, planesPerTable)): _*)
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "bucket")
+    val vb = bucketed(emb.select(col(idCol), col(vecCol).as("_v")))
+    // centroid buckets are the stride rows' own buckets — one
+    // bucketing pass feeds both sides
+    val cb = vb.filter(pmod(col(idCol), lit(centroidStep)) === 0)
+      .select(col(idCol).as("cell"), col("_v").as("cv"), col("tbl"), col("bucket"))
+    val sim = GraftFunctions.cosineFast(col("_v"), col("cv"))
+    val assigned = vb.join(cb, Seq("tbl", "bucket"))
+      // the same (vector, centroid) meeting in several tables: any one
+      // row works, the rows are identical
+      .dropDuplicates(idCol, "cell")
+      .withColumn("_crank", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(sim.desc, col("cell").asc)))
+      .filter(col("_crank") === 1)
+      .select(col(idCol), col("_v"), col("cell"))
+    dedupFromAssigned(emb, idCol, assigned, threshold)
+  }
+
+  /** Pair generation within cells + component survivors, shared by
+    * every assignment strategy.
+    */
+  private def dedupFromAssigned(
+      emb: DataFrame,
+      idCol: String,
+      assigned: DataFrame,
+      threshold: Double): (DataFrame, DataFrame) = {
     val a = assigned.select(col("cell"), col(idCol).as("id_a"), col("_v").as("_va"))
     val b = assigned.select(col("cell"), col(idCol).as("id_b"), col("_v").as("_vb"))
     // round-to-6 before the threshold, like the pair oracles — keeps

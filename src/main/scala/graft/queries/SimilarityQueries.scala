@@ -271,6 +271,59 @@ object SimilarityQueries {
       survivors.select($"vec_id").orderBy($"vec_id")
     },
 
+    // q78's assignment-stage scale path: the stride codebook grows
+    // k ∝ n, so exact assignment (corpus × all k) is quadratic;
+    // here vectors and centroids share sign-bit LSH buckets and each
+    // vector takes its most-similar BUCKET-MATE centroid (no-candidate
+    // vectors survive unpaired, like a singleton cell). The oracle
+    // replays the full bucket→assign→pair→component→survivor chain.
+    Q.sql(
+      "q150_semdedup_bucketed",
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |vb AS (
+        |  SELECT vec_id, v, t,
+        |    CAST(list_sum(list_transform(range(0, 4), p ->
+        |      CASE WHEN list_sum(list_transform(range(0, len(v)), i ->
+        |        v[i+1] * ((CAST(('0x'||substr(md5(t||'_'||p||'_'||i),1,15)) AS BIGINT) % 2001 - 1000)/1000.0))) >= 0
+        |      THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+        |  FROM e, (SELECT CAST(range AS BIGINT) AS t FROM range(4)) tt),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id, a.v, c.vec_id AS cell, c.v AS cv
+        |  FROM vb a JOIN vb c ON a.t = c.t AND a.bucket = c.bucket
+        |  WHERE c.vec_id % 50 = 0),
+        |asgn AS (
+        |  SELECT vec_id, v, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY
+        |      list_dot_product(v, cv)/sqrt(list_dot_product(v, v))/sqrt(list_dot_product(cv, cv)) DESC,
+        |      cell) AS crank
+        |  FROM cand),
+        |m AS (SELECT vec_id, v, cell FROM asgn WHERE crank = 1),
+        |p AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib
+        |  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v)
+        |        / sqrt(list_dot_product(a.v, a.v))
+        |        / sqrt(list_dot_product(b.v, b.v)), 6) >= 0.40),
+        |edges AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+        |walk AS (
+        |  SELECT a AS node, a AS label FROM edges
+        |  UNION
+        |  SELECT e2.a AS node, w2.label AS label FROM edges e2 JOIN walk w2 ON w2.node = e2.b
+        |)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (
+        |  SELECT node FROM walk GROUP BY node HAVING min(label) <> node)
+        |ORDER BY vec_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val (survivors, _) = Similarity.semanticDedupBucketed(
+        emb, "vec_id", "embedding", centroidStep = 50, threshold = 0.40,
+        tables = 4, planesPerTable = 4)
+      survivors.select($"vec_id").orderBy($"vec_id")
+    },
+
     // Lloyd's k-means, oracle-certified end to end: stride init, one
     // full assign→update iteration, final re-assignment — per-cell
     // membership and inertia replayed in SQL (round-6 distances and

@@ -64,9 +64,27 @@ object ScaleBench {
     val timed = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(defaultQueries)
+    // `semdedup_scaled` probes semanticDedupBucketed with the
+    // planesPerTable dial tracking the corpus (the pinned q150 query
+    // fixes planes=4 for the small-scale oracle, which at 100× means
+    // ~16k candidate centroids per vector — the dial exists precisely
+    // so per-bucket work stays constant as k grows with n)
+    def semdedupScaled(dir: String): DataFrame = {
+      val emb = graft.Tables.embeddings(spark, dir)
+      val k = math.max(1L, emb.count() / 50)
+      val planes = // ~4 centroids per bucket at any scale
+        math.max(4, (math.log(k.toDouble) / math.log(2)).round.toInt - 2)
+      println(s"[scale] semdedup_scaled: k=$k planesPerTable=$planes")
+      val (surv, _) = graft.operators.Similarity.semanticDedupBucketed(
+        emb, "vec_id", "embedding", centroidStep = 50, threshold = 0.40,
+        tables = 4, planesPerTable = planes)
+      surv.select(col("vec_id"))
+    }
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      val df = if (name == "semdedup_scaled") semdedupScaled(dir)
+               else queries(name)(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
     // codegen warm per query at the smallest scale, like graft.Bench

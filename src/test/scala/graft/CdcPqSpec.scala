@@ -96,6 +96,25 @@ class CdcPqSpec extends SparkSpec {
       s.select(min("vec_id")).as[Long].head())
   }
 
+  test("semanticDedupBucketed agrees with exact assignment on the testdata corpus") {
+    // the LSH-bucketed assignment is approximate ONLY in which cell a
+    // vector lands in; everything is hash-derived, so the outcome is
+    // deterministic and the agreement with the exact variant can be
+    // pinned. Removal is conservative: a missed bucket collision can
+    // only UNDER-remove (vector survives), never remove a non-dup.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (se, _) = Similarity.semanticDedupStride(emb, "vec_id", "embedding",
+      centroidStep = 50, threshold = 0.40)
+    val (sb, rb) = Similarity.semanticDedupBucketed(emb, "vec_id", "embedding",
+      centroidStep = 50, threshold = 0.40, tables = 4, planesPerTable = 4)
+    assert(sb.count() + rb.count() == emb.count())
+    val n = emb.count()
+    val inter = se.select("vec_id").join(sb.select("vec_id"), "vec_id").count()
+    val union = se.select("vec_id").union(sb.select("vec_id")).distinct().count()
+    val frac = (inter + n - union).toDouble / n // both-survive + both-removed
+    assert(frac >= 0.9, f"bucketed/exact survivor agreement $frac%.3f below 0.9")
+  }
+
   test("qualityFilter: keep iff no reason fired; thresholds hit the right rules") {
     val d = Seq(
       (1L, ("the and that " * 20).trim),           // 60 tokens, stopword-rich, avg len 3.33 -> keep
