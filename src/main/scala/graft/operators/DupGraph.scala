@@ -22,6 +22,17 @@ object DupGraph {
 
   /** Connected components over an undirected edge list.
     *
+    * Size-adaptive, like Spark's broadcast-join threshold: the edge
+    * list is materialized up front anyway, so its count is free — at
+    * or below `localEdgeThreshold` edges (default 4M ≈ 64 MB of ids,
+    * driver union-find in well under a second) the components are
+    * solved on the driver and returned as a small DataFrame, exactly
+    * as a broadcast join ships a small side instead of shuffling it.
+    * Near-dup pair graphs are tiny relative to their corpus (pairs ≈
+    * dup rate × n), so even 100 TB corpora often land here; above the
+    * threshold the distributed min-label rounds run unchanged. Both
+    * paths produce the identical (node, min-reachable-id) labeling.
+    *
     * @param edges DataFrame with two node-id columns (`idA`, `idB`)
     * @return (node, component) — component = min node id reachable;
     *         only nodes that appear in at least one edge are emitted
@@ -31,13 +42,15 @@ object DupGraph {
       edges: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20,
+      localEdgeThreshold: Long = 1L << 22): DataFrame = {
     // materialize the pair list ONCE — the symmetrization union scans
     // it twice and an expensive upstream (the MinHash pair pipeline)
     // would re-execute per scan
     val raw = edges
       .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
       .localCheckpoint(true)
+    if (raw.count() <= localEdgeThreshold) return localComponents(raw)
     val sym = raw.select(col("u").as("src"), col("v").as("dst"))
       .union(raw.select(col("v").as("src"), col("u").as("dst")))
     // self-loops make one round = a single join+min over (self ∪
@@ -103,6 +116,39 @@ object DupGraph {
     val out = labels.localCheckpoint(true)
     labels.unpersist()
     out.select(col("node"), col("label").as("component"))
+  }
+
+  /** Driver-side union-find for edge lists under the size guard —
+    * same contract as the distributed rounds: every node appearing in
+    * an edge (self-loops included) labeled with the min reachable id.
+    * Exact, deterministic, no iteration cap to certify.
+    */
+  private def localComponents(raw: DataFrame): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val pairs = raw.as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.get(c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+      r
+    }
+    for ((u, v) <- pairs) {
+      if (!parent.containsKey(u)) parent.put(u, u)
+      if (!parent.containsKey(v)) parent.put(v, v)
+      val (ru, rv) = (find(u), find(v))
+      // union by min keeps the root = min member as an invariant
+      if (ru < rv) parent.put(rv, ru) else if (rv < ru) parent.put(ru, rv)
+    }
+    val out = new Array[(Long, Long)](parent.size())
+    val it = parent.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { val n = it.next(); out(i) = (n, find(n)); i += 1 }
+    // few result partitions on purpose: the frame is driver-sized and
+    // downstream joins against it broadcast
+    out.toSeq.toDF("node", "component").coalesce(1)
   }
 
   /** Connected components by alternating large-star / small-star

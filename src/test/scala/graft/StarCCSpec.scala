@@ -59,6 +59,19 @@ class StarCCSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("connectedComponents local fast path equals the distributed rounds") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (List.fill(60)((rnd.nextLong(80), rnd.nextLong(80))) :+
+        (5L, 5L)).toDF("id_a", "id_b") // self-loop node must survive in both
+      val local = DupGraph.connectedComponents(edges)
+        .as[(Long, Long)].collect().toMap
+      val dist = DupGraph.connectedComponents(edges, localEdgeThreshold = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(local == dist, s"seed=$seed")
+    }
+  }
+
   test("pickRepresentatives keeps the best-scoring member per cluster, singletons included") {
     val corpus = Seq(
       (1L, "short", 5L), (2L, "longer text", 11L), (3L, "mid txt", 7L), // cluster {1,2,3}
