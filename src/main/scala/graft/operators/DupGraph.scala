@@ -24,9 +24,11 @@ object DupGraph {
     *
     * Size-adaptive, like Spark's broadcast-join threshold: the edge
     * list is materialized up front anyway, so its count is free — at
-    * or below `localEdgeThreshold` edges (default 4M ≈ 64 MB of ids,
-    * driver union-find in well under a second) the components are
-    * solved on the driver and returned as a small DataFrame, exactly
+    * or below `localEdgeThreshold` edges (default 1M; the union-find
+    * uses primitive open-addressing arrays, so that is ~50 MB of
+    * driver heap worst-case, solved in well under a second) the
+    * components are solved on the driver and returned as a small
+    * DataFrame, exactly
     * as a broadcast join ships a small side instead of shuffling it.
     * Near-dup pair graphs are tiny relative to their corpus (pairs ≈
     * dup rate × n), so even 100 TB corpora often land here; above the
@@ -43,12 +45,15 @@ object DupGraph {
       idA: String = "id_a",
       idB: String = "id_b",
       maxIter: Int = 20,
-      localEdgeThreshold: Long = 1L << 22): DataFrame = {
+      localEdgeThreshold: Long = 1L << 20): DataFrame = {
     // materialize the pair list ONCE — the symmetrization union scans
     // it twice and an expensive upstream (the MinHash pair pipeline)
-    // would re-execute per scan
+    // would re-execute per scan. Null ids (failed casts) are dropped
+    // explicitly: the distributed rounds below drop them implicitly
+    // (null join keys never match), so both paths see the same edges.
     val raw = edges
       .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
       .localCheckpoint(true)
     if (raw.count() <= localEdgeThreshold) return localComponents(raw)
     val sym = raw.select(col("u").as("src"), col("v").as("dst"))
@@ -122,33 +127,58 @@ object DupGraph {
     * same contract as the distributed rounds: every node appearing in
     * an edge (self-loops included) labeled with the min reachable id.
     * Exact, deterministic, no iteration cap to certify.
+    *
+    * Memory-lean by construction: node ids live in a primitive
+    * open-addressing table (two long/int arrays at load factor ≤0.5,
+    * ~24 bytes per distinct node) and the union-find runs over slot
+    * indices, so the 1M-edge guard costs tens of MB of driver heap,
+    * not the GB a boxed HashMap[Long,Long] would.
     */
   private def localComponents(raw: DataFrame): DataFrame = {
     val spark = raw.sparkSession
-    import spark.implicits._
-    val pairs = raw.as[(Long, Long)].collect()
-    val parent = new java.util.HashMap[Long, Long]()
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.get(r) != r) r = parent.get(r)
-      var c = x // path compression
-      while (parent.get(c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+    val rows = raw.collect()
+    val n = rows.length
+    // capacity: power of two ≥ 4 × max-distinct-nodes (2 per edge)
+    var cap = 16
+    while (cap < 4L * math.max(1L, 2L * n)) cap <<= 1
+    val mask = cap - 1
+    val keys = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val parent = new Array[Int](cap)
+    def slotOf(k: Long): Int = {
+      var i = (scala.util.hashing.byteswap64(k) & mask).toInt
+      while (used(i) && keys(i) != k) i = (i + 1) & mask
+      if (!used(i)) { used(i) = true; keys(i) = k; parent(i) = i }
+      i
+    }
+    def find(s: Int): Int = {
+      var r = s
+      while (parent(r) != r) r = parent(r)
+      var c = s // path compression
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
       r
     }
-    for ((u, v) <- pairs) {
-      if (!parent.containsKey(u)) parent.put(u, u)
-      if (!parent.containsKey(v)) parent.put(v, v)
-      val (ru, rv) = (find(u), find(v))
+    var e = 0
+    while (e < n) {
+      val row = rows(e)
+      val ru = find(slotOf(row.getLong(0)))
+      val rv = find(slotOf(row.getLong(1)))
       // union by min keeps the root = min member as an invariant
-      if (ru < rv) parent.put(rv, ru) else if (rv < ru) parent.put(ru, rv)
+      if (keys(ru) < keys(rv)) parent(rv) = ru
+      else if (keys(rv) < keys(ru)) parent(ru) = rv
+      e += 1
     }
-    val out = new Array[(Long, Long)](parent.size())
-    val it = parent.keySet().iterator()
+    val out = Vector.newBuilder[(Long, Long)]
     var i = 0
-    while (it.hasNext) { val n = it.next(); out(i) = (n, find(n)); i += 1 }
-    // few result partitions on purpose: the frame is driver-sized and
-    // downstream joins against it broadcast
-    out.toSeq.toDF("node", "component").coalesce(1)
+    while (i < cap) {
+      if (used(i)) out += ((keys(i), keys(find(i))))
+      i += 1
+    }
+    // a parallelized RDD (not a LocalRelation) keeps the collected
+    // result out of the plan tree; one partition on purpose — the
+    // frame is driver-sized and downstream joins against it broadcast
+    spark.createDataFrame(spark.sparkContext.parallelize(out.result(), 1))
+      .toDF("node", "component")
   }
 
   /** Connected components by alternating large-star / small-star

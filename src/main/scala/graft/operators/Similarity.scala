@@ -446,6 +446,15 @@ object Similarity {
     * the q150 oracle certifies the whole bucket→assign→pair→
     * component→survivor chain; agreement with the exact-assignment
     * variant is pinned in SeriesRecallSpec.
+    *
+    * `planesPerTable <= 0` (the default) derives the dial from the
+    * corpus itself: planes = max(4, round(log2(k)) − 2) with
+    * k = n / centroidStep, i.e. ~4 expected centroids per bucket at
+    * ANY scale. The 10×/100× scale probes showed why this must be
+    * the default: a pinned planes=4 at k=4000 over-candidates ~250×
+    * and exhausts shuffle disk, while the derived dial holds the
+    * decade slope linear. Pass an explicit positive value only to
+    * pin a replayable small-scale oracle (q150 pins 4).
     */
   def semanticDedupBucketed(
       emb: DataFrame,
@@ -454,11 +463,19 @@ object Similarity {
       centroidStep: Int,
       threshold: Double,
       tables: Int = 4,
-      planesPerTable: Int = 4): (DataFrame, DataFrame) = {
+      planesPerTable: Int = 0): (DataFrame, DataFrame) = {
     GraftFunctions.register(emb.sparkSession)
+    val planes =
+      if (planesPerTable > 0) planesPerTable
+      else {
+        // one count() action; the corpus scan is the cheapest stage of
+        // the pipeline and the dial must track k = n/centroidStep
+        val k = math.max(1L, emb.count() / math.max(1, centroidStep))
+        math.max(4, (math.log(k.toDouble) / math.log(2)).round.toInt - 2)
+      }
     def bucketed(df: DataFrame): DataFrame = df
       .select(df.columns.map(col) :+
-        posexplode(GraftFunctions.lshBuckets(col("_v"), tables, planesPerTable)): _*)
+        posexplode(GraftFunctions.lshBuckets(col("_v"), tables, planes)): _*)
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "bucket")
     val vb = bucketed(emb.select(col(idCol), col(vecCol).as("_v")))

@@ -45,17 +45,22 @@ object Sketches {
     * materializes touched cells, so a never-incremented cell is an
     * implicit 0 counter and a token absent from the build stream
     * correctly estimates 0 (the canonical CMS estimator). The sketch
-    * side is at most rows·width records by construction, so it
-    * broadcasts; the corpus is never re-read.
+    * side is at most rows·width records by construction, so at the
+    * default 4×64 it broadcasts; a caller-supplied wide sketch above
+    * ~2M cells falls back to a plain shuffle join rather than forcing
+    * a broadcast of hundreds of MB onto every executor.
     */
   def cmsEstimate(
       sketch: DataFrame, items: DataFrame, tokCol: String,
-      rows: Int = 4, width: Int = 64): DataFrame =
+      rows: Int = 4, width: Int = 64): DataFrame = {
+    val sketchSide =
+      if (rows.toLong * width <= 2_000_000L) broadcast(sketch) else sketch
     items.select(col(tokCol), explode(rowBuckets(col(tokCol), rows, width)).as("rb"))
       .select(col(tokCol), col("rb.row_id").as("row_id"), col("rb.bucket").as("bucket"))
-      .join(broadcast(sketch), Seq("row_id", "bucket"), "left")
+      .join(sketchSide, Seq("row_id", "bucket"), "left")
       .groupBy(col(tokCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
 
   /** Positions a key sets/tests in an m-bit Bloom filter with k
     * seeded hash60 functions — deduplicated, since two seeds may

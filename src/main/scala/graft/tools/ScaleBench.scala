@@ -64,20 +64,14 @@ object ScaleBench {
     val timed = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(defaultQueries)
-    // `semdedup_scaled` probes semanticDedupBucketed with the
-    // planesPerTable dial tracking the corpus (the pinned q150 query
-    // fixes planes=4 for the small-scale oracle, which at 100× means
-    // ~16k candidate centroids per vector — the dial exists precisely
-    // so per-bucket work stays constant as k grows with n)
+    // `semdedup_scaled` probes semanticDedupBucketed on its DEFAULT
+    // auto-derived planesPerTable (~4 centroids per bucket at any
+    // scale — the pinned q150 oracle fixes planes=4 for small-scale
+    // replay; the default dial is what a user gets at 100×)
     def semdedupScaled(dir: String): DataFrame = {
       val emb = graft.Tables.embeddings(spark, dir)
-      val k = math.max(1L, emb.count() / 50)
-      val planes = // ~4 centroids per bucket at any scale
-        math.max(4, (math.log(k.toDouble) / math.log(2)).round.toInt - 2)
-      println(s"[scale] semdedup_scaled: k=$k planesPerTable=$planes")
       val (surv, _) = graft.operators.Similarity.semanticDedupBucketed(
-        emb, "vec_id", "embedding", centroidStep = 50, threshold = 0.40,
-        tables = 4, planesPerTable = planes)
+        emb, "vec_id", "embedding", centroidStep = 50, threshold = 0.40)
       surv.select(col("vec_id"))
     }
     def run(name: String, dir: String): Double = {
@@ -91,7 +85,8 @@ object ScaleBench {
     for (q <- timed)
       try run(q, "/root/testdata/sf0.001") catch { case _: Throwable => () }
 
-    println(f"[scale] ${"query"}%-22s ${"base_s"}%8s ${"x${factor}_s"}%9s slope")
+    val scaledHdr = s"x${factor}_s"
+    println(f"[scale] ${"query"}%-22s ${"base_s"}%8s $scaledHdr%9s slope")
     val rows = timed.map { q =>
       val tb = run(q, baseDir)
       val ts = run(q, outDir)

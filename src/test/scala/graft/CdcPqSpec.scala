@@ -115,6 +115,25 @@ class CdcPqSpec extends SparkSpec {
     assert(frac >= 0.9, f"bucketed/exact survivor agreement $frac%.3f below 0.9")
   }
 
+  test("semanticDedupBucketed default auto-derives planesPerTable from the corpus") {
+    // planes = max(4, round(log2(n/centroidStep)) - 2): at this corpus
+    // size that is exactly 4, so the auto default must reproduce the
+    // pinned planes=4 run bit-for-bit — and a user calling the
+    // operator with defaults at 100× gets the scale-safe dial instead
+    // of the fixed small-scale one (the r6 disk-exhaustion cliff)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val k = math.max(1L, emb.count() / 50)
+    assert(math.max(4, (math.log(k.toDouble) / math.log(2)).round.toInt - 2) == 4,
+      "fixture corpus should land in the planes=4 regime")
+    val (sAuto, _) = Similarity.semanticDedupBucketed(emb, "vec_id", "embedding",
+      centroidStep = 50, threshold = 0.40)
+    val (sPinned, _) = Similarity.semanticDedupBucketed(emb, "vec_id", "embedding",
+      centroidStep = 50, threshold = 0.40, tables = 4, planesPerTable = 4)
+    val auto = sAuto.select("vec_id").as[Long].collect().toSet
+    val pinned = sPinned.select("vec_id").as[Long].collect().toSet
+    assert(auto == pinned)
+  }
+
   test("qualityFilter: keep iff no reason fired; thresholds hit the right rules") {
     val d = Seq(
       (1L, ("the and that " * 20).trim),           // 60 tokens, stopword-rich, avg len 3.33 -> keep

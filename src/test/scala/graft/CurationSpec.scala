@@ -210,13 +210,40 @@ class CurationSpec extends SparkSpec {
     // an 11-edge chain has diameter 11: four propagation rounds leave
     // label-inconsistent edges, and silent partial labels would hand
     // wrong clusters to dedup
+    // localEdgeThreshold=0 forces the DISTRIBUTED rounds — the default
+    // size guard would solve 11 edges on the driver exactly and never
+    // exercise the convergence certificate this test exists to pin
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     intercept[IllegalArgumentException] {
-      DupGraph.connectedComponents(chain, maxIter = 4)
+      DupGraph.connectedComponents(chain, maxIter = 4, localEdgeThreshold = 0)
     }
     // the default cap converges it and labels the whole chain min=1
-    val cc = DupGraph.connectedComponents(chain).as[(Long, Long)].collect().toMap
+    val cc = DupGraph.connectedComponents(chain, localEdgeThreshold = 0)
+      .as[(Long, Long)].collect().toMap
     assert(cc.values.toSet == Set(1L) && cc.size == 12)
+  }
+
+  test("connectedComponents local union-find matches the distributed labeling") {
+    import graft.operators.DupGraph
+    // two chains + a triangle + a self-loop: nontrivial component mix;
+    // the guarded driver path and the distributed min-label rounds
+    // must produce identical (node, component) sets
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),          // chain -> comp 1
+      (10L, 11L), (11L, 12L),                // chain -> comp 10
+      (20L, 21L), (21L, 22L), (22L, 20L),    // triangle -> comp 20
+      (30L, 30L)                             // self-loop singleton
+    ).toDF("id_a", "id_b")
+    val local = DupGraph.connectedComponents(edges)
+      .as[(Long, Long)].collect().toSet
+    val dist = DupGraph.connectedComponents(edges, localEdgeThreshold = 0)
+      .as[(Long, Long)].collect().toSet
+    assert(local == dist)
+    assert(local == Set(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L))
   }
 
   test("writePartitioned fans a hot partition value across filesPerPartition files") {

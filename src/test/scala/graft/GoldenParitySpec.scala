@@ -107,6 +107,23 @@ class GoldenParitySpec extends SparkSpec {
     assert(ref == got, s"$rel diverges:\n--- reference\n$ref\n--- graft\n$got")
   }
 
+  /** D2 normalization of a schema-error CSV: (row id, column, value)
+    * triples over the data cells only — message text and pandas-typed
+    * numeric spellings (`40.0` vs `40`) are the documented divergence.
+    */
+  private def cells(df: org.apache.spark.sql.DataFrame): Set[(String, String, String)] = {
+    val dataCols = df.columns.filterNot(Seq("row", "errors").contains)
+    df.collect().iterator.flatMap { row =>
+      val id = row.getAs[String]("row")
+      dataCols.iterator.map { c =>
+        val raw = Option(row.getAs[String](c)).getOrElse("")
+        val norm = try BigDecimal(raw).underlying.stripTrailingZeros.toPlainString
+        catch { case _: NumberFormatException => normBools(raw) }
+        (id, c, norm)
+      }
+    }.toSet
+  }
+
   test("employees end-to-end: exports and error CSVs byte-match the live reference") {
     assume(referenceRunnable, "reference checkout or driver python stack unavailable")
     val dir = tmpDir("golden-clean")
@@ -160,23 +177,51 @@ class GoldenParitySpec extends SparkSpec {
         s"schema error columns diverge: ${ref.columns.toSeq} vs ${got.columns.toSeq}")
       assert(ref.columns.take(2).toSeq == Seq("row", "errors"))
       assert(got.columns.take(2).toSeq == Seq("row", "errors"))
-      def cells(df: org.apache.spark.sql.DataFrame): Set[(String, String, String)] = {
-        val dataCols = df.columns.filterNot(Seq("row", "errors").contains)
-        df.collect().iterator.flatMap { row =>
-          val id = row.getAs[String]("row")
-          dataCols.iterator.map { c =>
-            val raw = Option(row.getAs[String](c)).getOrElse("")
-            // numeric cells print pandas-typed from the reference
-            // (40.0) and raw from the CSV here (40) → compare as doubles
-            val norm = try BigDecimal(raw).underlying.stripTrailingZeros.toPlainString
-            catch { case _: NumberFormatException => normBools(raw) }
-            (id, c, norm)
-          }
-        }.toSet
-      }
       assert(ref.select("row").collect().map(_.getString(0)).sorted.toSeq == Seq("13", "14"))
       assert(cells(ref) == cells(got))
     } finally r.unpersist()
+  }
+
+  test("committed golden fixtures replay with the pinned as-of date (no python needed)") {
+    // the fixtures under src/test/resources/golden/ were captured by
+    // tools/golden/generate_golden.py from the live reference with
+    // as-of pinned to 2026-01-01 — replaying them here keeps parity
+    // coverage in environments without the driver python stack and
+    // pins the fixtures themselves against drift
+    val golden = new java.io.File(getClass.getResource("/golden").toURI).getAbsolutePath
+    val pinned = LocalDate.of(2026, 1, 1)
+    for (entity <- Seq("employees", "locations")) {
+      val out = tmpDir(s"golden-fixture-$entity")
+      val r = Pipeline.run(spark, PipelineConfig.load(s"$golden/config.yaml"), entity, out, pinned)
+      try {
+        val entityDir = new java.io.File(s"$golden/$entity")
+        val fixtureCsvs = for {
+          sub <- Seq("exports", "errors")
+          f <- Option(new java.io.File(entityDir, sub).listFiles())
+            .getOrElse(Array.empty[java.io.File]).toSeq.sortBy(_.getName)
+          if f.getName.endsWith(".csv")
+        } yield (sub, f)
+        assert(fixtureCsvs.nonEmpty, s"no fixture CSVs found for $entity")
+        for ((sub, f) <- fixtureCsvs) {
+          val rel = s"$sub/${f.getName}"
+          if (f.getName.contains("schema_validation")) {
+            // D2: message text + numeric spellings differ → compare
+            // flagged rows and normalized data cells
+            val ref = spark.read.option("header", "true").csv(f.getAbsolutePath)
+            val got = spark.read.option("header", "true").csv(s"$out/$rel")
+            assert(ref.columns.toSet == got.columns.toSet, s"$rel columns diverge")
+            assert(cells(ref) == cells(got), s"$rel cells diverge")
+          } else if (sub == "errors") {
+            // error-CSV row ORDER is unspecified (README tolerance) →
+            // compare header + row set
+            val refLines = normBools(readFile(f.getAbsolutePath)).linesIterator.toSeq
+            val gotLines = readFile(s"$out/$rel").linesIterator.toSeq
+            assert(refLines.head == gotLines.head, s"$rel header diverges")
+            assert(refLines.tail.toSet == gotLines.tail.toSet, s"$rel rows diverge")
+          } else assertFileParity(s"$golden/$entity", out, rel)
+        }
+      } finally r.unpersist()
+    }
   }
 
   test("locations negative path: same configuration error as the reference") {

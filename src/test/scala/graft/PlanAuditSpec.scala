@@ -59,7 +59,11 @@ class PlanAuditSpec extends SparkSpec {
     "q147_learned_gate", "q148_ann_recall",
     // q149 rides q133's broadcast-weight scoring and crosses the
     // 1-row Brier frame onto the 50-row bin stats
-    "q149_brier")
+    "q149_brier",
+    // export_roundtrip cross-joins its two 1-row checksum frames
+    // (export count+md5 x error count+md5) — same 1-row-broadcast
+    // shape as q146's source-count frame
+    "export_roundtrip")
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -3,9 +3,11 @@
 
 Runs the LIVE reference pipeline (/root/reference/main.py) on the two
 shipped entities with a pinned as-of date and saves its outputs as
-golden fixtures under src/test/resources/golden/.  GoldenParitySpec
-then runs graft.pipeline.Pipeline on the identical config + inputs and
-diffs the CSVs row-for-row.
+golden fixtures under src/test/resources/golden/.  GoldenParitySpec's
+primary tests shell out to the live reference at test time (as-of =
+run date); its "committed golden fixtures" test replays THESE files
+through graft.pipeline.Pipeline with the pinned 2026-01-01 as-of, so
+the fixtures stay a live oracle even without the python stack.
 
 Driver-side tooling only (python/pandas/duckdb/pydantic) — none of
 this is a dependency of the Scala library.
