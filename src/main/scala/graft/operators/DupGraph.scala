@@ -25,8 +25,9 @@ object DupGraph {
     * Size-adaptive, like Spark's broadcast-join threshold: the edge
     * list is materialized up front anyway, so its count is free — at
     * or below `localEdgeThreshold` edges (default 1M; the union-find
-    * uses primitive open-addressing arrays, so that is ~50 MB of
-    * driver heap worst-case, solved in well under a second) the
+    * uses primitive open-addressing arrays — ~52 MB of table at the
+    * worst-case 2M distinct nodes, plus ~100 MB for the collected
+    * edge rows themselves, solved in well under a second) the
     * components are solved on the driver and returned as a small
     * DataFrame, exactly
     * as a broadcast join ships a small side instead of shuffling it.
@@ -129,18 +130,26 @@ object DupGraph {
     * Exact, deterministic, no iteration cap to certify.
     *
     * Memory-lean by construction: node ids live in a primitive
-    * open-addressing table (two long/int arrays at load factor ≤0.5,
-    * ~24 bytes per distinct node) and the union-find runs over slot
-    * indices, so the 1M-edge guard costs tens of MB of driver heap,
-    * not the GB a boxed HashMap[Long,Long] would.
+    * open-addressing table (a long + int + boolean array at load
+    * factor ≤0.5, 13 bytes per SLOT → ~52 MB of table at the 1M-edge
+    * guard's worst case of 2M distinct nodes) and the union-find runs
+    * over slot indices, not the GB a boxed HashMap[Long,Long] would
+    * cost. The collected Row array dominates the heap in practice.
     */
   private def localComponents(raw: DataFrame): DataFrame = {
     val spark = raw.sparkSession
     val rows = raw.collect()
     val n = rows.length
-    // capacity: power of two ≥ 4 × max-distinct-nodes (2 per edge)
-    var cap = 16
-    while (cap < 4L * math.max(1L, 2L * n)) cap <<= 1
+    // capacity: power of two ≥ 2 × max-distinct-nodes (2 per edge) →
+    // load factor ≤0.5. Long arithmetic plus an explicit bound keep
+    // the doubling from overflowing Int if a caller raises
+    // localEdgeThreshold far beyond the 1M default.
+    require(n <= (1 << 28),
+      s"localComponents: $n edges exceeds the driver union-find bound (2^28); " +
+        "lower localEdgeThreshold so the distributed path handles this graph")
+    var capL = 16L
+    while (capL < 2L * math.max(1L, 2L * n)) capL <<= 1
+    val cap = capL.toInt
     val mask = cap - 1
     val keys = new Array[Long](cap)
     val used = new Array[Boolean](cap)

@@ -455,6 +455,15 @@ object Similarity {
     * and exhausts shuffle disk, while the derived dial holds the
     * decade slope linear. Pass an explicit positive value only to
     * pin a replayable small-scale oracle (q150 pins 4).
+    *
+    * Deriving the dial needs the corpus size. When `corpusCount > 0`
+    * it is taken as-is and the auto path adds NO extra job; when it is
+    * unknown (the 0 default) one `count()` action runs first — an
+    * id-only pruned scan, cheap over parquet, but if `emb` is an
+    * expensive UNCACHED computation the whole upstream executes once
+    * for the count and again for bucketing. Callers with computed
+    * embeddings should persist `emb` or pass the row count they
+    * already know (most pipelines counted the corpus stages ago).
     */
   def semanticDedupBucketed(
       emb: DataFrame,
@@ -463,14 +472,16 @@ object Similarity {
       centroidStep: Int,
       threshold: Double,
       tables: Int = 4,
-      planesPerTable: Int = 0): (DataFrame, DataFrame) = {
+      planesPerTable: Int = 0,
+      corpusCount: Long = 0L): (DataFrame, DataFrame) = {
     GraftFunctions.register(emb.sparkSession)
     val planes =
       if (planesPerTable > 0) planesPerTable
       else {
-        // one count() action; the corpus scan is the cheapest stage of
-        // the pipeline and the dial must track k = n/centroidStep
-        val k = math.max(1L, emb.count() / math.max(1, centroidStep))
+        // id-only count: prune to one column so a parquet-backed corpus
+        // answers from footer stats instead of reading vectors
+        val n = if (corpusCount > 0) corpusCount else emb.select(idCol).count()
+        val k = math.max(1L, n / math.max(1, centroidStep))
         math.max(4, (math.log(k.toDouble) / math.log(2)).round.toInt - 2)
       }
     def bucketed(df: DataFrame): DataFrame = df

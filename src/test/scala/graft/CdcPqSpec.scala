@@ -129,9 +129,15 @@ class CdcPqSpec extends SparkSpec {
       centroidStep = 50, threshold = 0.40)
     val (sPinned, _) = Similarity.semanticDedupBucketed(emb, "vec_id", "embedding",
       centroidStep = 50, threshold = 0.40, tables = 4, planesPerTable = 4)
+    // a caller handing in the count it already knows must get the same
+    // dial with zero extra jobs (the free-auto path)
+    val (sCounted, _) = Similarity.semanticDedupBucketed(emb, "vec_id", "embedding",
+      centroidStep = 50, threshold = 0.40, corpusCount = emb.count())
     val auto = sAuto.select("vec_id").as[Long].collect().toSet
     val pinned = sPinned.select("vec_id").as[Long].collect().toSet
+    val counted = sCounted.select("vec_id").as[Long].collect().toSet
     assert(auto == pinned)
+    assert(counted == pinned)
   }
 
   test("qualityFilter: keep iff no reason fired; thresholds hit the right rules") {
