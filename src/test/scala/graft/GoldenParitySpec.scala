@@ -104,7 +104,17 @@ class GoldenParitySpec extends SparkSpec {
   private def assertFileParity(refDir: String, graftDir: String, rel: String): Unit = {
     val ref = normBools(readFile(s"$refDir/$rel"))
     val got = readFile(s"$graftDir/$rel")
-    assert(ref == got, s"$rel diverges:\n--- reference\n$ref\n--- graft\n$got")
+    if (rel.startsWith("errors/")) {
+      // error-CSV row ORDER is unspecified (README tolerance — the
+      // reference's DuckDB join order varies run to run) → compare
+      // header byte-equal + row multiset
+      val refLines = ref.linesIterator.toSeq
+      val gotLines = got.linesIterator.toSeq
+      assert(refLines.headOption == gotLines.headOption, s"$rel header diverges")
+      assert(refLines.tail.sorted == gotLines.tail.sorted,
+        s"$rel rows diverge:\n--- reference\n$ref\n--- graft\n$got")
+    } else
+      assert(ref == got, s"$rel diverges:\n--- reference\n$ref\n--- graft\n$got")
   }
 
   /** D2 normalization of a schema-error CSV: (row id, column, value)
@@ -187,12 +197,19 @@ class GoldenParitySpec extends SparkSpec {
     // tools/golden/generate_golden.py from the live reference with
     // as-of pinned to 2026-01-01 — replaying them here keeps parity
     // coverage in environments without the driver python stack and
-    // pins the fixtures themselves against drift
+    // pins the fixtures themselves against drift. The input CSVs are
+    // committed alongside (golden/input_data), so the config's
+    // /root/reference source paths are rewritten to them and the test
+    // runs with NO reference checkout at all.
     val golden = new java.io.File(getClass.getResource("/golden").toURI).getAbsolutePath
     val pinned = LocalDate.of(2026, 1, 1)
+    val cfgDir = tmpDir("golden-fixture-cfg")
+    Files.writeString(Paths.get(s"$cfgDir/config.yaml"),
+      Files.readString(Paths.get(s"$golden/config.yaml"))
+        .replace("/root/reference/input_data/", s"$golden/input_data/"))
     for (entity <- Seq("employees", "locations")) {
       val out = tmpDir(s"golden-fixture-$entity")
-      val r = Pipeline.run(spark, PipelineConfig.load(s"$golden/config.yaml"), entity, out, pinned)
+      val r = Pipeline.run(spark, PipelineConfig.load(s"$cfgDir/config.yaml"), entity, out, pinned)
       try {
         val entityDir = new java.io.File(s"$golden/$entity")
         val fixtureCsvs = for {
@@ -206,10 +223,24 @@ class GoldenParitySpec extends SparkSpec {
           val rel = s"$sub/${f.getName}"
           if (f.getName.contains("schema_validation")) {
             // D2: message text + numeric spellings differ → compare
-            // flagged rows and normalized data cells
+            // flagged rows, normalized data cells, AND the failing
+            // fields per row (the `field:` prefix of each "; "-joined
+            // message is shared across both engines — only the text
+            // after the colon is the documented divergence)
             val ref = spark.read.option("header", "true").csv(f.getAbsolutePath)
             val got = spark.read.option("header", "true").csv(s"$out/$rel")
             assert(ref.columns.toSet == got.columns.toSet, s"$rel columns diverge")
+            def flagged(df: org.apache.spark.sql.DataFrame): Map[String, Set[String]] =
+              df.select("row", "errors").collect().iterator.map { r =>
+                r.getString(0) -> Option(r.getString(1)).getOrElse("")
+                  .split("; ").iterator.map(_.takeWhile(_ != ':').trim)
+                  .filter(_.nonEmpty).toSet
+              }.toMap
+            val refFlagged = flagged(ref)
+            val gotFlagged = flagged(got)
+            assert(refFlagged.keySet == gotFlagged.keySet, s"$rel flagged row ids diverge")
+            assert(refFlagged == gotFlagged, s"$rel failing-field sets diverge: " +
+              s"$refFlagged vs $gotFlagged")
             assert(cells(ref) == cells(got), s"$rel cells diverge")
           } else if (sub == "errors") {
             // error-CSV row ORDER is unspecified (README tolerance) →
