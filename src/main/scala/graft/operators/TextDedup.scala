@@ -366,6 +366,20 @@ object TextDedup {
     * on the key — never strings × strings, so it survives a 100 TB
     * vocabulary where the exhaustive `q29`-style pair space cannot.
     *
+    * Each key additionally carries the DELETED POSITION (0 for the
+    * word itself), which prunes the bucket-internal pair space to
+    * essentially the true pairs: two same-length words sharing a
+    * deletion key at the SAME position differ only at that position
+    * (one substitution), and an insert/delete pair puts the shorter
+    * word in the bucket as the key itself (position 0). Any pair with
+    * differing non-zero positions is ≥2 edits apart and is never
+    * emitted — on a dense vocabulary (e.g. zero-padded TPC-H names,
+    * where a bucket holds every one-digit variant) this collapses the
+    * candidate set ~50× versus pairing the whole bucket, and the
+    * `levenshtein` verify pass runs only over near-certain pairs, kept
+    * to produce the `dist` column and to discard 8-byte hash-collision
+    * impostors exactly.
+    *
     * Input should be DISTINCT strings (a vocabulary); emits
     * (word_a < word_b, dist).
     */
@@ -376,44 +390,53 @@ object TextDedup {
     // internal error)
     val base = vocab.select(col(strCol).as("w"))
     val w = col("w")
-    // the string itself + every single-char deletion, deduplicated
-    // (adjacent equal chars make equal deletion variants);
-    // sequence(1, 0) DESCENDS in Spark — guard the empty string
-    val deletions = when(length(w) >= 1,
-      array_distinct(transform(
-        sequence(lit(1), length(w)),
-        i => concat(w.substr(lit(1), i - 1), w.substr(i + 1, length(w))))))
-      .otherwise(array(lit("")))
-    val keys = array_union(array(w), deletions)
-    // bucket on the 8-byte hash of the key, not the key string: halves
-    // shuffle bytes; a hash collision only ADDS a candidate pair,
-    // which the exact levenshtein filter below removes
-    val keyed = base.select(w, explode(keys).as("k"))
-      .select(col("w"), xxhash64(col("k")).as("kh"))
-    // ONE shuffle, no join: group the words sharing a key and emit the
-    // intra-bucket pairs. A bucket for key k can only hold k itself
-    // plus strings one insertion away from k — at most (|k|+1)·|Σ|+1
-    // members for alphabet Σ — so collect_set is bounded independent
-    // of corpus size and the pair blowup per bucket is quadratic in
-    // that small constant, never in the data. (The previous self-join
-    // shuffled the keyed frame twice and matched; same candidates,
-    // twice the exchange.)
-    val buckets = keyed.groupBy("kh").agg(collect_set("w").as("ws"))
-      .filter(size(col("ws")) > 1)
-      .select(sort_array(col("ws")).as("ws"))
-    val pairs = buckets.select(explode(flatten(transform(col("ws"),
+    // sequence(1, 0) DESCENDS in Spark — guard the empty string.
+    // Deletions are NOT distinct-ed: a repeated char yields the same
+    // key at two positions and both must key (the matching partner may
+    // share either position); the duplicate pair it can emit is
+    // removed by dropDuplicates below.
+    val positions = when(length(w) >= 1, sequence(lit(1), length(w)))
+      .otherwise(array_repeat(lit(1), 0))
+    // keys travel as (8-byte hash, deleted position): halves shuffle
+    // bytes vs the key string; a hash collision only ADDS a candidate
+    // pair, which the exact levenshtein filter below removes
+    val keys = concat(
+      array(struct(xxhash64(w).as("kh"), lit(0).as("pos"))),
+      transform(positions, i =>
+        struct(
+          xxhash64(concat(w.substr(lit(1), i - 1), w.substr(i + 1, length(w)))).as("kh"),
+          i.as("pos"))))
+    val keyed = base.select(w, explode(keys).as("kp"))
+      .select(col("w"), col("kp.kh").as("kh"), col("kp.pos").as("pos"))
+    // ONE shuffle, no join: group the (word, pos) members sharing a key.
+    // A bucket for key k can only hold k itself plus strings one
+    // insertion away from k — at most (|k|+1)·|Σ|+1 members for
+    // alphabet Σ — so collect_list is bounded independent of corpus
+    // size.
+    val buckets = keyed.groupBy("kh")
+      .agg(collect_list(struct(col("w"), col("pos"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    // emit only position-compatible pairs (same deleted position, or
+    // one side IS the key): each survives the edit-1 test by
+    // construction, so the per-bucket work is a quadratic scan over
+    // position ints, not a quadratic pair materialization
+    val pairs = buckets.select(explode(flatten(transform(col("ms"),
         (a, i) => transform(
-          slice(col("ws"), i + lit(2), size(col("ws"))),
-          b => struct(a.as("word_a"), b.as("word_b")))))).as("p"))
+          filter(
+            slice(col("ms"), i + lit(2), size(col("ms"))),
+            b => (a("pos") === b("pos") || a("pos") === 0 || b("pos") === 0) &&
+              a("w") =!= b("w")),
+          b => struct(
+            least(a("w"), b("w")).as("word_a"),
+            greatest(a("w"), b("w")).as("word_b")))))).as("p"))
       .select(col("p.word_a"), col("p.word_b"))
     pairs
       // verify BEFORE deduplicating: filtering first shrinks the dedup
       // shuffle to the verified pairs (a pair can share several keys).
       // The threshold overload computes a banded O(len) distance and
-      // early-exits with -1 past the bound — the full O(len²) matrix
-      // was the candidate-verification hot spot.
+      // early-exits with -1 past the bound.
       .withColumn("dist", levenshtein(col("word_a"), col("word_b"), 1).cast("long"))
-      .filter(col("dist") >= 0 && col("dist") <= 1)
+      .filter(col("dist") >= 1)
       .dropDuplicates("word_a", "word_b")
       .select(col("word_a"), col("word_b"), col("dist"))
   }

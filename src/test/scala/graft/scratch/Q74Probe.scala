@@ -1,0 +1,32 @@
+package graft.scratch
+
+import org.apache.spark.sql.SparkSession
+
+/** Iteration scratch harness (not a test): steady-state timing of one
+  * query, N repeats in a warm JVM. Run with
+  * `sbt "Test/runMain graft.scratch.Q74Probe q74_edit1_join 4"`.
+  */
+object Q74Probe {
+  def main(args: Array[String]): Unit = {
+    val name = if (args.nonEmpty) args(0) else "q74_edit1_join"
+    val reps = if (args.length > 1) args(1).toInt else 4
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = graft.SparkEntry.queries(name)
+    // codegen warm at the small scale
+    fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+    for (i <- 1 to reps) {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"[probe] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -4,7 +4,12 @@ library): reads Verify's parquet dumps + oracle_sql.json, runs each
 oracle SQL in DuckDB over the same sf directory's parquet tables, and
 compares (columns sorted by name, rows sorted, values hashed).
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [jsonOut]
+
+<sfDir> tables may be single parquet files (driver testdata) or
+Spark-written directories of part files (ScaleBench replicas).
+[jsonOut] additionally writes the per-query result map as a
+CORRECTNESS-style JSON artifact.
 """
 import sys, json, glob, os
 import duckdb
@@ -27,35 +32,50 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_noracle = 0
+    report = {}
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(qdir.rstrip("/"))
         files = glob.glob(f"{qdir}/*.parquet")
         if not files:
-            print(f"MISSING-OUTPUT {name}"); n_fail += 1; continue
+            print(f"MISSING-OUTPUT {name}"); n_fail += 1
+            report[name] = {"err": "missing output"}
+            continue
         spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)])
         if name not in oracle:
             print(f"NO-ORACLE      {name} rows={len(spark_df)}"); n_noracle += 1
+            report[name] = {"rows_only": True, "spark_rows": len(spark_df)}
             continue
         try:
             duck_df = con.execute(oracle[name]).fetchdf()
         except Exception as e:
-            print(f"ORACLE-ERR     {name}: {e}"); n_fail += 1; continue
+            print(f"ORACLE-ERR     {name}: {e}"); n_fail += 1
+            report[name] = {"err": f"oracle: {e}"}
+            continue
         a, b = canon(spark_df), canon(duck_df)
-        if list(a.columns) != list(b.columns):
+        r = {"rows_match": len(a) == len(b),
+             "schema_match": list(a.columns) == list(b.columns),
+             "spark_rows": len(a), "oracle_rows": len(b), "err": None}
+        report[name] = r
+        if not r["schema_match"]:
             print(f"SCHEMA-MISMATCH {name}: spark={list(a.columns)} duck={list(b.columns)}")
+            r["hash_match"] = False
             n_fail += 1; continue
-        if len(a) != len(b):
+        if not r["rows_match"]:
             print(f"ROWS-MISMATCH  {name}: spark={len(a)} duck={len(b)}")
+            r["hash_match"] = False
             n_fail += 1; continue
         if not a.equals(b):
+            r["hash_match"] = False
             neq = (a != b) & ~(a.isna() & b.isna())
             bad_cols = [c for c in a.columns if neq[c].any()]
             print(f"VALUE-MISMATCH {name}: cols={bad_cols}")
@@ -63,10 +83,14 @@ def main(sf_dir, out_dir):
                 idx = neq[c].idxmax()
                 print(f"   first diff {c}[{idx}]: spark={a[c][idx]!r} duck={b[c][idx]!r}")
             n_fail += 1; continue
+        r["hash_match"] = True
         print(f"PASS           {name} rows={len(a)}")
         n_pass += 1
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_noracle} rows-only ==")
+    if json_out:
+        json.dump(report, open(json_out, "w"), indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None))
