@@ -147,6 +147,7 @@ object Clustering {
   def pcaPowerIteration(
       emb: DataFrame, idCol: String, vecCol: String, iters: Int = 3): DataFrame = {
     require(iters >= 1)
+    val spark = emb.sparkSession
     val d = emb.select(col(idCol).as("_id"),
       posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "x")))
     val m = d.groupBy(col("i")).agg(avg(col("x")).as("mu"))
@@ -157,17 +158,54 @@ object Clustering {
       .groupBy(col("i"), col("j")).agg(sum(col("x") * col("y")).as("_s"))
       .crossJoin(broadcast(n))
       .select(col("i"), col("j"), round(col("_s") / col("n"), 6).as("cv"))
-      .localCheckpoint(true)
+    // the covariance matrix is dim²-bounded, never row-bounded: 100 TB
+    // of rows still reduce to dim² entries. At or below 2^20 entries
+    // (dims ≤ 1024, ≤ ~16 MB of rows) the matvec loop runs on the
+    // driver over the collected matrix — the same size-adaptive move a
+    // broadcast join makes — replacing `iters` join+checkpoint job
+    // waves with zero jobs. Identical arithmetic and 6-dp rounding per
+    // step keep the iterates engine-exact either way; wider matrices
+    // keep the scale-safe distributed join loop below.
+    val dims = emb.select(col(vecCol)).limit(1).collect().headOption
+      .map(_.getSeq[Any](0).length).getOrElse(0)
+    if (dims > 0 && dims.toLong * dims <= (1L << 20)) {
+      val cv = Array.ofDim[Double](dims, dims)
+      cov.collect().foreach { r =>
+        cv(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      // same rounding as Spark's `round`: BigDecimal.valueOf (the
+      // Double.toString shortest form), scale HALF_UP — not the exact
+      // binary expansion, which can differ at a rounding boundary
+      def rnd(x: Double, s: Int): Double =
+        java.math.BigDecimal.valueOf(x).setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+      var v = Array.fill(dims)(0.125)
+      for (_ <- 1 to iters) {
+        val w = Array.tabulate(dims) { i =>
+          var s = 0.0; var j = 0
+          while (j < dims) { s += cv(i)(j) * v(j); j += 1 }
+          s
+        }
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        v = w.map(x => rnd(x / nrm, 6))
+      }
+      var ray = 0.0
+      for (i <- 0 until dims; j <- 0 until dims) ray += v(i) * cv(i)(j) * v(j)
+      val eig = rnd(ray, 4)
+      import spark.implicits._
+      return spark.createDataset(v.toSeq.zipWithIndex.map { case (c, i) => (i, c, eig) })
+        .toDF("dim", "component", "eigenvalue")
+    }
+    val covD = cov.localCheckpoint(true)
     var v = m.select(col("i"), lit(0.125).as("v")).localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val w = cov.join(v.select(col("i").as("j"), col("v")), Seq("j"))
+      val w = covD.join(v.select(col("i").as("j"), col("v")), Seq("j"))
         .groupBy(col("i")).agg(sum(col("cv") * col("v")).as("w"))
       val nrm = w.agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
       v = w.crossJoin(broadcast(nrm))
         .select(col("i"), round(col("w") / col("nrm"), 6).as("v"))
         .localCheckpoint(true)
     }
-    val ray = cov
+    val ray = covD
       .join(v.select(col("i"), col("v").as("va")), Seq("i"))
       .join(v.select(col("i").as("j"), col("v").as("vb")), Seq("j"))
       .agg(round(sum(col("va") * col("cv") * col("vb")), 4).as("eigenvalue"))

@@ -152,9 +152,14 @@ object LanguageModel {
     * Returns one row per bucket: (bucket, n_docs, min_nlp, max_nlp).
     */
   def perplexityBuckets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // materialize the per-doc scores (one small row per document):
+    // the quantile pass and the bucket-assignment pass otherwise each
+    // re-execute the full LM scoring pipeline — tokenize + two count
+    // aggregates + the score join — doubling the corpus work
     val scored = bigramNegLogProb(df, idCol, textCol)
       .select(col(idCol), col("avg_neg_logprob").as("nlp"))
       .withColumn("_g", lit(1))
+      .localCheckpoint(true)
     val th = Quantiles
       .groupPercentiles(scored, "_g", "nlp", Seq("t1" -> 1.0 / 3, "t2" -> 2.0 / 3))
       .select(round(col("t1"), 6).as("t1"), round(col("t2"), 6).as("t2"))

@@ -34,15 +34,26 @@ object Learning {
     * Returns (dim, weight, accuracy): the final weights plus the
     * training accuracy (p >= 0.5 predicts 1) rounded to 4.
     */
-  /** Shared GD loop: (feats triples, per-row sigmoid scorer, final
-    * weights). `margins(w)` is one broadcast join + one partial agg
-    * per evaluation; the per-row margin rounds to 6 dp before the
-    * sigmoid so engines agree on p.
+  /** Spark's `round` semantics on a driver double: shortest decimal
+    * form (BigDecimal.valueOf), scale HALF_UP.
+    */
+  private def rnd(x: Double, s: Int): Double =
+    java.math.BigDecimal.valueOf(x).setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Shared GD loop: (per-row sigmoid scorer, final weights). The
+    * weight vector is (nDims+1) doubles — broadcast-sized by
+    * definition — so it lives on the driver and is inlined into each
+    * pass as a literal array: one job per iteration (gradient
+    * partial-agg + (nDims+1)-row collect), no weight-frame
+    * checkpoints, no broadcast builds. The per-row margin is an
+    * IN-ROW dot product rounded to 6 dp before the sigmoid, and each
+    * weight update rounds to 6 dp with Spark-`round` semantics, so
+    * engines agree on every iterate.
     */
   private def trainGD(
       df: DataFrame, vecCol: String, labelCol: String,
       nDims: Int, iters: Int, lr: Double,
-      keepCols: Seq[String] = Nil): (DataFrame => DataFrame, DataFrame) = {
+      keepCols: Seq[String] = Nil): (Array[Double] => DataFrame, Array[Double]) = {
     require(nDims >= 1 && iters >= 1, "need nDims >= 1 and iters >= 1")
     val rows = df.select(keepCols.map(col) ++ Seq(
       col(labelCol).cast("double").as("_y"),
@@ -50,22 +61,16 @@ object Learning {
         .as("_xs")): _*)
       .localCheckpoint(true)
     val n = rows.count().toDouble
-    var w = df.sparkSession.range(nDims + 1)
-      .select(col("id").as("dim"), lit(0.0).as("w"))
-      .localCheckpoint(true)
-    // the (nDims+1)-row weight frame as a 1-row dim-ordered array,
-    // broadcast onto every row: the margin is an IN-ROW dot product
-    // (zip_with + aggregate), so scoring never shuffles the corpus
-    def asArray(wt: DataFrame) =
-      wt.agg(array_sort(collect_list(struct(col("dim"), col("w")))).as("_sw"))
-        .select(transform(col("_sw"), s => s.getField("w")).as("_w"))
-    def margins(wt: DataFrame) =
-      rows.crossJoin(broadcast(asArray(wt)))
+    def margins(w: Array[Double]) = {
+      val wLit = array(w.map(lit(_)): _*)
+      rows
         .select(keepCols.map(col) ++ Seq(col("_y"), col("_xs"),
-          round(aggregate(zip_with(col("_xs"), col("_w"), (x, wv) => x * wv),
+          round(aggregate(zip_with(col("_xs"), wLit, (x, wv) => x * wv),
             lit(0.0), (acc, v) => acc + v), 6).as("m")): _*)
         .select(keepCols.map(col) ++ Seq(col("_y"), col("_xs"),
           (lit(1.0) / (lit(1.0) + exp(-col("m")))).as("p")): _*)
+    }
+    val w = Array.fill(nDims + 1)(0.0)
     for (_ <- 1 to iters) {
       // gradient: posexplode the features under the per-row residual
       // and partial-aggregate into nDims+1 groups — the shuffle
@@ -74,9 +79,11 @@ object Learning {
         .select((col("p") - col("_y")).as("_r"), posexplode(col("_xs")).as(Seq("dim", "x")))
         .groupBy(col("dim"))
         .agg((sum(col("_r") * col("x")) / lit(n)).as("g"))
-      w = w.join(broadcast(grad), Seq("dim"))
-        .select(col("dim"), round(col("w") - lit(lr) * col("g"), 6).as("w"))
-        .localCheckpoint(true)
+        .collect()
+      grad.foreach { r =>
+        val dim = r.getInt(0)
+        w(dim) = rnd(w(dim) - lr * r.getDouble(1), 6)
+      }
     }
     (margins, w)
   }
@@ -84,12 +91,19 @@ object Learning {
   def logisticRegressionGD(
       df: DataFrame, vecCol: String, labelCol: String,
       nDims: Int, iters: Int = 3, lr: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val (margins, w) = trainGD(df, vecCol, labelCol, nDims, iters, lr)
-    val acc = margins(w)
+    val scored = margins(w)
+    if (scored.isEmpty)
+      return Seq.empty[(Long, Double, Double)].toDF("dim", "weight", "accuracy")
+    val acc = scored
       .agg(round(avg(when((col("p") >= 0.5) === (col("_y") > 0.5), 1.0)
         .otherwise(0.0)), 4).as("accuracy"))
-    w.crossJoin(broadcast(acc))
-      .select(col("dim").cast("long").as("dim"), col("w").as("weight"), col("accuracy"))
+    spark.createDataset(w.toSeq.zipWithIndex.map { case (wt, d) => (d.toLong, wt) })
+      .toDF("dim", "weight")
+      .crossJoin(broadcast(acc))
+      .select(col("dim"), col("weight"), col("accuracy"))
   }
 
   /** Per-row predictions (y, p) of the trained model — the input to
@@ -259,36 +273,66 @@ object Learning {
     // multiplicities (the scoring granularity); every training
     // statistic re-reduces from this materialized frame or its
     // (tok, cls) roll-up rather than re-exploding the corpus
+    val spark = docs.sparkSession
+    import spark.implicits._
     val docToks = docs.select(col(idCol).as("_id"), col(clsCol).as("cls"),
       explode(tokens(lower(col(textCol)))).as("tok"))
       .groupBy(col("_id"), col("cls"), col("tok"))
       .agg(count(lit(1)).as("_cnt"))
       .localCheckpoint(true)
-    val clsDocs = docs.groupBy(col(clsCol).as("cls")).agg(count(lit(1)).as("nd"))
-    val nDocs = docs.agg(count(lit(1)).as("n"))
-    val prior = clsDocs.crossJoin(broadcast(nDocs))
-      .select(col("cls"), log(col("nd") / col("n")).as("lprior"))
+    // class priors: K counted rows — collect and rebuild as a local
+    // frame (log computed in Spark, same expression as before) rather
+    // than paying two broadcast-build scans of `docs`. Counted over
+    // `docs`, not docToks: zero-token documents still carry a prior.
+    val clsDocsRows = docs.groupBy(col(clsCol).as("cls")).agg(count(lit(1)).as("nd"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val nDocsTotal = clsDocsRows.map(_._2).sum
+    val prior = spark.createDataset(clsDocsRows.toSeq).toDF("cls", "nd")
+      .select(col("cls"), log(col("nd") / lit(nDocsTotal.toDouble)).as("lprior"))
     val tokCls = docToks.groupBy(col("tok"), col("cls")).agg(sum(col("_cnt")).as("c"))
-      .localCheckpoint(true)
-    val clsTok = tokCls.groupBy(col("cls")).agg(sum(col("c")).as("tt"))
-    // |vocab| and K exactly, in one tiny action on the materialized
-    // count frame — v inlines as a literal (one broadcast job fewer)
-    // and v*k sizes the model grid for the join strategy below
-    val stats = tokCls.agg(
-      countDistinct(col("tok")).as("v"), countDistinct(col("cls")).as("k")).head()
-    val (v, k) = (stats.getLong(0), stats.getLong(1))
-    val grid0 = tokCls.select(col("tok")).distinct()
-      .crossJoin(broadcast(clsTok))
-      .join(tokCls, Seq("tok", "cls"), "left")
-      .select(col("tok"), col("cls").as("scls"),
-        log((coalesce(col("c"), lit(0L)) + lit(1.0)) / (col("tt") + lit(v.toDouble)))
-          .as("ll"))
-    // the model is |vocab| x K rows: checkpointed inputs carry no
-    // catalyst stats, so AQE can't see that a closed-vocabulary model
-    // is broadcast-sized — decide from the exact count instead. An
-    // open 100 TB vocabulary exceeds the bound and keeps the
+    // the model is a |vocab| × K count grid — broadcast-sized whenever
+    // the vocabulary is closed. Probe it with ONE limited collect off
+    // the materialized docToks (LocalLimit short-circuits on an open
+    // 100 TB vocabulary): when the nonzero (tok, cls) counts fit, the
+    // grid is assembled on the driver — zero extra jobs, no stats
+    // action, no checkpoint — and shipped back as a broadcast frame
+    // with the log-likelihood computed by the SAME Spark expression
+    // as the distributed branch. Larger vocabularies keep the
     // scale-safe shuffle join on tok.
-    val grid = if (v * k <= 2000000L) broadcast(grid0) else grid0
+    val maxNonzero = 300000
+    val probe = tokCls.limit(maxNonzero + 1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val localFits = probe.length <= maxNonzero && {
+      val v0 = probe.iterator.map(_._1).toSet.size.toLong
+      val k0 = probe.iterator.map(_._2).toSet.size.toLong
+      v0 * k0 <= 1000000L
+    }
+    val grid = if (localFits) {
+      val vocab = probe.map(_._1).distinct
+      val v = vocab.length.toLong
+      val tt = probe.groupBy(_._2).map { case (c, rs) => c -> rs.map(_._3).sum }
+      val nz = probe.map { case (t, c, n) => (t, c) -> n }.toMap
+      val cells = for { t <- vocab.toSeq; (c, ttc) <- tt.toSeq }
+        yield (t, c, nz.getOrElse((t, c), 0L), ttc)
+      broadcast(spark.createDataset(cells).toDF("tok", "scls", "c", "tt")
+        .select(col("tok"), col("scls"),
+          log((col("c") + lit(1.0)) / (col("tt") + lit(v.toDouble))).as("ll")))
+    } else {
+      // scale path: materialize the big count frame once — it feeds
+      // the class totals, the stats action, and two grid joins
+      val tokClsD = tokCls.localCheckpoint(true)
+      val clsTok = tokClsD.groupBy(col("cls")).agg(sum(col("c")).as("tt"))
+      val stats = tokClsD.agg(
+        countDistinct(col("tok")).as("v"), countDistinct(col("cls")).as("k")).head()
+      val (v, k) = (stats.getLong(0), stats.getLong(1))
+      val grid0 = tokClsD.select(col("tok")).distinct()
+        .crossJoin(broadcast(clsTok))
+        .join(tokClsD, Seq("tok", "cls"), "left")
+        .select(col("tok"), col("cls").as("scls"),
+          log((coalesce(col("c"), lit(0L)) + lit(1.0)) / (col("tt") + lit(v.toDouble)))
+            .as("ll"))
+      if (v * k <= 2000000L) broadcast(grid0) else grid0
+    }
     // the joined stream is |distinct doc-token pairs| x K, never
     // |token instances| x K; the logprob contribution is cnt * ll
     // (same sum, 6-dp rounding absorbs the order)
@@ -324,11 +368,16 @@ object Learning {
       alpha: Double = 0.1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(alpha > 0 && alpha < 1, "need 0 < alpha < 1")
-    val n = cal.count()
+    // materialize the (small, calibration-sized) score frame first:
+    // the count and the order-statistic window then both read the
+    // checkpoint instead of re-executing an arbitrarily expensive
+    // upstream (e.g. a full model-scoring pipeline) twice
+    val calS = cal.select(round(col(scoreCol).cast("double"), 6).as("_s"))
+      .localCheckpoint(true)
+    val n = calS.count()
     require(n >= 1, "conformal calibration needs at least one score")
     val k = math.min(n, math.ceil((n + 1) * (1 - alpha)).toLong)
-    val qhat = cal
-      .select(round(col(scoreCol).cast("double"), 6).as("_s"))
+    val qhat = calS
       .withColumn("_rk", row_number().over(Window.orderBy(col("_s"))))
       .filter(col("_rk") === k)
       .select(col("_s").as("qhat"), lit(n).as("n_cal"))
