@@ -74,9 +74,14 @@ object Dedup {
         val dupKeys = df.groupBy(keys.map(col): _*)
           .agg(count(lit(1)).as("_cnt")).filter(col("_cnt") > 1)
           .select(keys.map(col): _*)
+        // using-column joins move the key columns to the front of the
+        // output; the reference's capture/stage frames keep the
+        // original CSV column order (found by GoldenFuzzSpec on a
+        // non-leading key) — restore it explicitly
+        val original = df.columns.map(col)
         DedupResult(
-          survivors = df.join(dupKeys, keys, "left_anti"),
-          removed = df.join(dupKeys, keys, "left_semi"))
+          survivors = df.join(dupKeys, keys, "left_anti").select(original: _*),
+          removed = df.join(dupKeys, keys, "left_semi").select(original: _*))
       case firstOrLast =>
         val order = if (firstOrLast == "last") col(orderCol).desc else col(orderCol).asc
         val w = Window.partitionBy(keys.map(col): _*).orderBy(order)
