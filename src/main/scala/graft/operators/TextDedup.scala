@@ -441,12 +441,6 @@ object TextDedup {
       .select(col("word_a"), col("word_b"), col("dist"))
   }
 
-  /** Token stream with 0-based positions: (idCol, pos, tok). */
-  private def positionedTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
-      posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "tok")))
-      .select(col(idCol), col("pos").cast("long").as("pos"), col("tok"))
-
   /** Start positions of word n-grams that occur more than once in the
     * whole corpus (counting repeats inside one document), as
     * (idCol, s, e) coverage windows s..s+n-1. N-grams are formed with
@@ -455,24 +449,23 @@ object TextDedup {
     * string — the shuffle carries longs.
     */
   /** Every word n-gram window as (idCol, pos, nh): start position and
-    * the 60-bit hash of the space-joined gram, built with window leads
-    * (no per-row array blowup) — the shared frame under span dedup and
-    * novelty scoring.
+    * the 60-bit hash of the space-joined gram, built IN-ROW from the
+    * token array (transform over start positions + slice) — zero
+    * shuffles, where the earlier window-lead formulation paid a
+    * partition-and-sort on the doc id before a single gram existed.
+    * The transient per-doc hash array is tokens-long, bounded by
+    * document length, never corpus size.
     */
   private def ngramHashes(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 2, "n-gram windows need n >= 2")
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val parts = col("tok") +: (1 until n).map(i => lead(col("tok"), i).over(w))
-    // build the n-gram and its tail guard in ONE projection over the
-    // full token stream — filtering first would recompute the leads
-    // over the filtered rows
-    positionedTokens(df, idCol, textCol)
-      .select(col(idCol), col("pos"),
-        concat_ws(" ", parts: _*).as("_ng"),
-        lead(col("tok"), n - 1).over(w).as("_last"))
-      .filter(col("_last").isNotNull)
-      .select(col(idCol), col("pos"), hash60(col("_ng")).as("nh"))
+    df.select(col(idCol), tokens(lower(col(textCol))).as("_w"))
+      .filter(size(col("_w")) >= n)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("_w")) - n),
+          i => hash60(concat_ws(" ", slice(col("_w"), i + 1, lit(n))))))
+        .as(Seq("pos", "nh")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("nh"))
   }
 
   private def dupNgramWindows(
@@ -513,19 +506,28 @@ object TextDedup {
     */
   def removeDuplicateSpans(
       df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
-    // explode the MERGED islands, not the raw (overlapping) windows:
-    // every covered position comes out exactly once, so the coverage
-    // stream needs no distinct shuffle and is n× smaller
-    val cov = duplicateNgramSpans(df, idCol, textCol, n)
-      .select(col(idCol),
-        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
-    positionedTokens(df, idCol, textCol)
-      .join(cov, Seq(idCol, "pos"), "left_anti")
+    // ship the MERGED islands back per-doc (few spans each) and scrub
+    // IN-ROW: an exists() test per token against the doc's span list
+    // replaces the exploded coverage stream, its (id, pos) anti-join
+    // shuffle, and the collect_list re-sort of the survivor stream —
+    // the only remaining shuffles are the ones the semantics force
+    // (global gram frequency + the per-doc island merge)
+    val spans = duplicateNgramSpans(df, idCol, textCol, n)
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-            p => p.getField("tok"))).as("clean_text"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_sp"))
+    df.select(col(idCol), tokens(lower(col(textCol))).as("_w"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        filter(
+          transform(col("_w"), (t, i) =>
+            when(exists(col("_sp"), s =>
+              i.cast("long") >= s.getField("span_start") &&
+                i.cast("long") <= s.getField("span_end")), lit(null))
+              .otherwise(t)),
+          t => t.isNotNull).as("_kept"))
+      .filter(size(col("_kept")) >= 1)
+      .select(col(idCol), size(col("_kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("_kept")).as("clean_text"))
   }
 
   /** Per-document n-gram novelty: how much of a document is NOT seen
