@@ -94,6 +94,87 @@ object BpeTrainer {
           p => p.getField("sym2")).as("syms"))
   }
 
+  /** Driver-local training guard: the word table is vocabulary-
+    * bounded, and a closed vocabulary (the overwhelmingly common case
+    * below web scale) is broadcast-sized — so, like the NB model grid
+    * and the GD weight vector, the merge loop runs on the driver when
+    * a limited collect shows the vocabulary fits, replacing
+    * `iterations` × (pair-count job + 6-shuffle merge job) with one
+    * collect. An open 100 TB vocabulary exceeds the probe and keeps
+    * the distributed loop. Integer arithmetic throughout — the local
+    * loop is bit-identical to the relational one (and to the oracle's
+    * SQL replay; the one divergence is the degenerate all-single-char
+    * corpus, where the distributed `applyMerge`'s cross join against
+    * an EMPTY best pair empties the word table while the oracle — and
+    * the local loop — keep it unchanged).
+    */
+  private val LocalVocabBound = 100000
+
+  /** Split into code-point symbols, like regexp_extract_all(word, '.'). */
+  private def codePoints(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
+  private def collectWords(
+      df: DataFrame, textCol: String): Option[Array[(String, Long, Array[String])]] = {
+    val probe = df.select(explode(tokens(lower(col(textCol)))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .limit(LocalVocabBound + 1).collect()
+    if (probe.length > LocalVocabBound)
+      None
+    else Some(probe.map(r => (r.getString(0), r.getLong(1), codePoints(r.getString(0)))))
+  }
+
+  /** All adjacent-pair counts (overlaps included), best by
+    * (cnt desc, l, r) — the get_stats convention.
+    */
+  private def localBest(
+      words: Array[(String, Long, Array[String])]): Option[(String, String, Long)] = {
+    val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    for ((_, f, s) <- words; i <- 0 until s.length - 1)
+      cnt.updateWith((s(i), s(i + 1)))(o => Some(o.getOrElse(0L) + f))
+    if (cnt.isEmpty) None
+    else {
+      val ((l, r), c) = cnt.minBy { case ((l, r), c) => (-c, l, r) }
+      Some((l, r, c))
+    }
+  }
+
+  /** Greedy leftmost non-overlapping merge — the scan the islands
+    * window expresses relationally.
+    */
+  private def localMerge(s: Array[String], l: String, r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      if (i < s.length - 1 && s(i) == l && s(i + 1) == r) { out += s(i) + s(i + 1); i += 2 }
+      else { out += s(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def localTrain(
+      w0: Array[(String, Long, Array[String])], iterations: Int)
+      : (Array[(String, Long, Array[String])], Seq[(Long, String, String, Long)]) = {
+    var words = w0
+    val rows = Vector.newBuilder[(Long, String, String, Long)]
+    for (it <- 1 to iterations) localBest(words).foreach { case (l, r, c) =>
+      rows += ((it.toLong, l, r, c))
+      words = words.map { case (w, f, s) => (w, f, localMerge(s, l, r)) }
+    }
+    localBest(words).foreach { case (l, r, c) =>
+      rows += (((iterations + 1).toLong, l, r, c))
+    }
+    (words, rows.result())
+  }
+
   /** Train `iterations` merges. Returns one row per iteration
     * (it, l, r, cnt) PLUS a final row it = iterations + 1 holding the
     * best pair of the post-merge state — so the last merge's
@@ -102,30 +183,45 @@ object BpeTrainer {
     */
   def merges(df: DataFrame, textCol: String, iterations: Int): DataFrame = {
     require(iterations >= 1, "need at least one merge iteration")
-    var words = wordTable(df, textCol).localCheckpoint(true)
-    var out = Vector.empty[DataFrame]
-    for (it <- 1 to iterations) {
-      val best = bestPair(pairCounts(words)).localCheckpoint(true)
-      out :+= best.withColumn("it", lit(it.toLong))
-      words = applyMerge(words, best).localCheckpoint(true)
+    collectWords(df, textCol) match {
+      case Some(w0) =>
+        val spark = df.sparkSession
+        import spark.implicits._
+        spark.createDataset(localTrain(w0, iterations)._2).toDF("it", "l", "r", "cnt")
+      case None =>
+        var words = wordTable(df, textCol).localCheckpoint(true)
+        var out = Vector.empty[DataFrame]
+        for (it <- 1 to iterations) {
+          val best = bestPair(pairCounts(words)).localCheckpoint(true)
+          out :+= best.withColumn("it", lit(it.toLong))
+          words = applyMerge(words, best).localCheckpoint(true)
+        }
+        val fin = bestPair(pairCounts(words)).withColumn("it", lit((iterations + 1).toLong))
+        (out :+ fin).reduce(_ unionByName _)
+          .select(col("it"), col("l"), col("r"), col("cnt"))
     }
-    val fin = bestPair(pairCounts(words)).withColumn("it", lit((iterations + 1).toLong))
-    (out :+ fin).reduce(_ unionByName _)
-      .select(col("it"), col("l"), col("r"), col("cnt"))
   }
 
   /** The word table after training `iterations` merges:
     * (word, freq, syms) with each word in its final symbol
     * segmentation — the lookup table the ENCODE side uses.
     */
-  def trainedWords(df: DataFrame, textCol: String, iterations: Int): DataFrame = {
-    var words = wordTable(df, textCol).localCheckpoint(true)
-    for (_ <- 1 to iterations) {
-      val best = bestPair(pairCounts(words)).localCheckpoint(true)
-      words = applyMerge(words, best).localCheckpoint(true)
+  def trainedWords(df: DataFrame, textCol: String, iterations: Int): DataFrame =
+    collectWords(df, textCol) match {
+      case Some(w0) =>
+        val spark = df.sparkSession
+        import spark.implicits._
+        spark.createDataset(
+          localTrain(w0, iterations)._1.toSeq.map { case (w, f, s) => (w, f, s.toSeq) })
+          .toDF("word", "freq", "syms")
+      case None =>
+        var words = wordTable(df, textCol).localCheckpoint(true)
+        for (_ <- 1 to iterations) {
+          val best = bestPair(pairCounts(words)).localCheckpoint(true)
+          words = applyMerge(words, best).localCheckpoint(true)
+        }
+        words
     }
-    words
-  }
 
   /** Post-merge symbol vocabulary: corpus frequency of every symbol
     * after `iterations` merges — (sym, freq), the table a tokenizer
