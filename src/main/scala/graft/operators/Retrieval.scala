@@ -104,6 +104,17 @@ object Retrieval {
     require(relTenths >= 0 && divTenths >= 0, "weights must be nonnegative")
     def micro(c: org.apache.spark.sql.Column) =
       round(c * lit(1000000L)).cast("long")
+    // the greedy trace runs over BOUNDED frames (per-query top-k in,
+    // ≤ |cands|·k sim pairs touched) with exact-integer scores — when
+    // a limited probe shows both fit, the whole selection runs on the
+    // driver (identical argmax, identical smaller-id tie-break),
+    // replacing 2(k−1)+3 checkpoint/job waves with two collects. A
+    // corpus-scale query stream exceeds the probe and keeps the
+    // distributed loop.
+    localMmr(candidates, pairSims, k, relTenths, divTenths) match {
+      case Some(out) => return out
+      case None      => ()
+    }
     val pickW = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("cand_id"))
     val cands = candidates
@@ -149,6 +160,71 @@ object Retrieval {
         .localCheckpoint(true)
     }
     selected
+  }
+
+  /** Driver-local greedy MMR under a size guard; None when the frames
+    * exceed the bound or the id types have no natural local ordering.
+    */
+  private def localMmr(
+      candidates: DataFrame, pairSims: DataFrame, k: Int,
+      relTenths: Int, divTenths: Int): Option[DataFrame] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val CandBound = 200000
+    val SimBound = 1000000
+    // smaller-id tie-break needs an ordering on the (opaque) id type
+    def orderingOf(dt: DataType): Option[Ordering[Any]] = dt match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        Some(Ordering.by((v: Any) => v.asInstanceOf[Number].longValue))
+      case DoubleType | FloatType =>
+        Some(Ordering.by((v: Any) => v.asInstanceOf[Number].doubleValue))
+      case StringType => Some(Ordering.by((v: Any) => v.asInstanceOf[String]))
+      case _          => None
+    }
+    val candOrd = orderingOf(candidates.schema("cand_id").dataType).getOrElse(return None)
+    // Spark-`round` semantics for the micro scaling
+    def microL(x: Double): Long =
+      java.math.BigDecimal.valueOf(x * 1000000L).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val candRows = candidates.select(col("query_id"), col("cand_id"), col("rel").cast("double"))
+      .limit(CandBound + 1).collect()
+    if (candRows.length > CandBound) return None
+    val simRows = pairSims.select(col("query_id"), col("a"), col("b"), col("s").cast("double"))
+      .limit(SimBound + 1).collect()
+    if (simRows.length > SimBound) return None
+
+    val simsByQuery = simRows.groupBy(_.get(0)).map { case (q, rs) =>
+      q -> rs.iterator.map(r => (r.get(1), r.get(2)) -> microL(r.getDouble(3))).toMap
+    }
+    val out = Vector.newBuilder[Row]
+    for ((q, rs) <- candRows.groupBy(_.get(0))) {
+      val rel = rs.iterator.map(r => r.get(1) -> microL(r.getDouble(2))).toMap
+      val sims = simsByQuery.getOrElse(q, Map.empty[(Any, Any), Long])
+      var remaining = rel.keys.toVector
+      var selected = Vector.empty[Any]
+      var step = 1L
+      while (step <= k && remaining.nonEmpty) {
+        val scored = remaining.map { c =>
+          val ms =
+            if (selected.isEmpty) 0L
+            else selected.iterator.map(b => sims.getOrElse((c, b), 0L)).max
+          c -> (relTenths.toLong * rel(c) - (if (selected.isEmpty) 0L else divTenths.toLong * ms))
+        }
+        val (best, score) = scored.minBy { case (c, s) => (-s, c) }(
+          Ordering.Tuple2(Ordering.Long, candOrd))
+        out += Row(q, best, step, score)
+        selected :+= best
+        remaining = remaining.filterNot(_ == best)
+        step += 1
+      }
+    }
+    val spark = candidates.sparkSession
+    val schema = StructType(Seq(
+      candidates.schema("query_id").copy(name = "query_id"),
+      candidates.schema("cand_id").copy(name = "cand_id"),
+      StructField("step", LongType, nullable = false),
+      StructField("score", LongType, nullable = false)))
+    Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(out.result(), 1), schema))
   }
 
   /** NDCG of ranked result lists (Järvelin & Kekäläinen 2002):
