@@ -50,19 +50,29 @@ object Clustering {
   /** Nearest-centroid assignment: (idCol, _v, cell, d) with d the
     * round-6 squared distance to the winning cell, ties to the lower
     * cell id. `centroids` must be (cell: long, cv: array<double>).
+    *
+    * The argmin is IN-ROW: the k centroids ride along as one
+    * broadcast array and `array_min` over (d, cell) structs picks the
+    * winner — struct ordering is exactly (distance asc, cell asc).
+    * The previous formulation ranked a corpus × k exploded frame with
+    * a window over the row id: a full corpus shuffle-and-sort per
+    * assignment pass (per Lloyd iteration!) for a per-row minimum
+    * that needs no data movement at all.
     */
   def assignCells(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("d").asc, col("cell").asc)
+    val centArr = centroids
+      .agg(array_sort(collect_list(struct(col("cell"), col("cv")))).as("_cs"))
     emb.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("d", round(sqDist(col("_v"), col("cv")), 6))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col(idCol), col("_v"), col("cell"), col("d"))
+      .crossJoin(broadcast(centArr))
+      .withColumn("_m", array_min(transform(col("_cs"), c =>
+        struct(round(sqDist(col("_v"), c.getField("cv")), 6).as("d"),
+          c.getField("cell").as("cell")))))
+      .filter(col("_m").isNotNull) // empty codebook assigns nothing
+      .select(col(idCol), col("_v"), col("_m.cell").as("cell"), col("_m.d").as("d"))
   }
 
   /** Per-key centroid: the round-6 per-dimension mean of each key
