@@ -198,13 +198,18 @@ object Similarity {
       nProbe: Int): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
 
+    // in-row top-`keep` cells: the centroids ride along as one
+    // broadcast array and an array_sort over (−sim, cell) structs
+    // replays the (sim desc, cell asc) ranking without the corpus
+    // shuffle-and-sort the row_number window paid per assignment
     def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("cell"))
-      df.crossJoin(broadcast(centroids))
-        .withColumn("csim", GraftFunctions.cosineFast(col(vec), col("cv")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .drop("cv", "csim", "crank")
+      val centArr = centroids
+        .agg(array_sort(collect_list(struct(col("cell"), col("cv")))).as("_cs"))
+      df.crossJoin(broadcast(centArr))
+        .withColumn("_p", explode(slice(array_sort(transform(col("_cs"), c =>
+          struct((-GraftFunctions.cosineFast(col(vec), c.getField("cv"))).as("negsim"),
+            c.getField("cell").as("cell")))), 1, keep)))
+        .select(col(id), col(vec), col("_p.cell").as("cell"))
     }
 
     val inverted = assign(
