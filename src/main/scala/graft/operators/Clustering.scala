@@ -134,10 +134,18 @@ object Clustering {
   /** Per-cell membership count and round-3 inertia of an assignment —
     * the convergence scoreboard (total inertia is non-increasing over
     * Lloyd iterations).
+    *
+    * The round-6 distances are summed as EXACT micro-unit integers:
+    * a floating sum of many 6-dp decimals can land within one binary
+    * ulp of a 3-dp rounding boundary, where partition/summation order
+    * decides the printed digit (observed at the 10× replica:
+    * 43.1765 ± 1 ulp → 43.176 vs 43.177). Integer summation is
+    * order-independent on every engine and layout.
     */
   def cellSummary(assigned: DataFrame): DataFrame =
     assigned.groupBy(col("cell"))
-      .agg(count(lit(1)).as("n_members"), round(sum(col("d")), 3).as("inertia"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(round(col("d") * 1000000L).cast("long")) / 1000000.0, 3).as("inertia"))
 
   /** Distributed PCA, top component by power iteration: center the
     * data, build the d×d covariance matrix as one self-join aggregate

@@ -349,7 +349,8 @@ object SimilarityQueries {
         |      round(list_sum(list_transform(range(1,65), i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))), 6),
         |      c.cell) AS rn
         |  FROM e, c1 c) WHERE rn = 1)
-        |SELECT cell, CAST(count(*) AS BIGINT) AS n_members, round(sum(d), 3) AS inertia
+        |SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+        |  round(sum(CAST(round(d * 1000000, 0) AS BIGINT)) / 1000000.0, 3) AS inertia
         |FROM a2 GROUP BY cell
         |ORDER BY cell""".stripMargin
     ) { (s, d) =>
