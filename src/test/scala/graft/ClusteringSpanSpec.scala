@@ -151,6 +151,23 @@ class ClusteringSpanSpec extends SparkSpec {
     assert(conf == Set((0L, 0L, 4L), (1L, 1L, 4L)))
   }
 
+  test("assignCells plans with no shuffle: the argmin is in-row over broadcast centroids") {
+    val rows = (0L until 64L).map(i => (i, Seq(0.1 * i, 1.0)))
+    val df = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val cents = Clustering.strideInit(df, "vec_id", "embedding", centroidStep = 16)
+    val assigned = Clustering.assignCells(df, "vec_id", "embedding", cents)
+    // the assignment pass itself must not exchange the corpus — the
+    // only allowed movement is the broadcast of the 1-row centroid
+    // array (this pinned the round-8 fix: a row_number window here
+    // cost one full corpus shuffle-and-sort per Lloyd iteration)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+      s"assignment plan re-introduced a shuffle:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected a broadcast of the centroid array:\n$plan")
+  }
+
   test("vocabCoverage: ranks by frequency, cum_share reaches 1 at full vocab") {
     val df = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
     val cov = Curation.vocabCoverage(df, "text", k = 10)
