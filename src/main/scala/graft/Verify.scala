@@ -12,8 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects
-      // unless read as raw longs (converted back in Tables.events).
+      // earlier testdata generations shipped events.ts as
+      // TIMESTAMP(NANOS), which Spark 4 rejects unless read as raw
+      // longs; harmless for the current naive-micros shape —
+      // Tables.events normalizes every shape either way.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
