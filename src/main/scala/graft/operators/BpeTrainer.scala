@@ -142,7 +142,8 @@ object BpeTrainer {
       cnt.updateWith((s(i), s(i + 1)))(o => Some(o.getOrElse(0L) + f))
     if (cnt.isEmpty) None
     else {
-      val ((l, r), c) = cnt.minBy { case ((l, r), c) => (-c, l, r) }
+      val ((l, r), c) = cnt.minBy { case ((l, r), c) => (-c, l, r) }(
+        Ordering.Tuple3(Ordering.Long, LocalOrder.utf8, LocalOrder.utf8))
       Some((l, r, c))
     }
   }

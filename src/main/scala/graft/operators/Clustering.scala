@@ -68,8 +68,12 @@ object Clustering {
       .agg(array_sort(collect_list(struct(col("cell"), col("cv")))).as("_cs"))
     emb.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
       .crossJoin(broadcast(centArr))
+      // a null distance (dim-mismatched centroid) ranked LAST under
+      // the old window's asc-nulls-last; a null struct field would
+      // sort FIRST here, so pin it to +∞ explicitly
       .withColumn("_m", array_min(transform(col("_cs"), c =>
-        struct(round(sqDist(col("_v"), c.getField("cv")), 6).as("d"),
+        struct(coalesce(round(sqDist(col("_v"), c.getField("cv")), 6),
+          lit(Double.PositiveInfinity)).as("d"),
           c.getField("cell").as("cell")))))
       .filter(col("_m").isNotNull) // empty codebook assigns nothing
       .select(col(idCol), col("_v"), col("_m.cell").as("cell"), col("_m.d").as("d"))
@@ -145,7 +149,12 @@ object Clustering {
   def cellSummary(assigned: DataFrame): DataFrame =
     assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_members"),
-        round(sum(round(col("d") * 1000000L).cast("long")) / 1000000.0, 3).as("inertia"))
+        // the micro-units sum as decimal(38,0), not long: with ANSI
+        // off, sum(long) wraps silently past ~9.2e18 micro-units
+        // (~1e10 members at d≈1000); decimal summation stays exact and
+        // matches DuckDB, whose sum(bigint) widens to hugeint
+        round(sum(round(col("d") * 1000000L).cast("decimal(38,0)")) / 1000000.0, 3)
+          .as("inertia"))
 
   /** Distributed PCA, top component by power iteration: center the
     * data, build the d×d covariance matrix as one self-join aggregate
@@ -187,31 +196,41 @@ object Clustering {
     val dims = emb.select(col(vecCol)).limit(1).collect().headOption
       .map(_.getSeq[Any](0).length).getOrElse(0)
     if (dims > 0 && dims.toLong * dims <= (1L << 20)) {
-      val cv = Array.ofDim[Double](dims, dims)
-      cov.collect().foreach { r =>
-        cv(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
-      }
-      // same rounding as Spark's `round`: BigDecimal.valueOf (the
-      // Double.toString shortest form), scale HALF_UP — not the exact
-      // binary expansion, which can differ at a rounding boundary
-      def rnd(x: Double, s: Int): Double =
-        java.math.BigDecimal.valueOf(x).setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
-      var v = Array.fill(dims)(0.125)
-      for (_ <- 1 to iters) {
-        val w = Array.tabulate(dims) { i =>
-          var s = 0.0; var j = 0
-          while (j < dims) { s += cv(i)(j) * v(j); j += 1 }
-          s
+      val covRows = cov.collect()
+      // ragged input: a later vector can be longer than the probed
+      // first row, so size the matrix from the indices actually
+      // present; if that blows the local bound, fall through to the
+      // distributed loop instead of indexing out of bounds
+      val maxIdx = covRows.iterator
+        .map(r => math.max(r.getInt(0), r.getInt(1))).foldLeft(dims - 1)(math.max)
+      val nDim = maxIdx + 1
+      if (nDim.toLong * nDim <= (1L << 20)) {
+        val cv = Array.ofDim[Double](nDim, nDim)
+        covRows.foreach { r =>
+          cv(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
         }
-        val nrm = math.sqrt(w.map(x => x * x).sum)
-        v = w.map(x => rnd(x / nrm, 6))
+        // same rounding as Spark's `round`: BigDecimal.valueOf (the
+        // Double.toString shortest form), scale HALF_UP — not the exact
+        // binary expansion, which can differ at a rounding boundary
+        def rnd(x: Double, s: Int): Double =
+          java.math.BigDecimal.valueOf(x).setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+        var v = Array.fill(nDim)(0.125)
+        for (_ <- 1 to iters) {
+          val w = Array.tabulate(nDim) { i =>
+            var s = 0.0; var j = 0
+            while (j < nDim) { s += cv(i)(j) * v(j); j += 1 }
+            s
+          }
+          val nrm = math.sqrt(w.map(x => x * x).sum)
+          v = w.map(x => rnd(x / nrm, 6))
+        }
+        var ray = 0.0
+        for (i <- 0 until nDim; j <- 0 until nDim) ray += v(i) * cv(i)(j) * v(j)
+        val eig = rnd(ray, 4)
+        import spark.implicits._
+        return spark.createDataset(v.toSeq.zipWithIndex.map { case (c, i) => (i, c, eig) })
+          .toDF("dim", "component", "eigenvalue")
       }
-      var ray = 0.0
-      for (i <- 0 until dims; j <- 0 until dims) ray += v(i) * cv(i)(j) * v(j)
-      val eig = rnd(ray, 4)
-      import spark.implicits._
-      return spark.createDataset(v.toSeq.zipWithIndex.map { case (c, i) => (i, c, eig) })
-        .toDF("dim", "component", "eigenvalue")
     }
     val covD = cov.localCheckpoint(true)
     var v = m.select(col("i"), lit(0.125).as("v")).localCheckpoint(true)

@@ -275,7 +275,11 @@ object Learning {
     // (tok, cls) roll-up rather than re-exploding the corpus
     val spark = docs.sparkSession
     import spark.implicits._
-    val docToks = docs.select(col(idCol).as("_id"), col(clsCol).as("cls"),
+    // labels are compared as strings throughout (both branches collect
+    // them on the driver via getString; a non-string class column —
+    // e.g. an int label — must not ClassCastException there)
+    val docToks = docs.select(col(idCol).as("_id"),
+      col(clsCol).cast("string").as("cls"),
       explode(tokens(lower(col(textCol)))).as("tok"))
       .groupBy(col("_id"), col("cls"), col("tok"))
       .agg(count(lit(1)).as("_cnt"))
@@ -284,7 +288,8 @@ object Learning {
     // frame (log computed in Spark, same expression as before) rather
     // than paying two broadcast-build scans of `docs`. Counted over
     // `docs`, not docToks: zero-token documents still carry a prior.
-    val clsDocsRows = docs.groupBy(col(clsCol).as("cls")).agg(count(lit(1)).as("nd"))
+    val clsDocsRows = docs.groupBy(col(clsCol).cast("string").as("cls"))
+      .agg(count(lit(1)).as("nd"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val nDocsTotal = clsDocsRows.map(_._2).sum
     val prior = spark.createDataset(clsDocsRows.toSeq).toDF("cls", "nd")

@@ -178,7 +178,7 @@ object Retrieval {
         Some(Ordering.by((v: Any) => v.asInstanceOf[Number].longValue))
       case DoubleType | FloatType =>
         Some(Ordering.by((v: Any) => v.asInstanceOf[Number].doubleValue))
-      case StringType => Some(Ordering.by((v: Any) => v.asInstanceOf[String]))
+      case StringType => Some(LocalOrder.utf8.on((v: Any) => v.asInstanceOf[String]))
       case _          => None
     }
     val candOrd = orderingOf(candidates.schema("cand_id").dataType).getOrElse(return None)

@@ -205,9 +205,20 @@ object Similarity {
     def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
       val centArr = centroids
         .agg(array_sort(collect_list(struct(col("cell"), col("cv")))).as("_cs"))
+      // degenerate sims keep the OLD window's (sim desc, NullsLast)
+      // rank order: a NaN cosine (zero-norm vector) ranked FIRST there
+      // (desc treats NaN as greatest) → map to −∞ negsim; a null sim
+      // (dim-mismatched centroid) ranked LAST → map to +∞ negsim. The
+      // raw struct sort would silently flip both (NaN negsim sorts
+      // last, null struct fields sort first).
+      def negsim(vec: Column, cv: Column): Column = {
+        val s = GraftFunctions.cosineFast(vec, cv)
+        coalesce(when(isnan(s), lit(Double.NegativeInfinity)).otherwise(-s),
+          lit(Double.PositiveInfinity))
+      }
       df.crossJoin(broadcast(centArr))
         .withColumn("_p", explode(slice(array_sort(transform(col("_cs"), c =>
-          struct((-GraftFunctions.cosineFast(col(vec), c.getField("cv"))).as("negsim"),
+          struct(negsim(col(vec), c.getField("cv")).as("negsim"),
             c.getField("cell").as("cell")))), 1, keep)))
         .select(col(id), col(vec), col("_p.cell").as("cell"))
     }

@@ -151,6 +151,19 @@ class ClusteringSpanSpec extends SparkSpec {
     assert(conf == Set((0L, 0L, 4L), (1L, 1L, 4L)))
   }
 
+  test("assignCells ranks a null distance (ragged centroid) last, like the old window") {
+    // centroid 1 is 3-dim → sqDist against a 2-dim vector is null; the
+    // pre-rewrite asc-nulls-last window made the real-distance centroid
+    // win regardless of cell id — a null struct field would flip that
+    val cents = Seq(
+      (1L, Seq(0.0, 0.0, 0.0)), (2L, Seq(5.0, 5.0)))
+      .toDF("cell", "cv")
+    val df = Seq((10L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Clustering.assignCells(df, "vec_id", "embedding", cents)
+      .select("cell").as[Long].collect().toSeq
+    assert(out == Seq(2L), s"null-distance centroid must rank last, got $out")
+  }
+
   test("assignCells plans with no shuffle: the argmin is in-row over broadcast centroids") {
     val rows = (0L until 64L).map(i => (i, Seq(0.1 * i, 1.0)))
     val df = rows.toDF("vec_id", "embedding")

@@ -186,6 +186,19 @@ class LearningSpec extends SparkSpec {
     assert(cm == Map(("fruit", "fruit") -> 2L, ("metal", "metal") -> 2L))
   }
 
+  test("naiveBayesConfusion accepts a non-string class column") {
+    // int labels: the driver-local model grid collects the class
+    // column with getString — must be cast, not ClassCastException'd
+    val docs = Seq(
+      (1L, "apple banana apple", 0), (2L, "banana apple", 0),
+      (3L, "iron copper zinc", 1), (4L, "copper iron", 1))
+      .toDF("id", "text", "cls")
+    val cm = Learning.naiveBayesConfusion(docs, "id", "text", "cls")
+      .collect().map(r => (r.getAs[String]("cls"), r.getAs[String]("pred")) ->
+        r.getAs[Long]("n")).toMap
+    assert(cm == Map(("0", "0") -> 2L, ("1", "1") -> 2L))
+  }
+
   test("splitConformal picks the right order statistic and scores coverage") {
     // cal scores 1..10, alpha=0.2 -> k = ceil(11*0.8) = 9 -> qhat = 9
     val cal = (1 to 10).map(_.toDouble).toDF("s")

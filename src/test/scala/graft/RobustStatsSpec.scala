@@ -150,6 +150,22 @@ class RobustStatsSpec extends SparkSpec {
     assert(math.abs(r(0)._3 - 100.0) < 1.0) // Rayleigh ≈ var(dim0) = 100
   }
 
+  test("pcaPowerIteration survives ragged vectors (first row shortest)") {
+    import graft.operators.Clustering
+    // the local-matvec path probes dims from the FIRST row; a later,
+    // longer vector used to index past the matrix bounds
+    val emb = Seq(
+      (0L, Seq(10.0f, 0.5f)),
+      (1L, Seq(-10.0f, -0.5f, 3.0f, 7.0f)),
+      (2L, Seq(10.0f, -0.5f, 3.0f)),
+      (3L, Seq(-10.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val r = Clustering.pcaPowerIteration(emb, "vec_id", "embedding", iters = 2)
+      .orderBy($"dim").as[(Long, Double, Double)].collect()
+    assert(r.length == 4) // sized from the max index seen, not row 0
+    assert(math.abs(math.abs(r(0)._2) - 1.0) < 0.05) // dim 0 still dominates
+  }
+
   test("centroidShift computes the planted per-label drift") {
     val df = Seq(
       (0L, "even", Seq(0.0f, 0.0f)), (0L, "odd", Seq(3.0f, 4.0f)), // dist 5

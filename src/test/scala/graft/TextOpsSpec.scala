@@ -116,6 +116,26 @@ class TextOpsSpec extends SparkSpec {
     assert(again == km)
   }
 
+  test("IVF cell assignment ranks degenerate sims like the old window (NaN first, null last)") {
+    // centroid 5 is 3-dim (null sim vs 2-dim vectors), centroid 7 is
+    // 2-dim. A zero-norm 2-dim query has sim NaN vs cell 7 and null vs
+    // cell 5; the pre-rewrite (sim desc, NullsLast) window probed cell
+    // 7 first — the raw struct sort would flip to cell 5.
+    val centroids = Seq(
+      (5L, Array(0.9f, 0.1f, 0.0f)), (7L, Array(1.0f, 0.0f)))
+      .toDF("cell", "cv")
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),       // lands in cell 7 (null vs cell 5)
+      (2L, Array(0.5f, 0.5f, 0.5f))) // lands in cell 5 (null vs cell 7)
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopKCodebook(
+      emb, queries, "vec_id", "embedding", k = 5, centroids, nProbe = 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(out == Set(1L),
+      s"zero-norm query must probe the NaN-sim cell (7), got neighbors $out")
+  }
+
   test("langId is deterministic and prefers the matching marker set") {
     val df = Seq(
       "the cat sat on a mat of straw",
