@@ -60,19 +60,27 @@ object QualityQueries {
         |ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
       import s.implicits._
-      val base = Tables.documents(s, d)
+      // ONE corpus pass: both gram sizes ride a single explode of
+      // tagged (n, gram) pairs, both fracs come out of one (doc, n,
+      // gram) roll-up, and n_tokens is recovered arithmetically
+      // (bigram occurrences = len - 1 whenever len >= 3) — no second
+      // scan, no joins. The previous form scanned/tokenized the corpus
+      // three times and paid two joins for the same numbers.
+      def tagged(n: Int) =
+        transform(grams($"w", n), g => struct(lit(n).as("n"), g.as("g")))
+      val isBi = col("n") === 2
+      val isTri = col("n") === 3
+      Tables.documents(s, d)
         .select($"doc_id", tokens($"text").as("w"))
         .filter(size($"w") >= 3)
-      def gramFracs(n: Int, agg: Column => Column, out: String) =
-        base.select($"doc_id", explode(grams($"w", n)).as("g"))
-          .groupBy("doc_id", "g").agg(count("*").as("c"))
-          .groupBy("doc_id").agg(agg(col("c")).as(out))
-      val bi = gramFracs(2, c => round(max(c).cast("double") / sum(c), 4), "top_bigram_frac")
-      val tri = gramFracs(3,
-        c => round(sum(when(c >= 2, c).otherwise(0L)).cast("double") / sum(c), 4),
-        "dup_trigram_frac")
-      base.select($"doc_id", size($"w").cast("long").as("n_tokens"))
-        .join(bi, "doc_id").join(tri, "doc_id")
+        .select($"doc_id", explode(concat(tagged(2), tagged(3))).as("t"))
+        .groupBy($"doc_id", $"t.n", $"t.g").agg(count("*").as("c"))
+        .groupBy("doc_id").agg(
+          (sum(when(isBi, col("c"))) + 1L).cast("long").as("n_tokens"),
+          round(max(when(isBi, col("c"))).cast("double") / sum(when(isBi, col("c"))), 4)
+            .as("top_bigram_frac"),
+          round(sum(when(isTri && col("c") >= 2, col("c")).otherwise(0L)).cast("double") /
+            sum(when(isTri, col("c"))), 4).as("dup_trigram_frac"))
         .orderBy($"doc_id")
     },
 

@@ -1,4 +1,4 @@
-package graft.scratch
+package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._

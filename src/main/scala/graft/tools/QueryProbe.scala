@@ -1,14 +1,16 @@
-package graft.scratch
+package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
 /** Iteration scratch harness (not a test): steady-state timing of one
-  * query, N repeats in a warm JVM. Run with
-  * `sbt "Test/runMain graft.scratch.Q74Probe q74_edit1_join 4"`.
+  * or more queries (comma-separated), N interleaved rounds in a warm
+  * JVM. Run with
+  * `sbt "runMain graft.tools.QueryProbe q74_edit1_join 4"`.
   */
-object Q74Probe {
+object QueryProbe {
   def main(args: Array[String]): Unit = {
-    val name = if (args.nonEmpty) args(0) else "q74_edit1_join"
+    val names =
+      (if (args.nonEmpty) args(0) else "q74_edit1_join").split(",").map(_.trim).toSeq
     val reps = if (args.length > 1) args(1).toInt else 4
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -19,10 +21,12 @@ object Q74Probe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = graft.SparkEntry.queries(name)
+    val fns = names.map(n => n -> graft.SparkEntry.queries(n))
     // codegen warm at the small scale
-    fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
-    for (i <- 1 to reps) {
+    fns.foreach { case (_, fn) =>
+      fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+    }
+    for (i <- 1 to reps; (name, fn) <- fns) {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"[probe] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
