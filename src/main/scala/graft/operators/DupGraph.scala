@@ -398,11 +398,25 @@ object DupGraph {
     *   r_{t+1} = (1−d)·S div N + d·(Σ_{in} r_t div outdeg + dm div N)
     * with d applied as ·dampNum div dampDen, dm = dangling mass.
     *
-    * Scale shape per iteration: contributions are one equi-join
-    * (edges ⋈ ranks on src) plus one partial-then-final sum on dst; N
-    * and the dangling mass ride along as broadcast 1-row frames. Rank
-    * frames are `localCheckpoint`ed so the plan stays one iteration
-    * deep. Returns (node, pagerank_e9: long, pagerank: double).
+    * Scale shape per iteration: ONE keyed shuffle. The rank state
+    * carries its out-degree, so the contribution join (state ⋈ edges
+    * on src, LEFT so dangling rows survive with a null dst) and the
+    * dangling-mass aggregate ride the same groupBy(dst) exchange —
+    * the null-dst group IS the dangling mass.
+    *
+    * Size-adaptive like [[connectedComponents]]: the edge list is
+    * materialized up front anyway, so its count is free — at or below
+    * `localEdgeThreshold` edges (default 1M) the whole trajectory is
+    * an integer loop over primitive arrays on the driver (the same
+    * floor divisions in the same order-independent sums: long
+    * arithmetic is exact, so local and distributed runs are
+    * bit-identical by construction) and comes back as a small
+    * DataFrame — exactly as a broadcast join ships a small side
+    * instead of shuffling it. kNN/near-dup graphs at 100 TB are tiny
+    * relative to their corpus, so most land here; larger graphs run
+    * the distributed rounds unchanged, one checkpointed shuffle per
+    * iteration. Null ids are dropped up front on both paths.
+    * Returns (node, pagerank_e9: long, pagerank: double).
     */
   def pageRank(
       edges: DataFrame,
@@ -410,48 +424,115 @@ object DupGraph {
       dstCol: String = "dst",
       iters: Int = 3,
       dampNum: Int = 17,
-      dampDen: Int = 20): DataFrame = {
+      dampDen: Int = 20,
+      localEdgeThreshold: Long = 1L << 20): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       "damping must be a rational in [0,1]")
     val scale = 1000000000L
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    val raw = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint(true)
+    if (raw.count() <= localEdgeThreshold)
+      return localPageRank(raw, iters, dampNum, dampDen, scale)
+    // hash-partition the edge list on src ONCE: every iteration's
+    // contribution join then reuses the layout instead of re-shuffling
+    // the (graph-sized) edge frame per round
+    val e = raw.repartition(col("src")).localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n1 = nodes.agg(count(lit(1)).as("n")) // 1-row, broadcast below
-
-    var ranks = nodes.crossJoin(broadcast(n1))
-      .select(col("node"), expr(s"$scale div n").as("rr"))
-      .localCheckpoint()
+    // state = (node, outdeg|null); rank column added lazily below
+    val state0 = nodes.join(outdeg, Seq("node"), "left").localCheckpoint(true)
+    val n = math.max(state0.count(), 1L) // driver scalar, one cheap job
+    // (1−d)·S div N as a literal — computed in Scala so no SQL-side
+    // int multiply can overflow (Spark 4 runs ANSI mode: overflow
+    // throws), and floor-div on non-negative longs is plain /
+    val teleport = (dampDen - dampNum).toLong * scale / (dampDen.toLong * n)
+    var state = state0.withColumn("rr", lit(scale / n))
     for (_ <- 0 until iters) {
-      val withDeg = ranks.join(outdeg, Seq("node"), "left")
-      val contrib = withDeg.filter(col("outdeg").isNotNull)
-        .join(e, col("node") === col("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(expr("rr div outdeg")).as("c"))
-      // dangling nodes (no out-edges) spread their mass uniformly
-      val dangling = withDeg.filter(col("outdeg").isNull)
-        .agg(coalesce(sum(col("rr")), lit(0L)).as("dm"))
-      // precompute (1-d)·S in Scala so no SQL-side int multiply can
-      // overflow (Spark 4 runs ANSI mode: int overflow throws)
-      val teleportNum = (dampDen - dampNum).toLong * scale
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(n1)).crossJoin(broadcast(dangling))
-        .select(col("node"),
-          (expr(s"${teleportNum}L div (${dampDen}L * n)") +
-            expr(s"(${dampNum}L * (coalesce(c, 0L) + dm div n)) div ${dampDen}L"))
+      // one shuffle computes contributions AND dangling mass: dangling
+      // state rows survive the left join with dst null and route their
+      // whole rank into the null group; linked rows route rr div outdeg
+      // to their targets
+      val grouped = state.join(e, col("node") === col("src"), "left")
+        .groupBy(col("dst"))
+        .agg(sum(when(col("dst").isNull, col("rr"))
+          .otherwise(expr("rr div outdeg"))).as("c"))
+        .localCheckpoint(true)
+      val dangling = grouped.filter(col("dst").isNull)
+        .agg(coalesce(sum(col("c")), lit(0L)).as("dm"))
+      val contrib = grouped.filter(col("dst").isNotNull)
+        .select(col("dst").as("node"), col("c"))
+      state = state.select(col("node"), col("outdeg"))
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"), col("outdeg"),
+          (lit(teleport) +
+            expr(s"(${dampNum}L * (coalesce(c, 0L) + dm div ${n}L)) div ${dampDen}L"))
             .as("rr"))
-        .localCheckpoint()
     }
-    e.unpersist(); nodes.unpersist(); outdeg.unpersist()
-    ranks.select(col("node"), col("rr").as("pagerank_e9"),
+    state.select(col("node"), col("rr").as("pagerank_e9"),
       (col("rr").cast("double") / scale).as("pagerank"))
+  }
+
+  /** Driver-local fixed-point power iteration for broadcast-sized edge
+    * lists — same integer recurrence as the distributed rounds
+    * (exact long sums, floor divisions), so the two paths agree
+    * bit-for-bit.
+    */
+  private def localPageRank(
+      raw: DataFrame, iters: Int, dampNum: Int, dampDen: Int,
+      scale: Long): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val rows = raw.collect()
+    require(rows.length <= (1 << 28),
+      s"localPageRank: ${rows.length} edges exceeds the driver bound (2^28); " +
+        "lower localEdgeThreshold so the distributed path handles this graph")
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val index = scala.collection.mutable.HashMap.empty[Long, Int]
+    def idOf(k: Long): Int =
+      index.getOrElseUpdate(k, { ids += k; ids.length - 1 })
+    val eSrc = new Array[Int](rows.length)
+    val eDst = new Array[Int](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      eSrc(i) = idOf(rows(i).getLong(0))
+      eDst(i) = idOf(rows(i).getLong(1))
+      i += 1
+    }
+    val n = ids.length
+    if (n == 0)
+      return Seq.empty[(Long, Long)].toDF("node", "pagerank_e9")
+        .select(col("node"), col("pagerank_e9"),
+          (col("pagerank_e9").cast("double") / scale).as("pagerank"))
+    val outdeg = new Array[Long](n)
+    i = 0
+    while (i < rows.length) { outdeg(eSrc(i)) += 1; i += 1 }
+    val teleport = (dampDen - dampNum).toLong * scale / (dampDen.toLong * n)
+    var rr = Array.fill(n)(scale / n)
+    for (_ <- 0 until iters) {
+      val c = new Array[Long](n)
+      i = 0
+      while (i < rows.length) { c(eDst(i)) += rr(eSrc(i)) / outdeg(eSrc(i)); i += 1 }
+      var dm = 0L
+      var v = 0
+      while (v < n) { if (outdeg(v) == 0) dm += rr(v); v += 1 }
+      val next = new Array[Long](n)
+      v = 0
+      while (v < n) {
+        next(v) = teleport + dampNum.toLong * (c(v) + dm / n) / dampDen
+        v += 1
+      }
+      rr = next
+    }
+    spark.createDataset(ids.indices.map(j => (ids(j), rr(j))))
+      .toDF("node", "pagerank_e9")
+      .select(col("node"), col("pagerank_e9"),
+        (col("pagerank_e9").cast("double") / scale).as("pagerank"))
   }
 
   /** Per-node triangle count and local clustering coefficient over an

@@ -29,6 +29,17 @@ object Similarity {
 
   /** Exact top-k neighbors for each query vector (queries broadcast).
     *
+    * When the NEIGHBOR corpus is itself broadcast-sized (bounded
+    * limit-probe, default ≤ `maxLocalNeighbors` rows), the whole
+    * corpus rides along each query row as one broadcast struct array
+    * and the top-k is an in-row `array_sort` + `slice` — zero
+    * shuffles, no window sort, same (sim desc rounded-6, neighbor_id)
+    * ranking. A NaN cosine (zero-norm vector) ranks FIRST and a null
+    * sim (dim mismatch) ranks LAST, exactly as the window's
+    * `sim.desc` (NaN greatest, NullsLast) ordered them. Larger
+    * corpora keep the scale path: broadcast the queries, score every
+    * (neighbor, query) pair, rank with a per-query window.
+    *
     * @return (query_id, neighbor_id, sim, rank) — sim rounded to 6
     *         before ranking so ordering is stable cross-engine; ties
     *         broken by neighbor id.
@@ -38,19 +49,47 @@ object Similarity {
       queries: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      maxLocalNeighbors: Int = 100000): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val n = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
-    val scored = n.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(GraftFunctions.cosineFast(col("qv"), col("nv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+    val corpusFits = maxLocalNeighbors > 0 &&
+      n.select(lit(1)).limit(maxLocalNeighbors + 1).count() <= maxLocalNeighbors
+    if (corpusFits) {
+      // ranking key replays the window order on the ROUNDED sim; the
+      // cosine is computed once per pair (first transform), the sort
+      // key derived from it (second transform, cheap scalar CASE)
+      def negsim(s: Column): Column =
+        coalesce(when(isnan(s), lit(Double.NegativeInfinity)).otherwise(-s),
+          lit(Double.PositiveInfinity))
+      val nbrArr = n.agg(collect_list(struct(col("neighbor_id"), col("nv"))).as("_nbrs"))
+      q.crossJoin(broadcast(nbrArr))
+        .select(col("query_id"), posexplode(slice(array_sort(transform(
+          transform(
+            filter(col("_nbrs"), x => x.getField("neighbor_id") =!= col("query_id")),
+            x => struct(
+              round(GraftFunctions.cosineFast(col("qv"), x.getField("nv")), 6).as("sim"),
+              x.getField("neighbor_id").as("neighbor_id"))),
+          p => struct(
+            negsim(p.getField("sim")).as("negsim"),
+            p.getField("neighbor_id").as("neighbor_id"),
+            p.getField("sim").as("sim")))), 1, k))
+          .as(Seq("_pos", "_p")))
+        .select(col("query_id"), col("_p.neighbor_id").as("neighbor_id"),
+          col("_p.sim").as("sim"),
+          (col("_pos") + 1).cast("long").as("rank"))
+    } else {
+      val scored = n.crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim", round(GraftFunctions.cosineFast(col("qv"), col("nv")), 6))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+    }
   }
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1):

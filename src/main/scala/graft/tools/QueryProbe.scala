@@ -21,6 +21,23 @@ object QueryProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val jobLog = sys.env.get("SPARK_GRAFT_JOBLOG").contains("1")
+    if (jobLog) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val starts =
+            new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int)]()
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts.put(j.jobId, (System.nanoTime(), j.stageInfos.size))
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val (t0, nStages) = starts.remove(j.jobId)
+            println(f"[job] id=${j.jobId} stages=$nStages " +
+              f"dur=${(System.nanoTime() - t0) / 1e9}%.3f s")
+          }
+        })
+    }
     val fns = names.map(n => n -> graft.SparkEntry.queries(n))
     // codegen warm at the small scale
     fns.foreach { case (_, fn) =>

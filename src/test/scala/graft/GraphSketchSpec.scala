@@ -67,6 +67,22 @@ class GraphSketchSpec extends SparkSpec {
       (1L, 10L, 0L), (2L, 10L, 1L), (3L, 10L, 2L), (4L, 20L, 1L), (5L, 20L, 0L)))
   }
 
+  test("pageRank: driver-local and distributed paths agree bit-for-bit") {
+    // ragged directed graph with a dangling node (6), a hub (1), and a
+    // duplicate edge (0->1 twice) — exercises outdeg, dangling mass,
+    // and edge multiplicity on both paths
+    val edges = Seq(
+      (0L, 1L), (0L, 1L), (0L, 2L), (2L, 1L), (1L, 3L), (3L, 0L),
+      (4L, 1L), (5L, 6L)).toDF("src", "dst")
+    val local = DupGraph.pageRank(edges, "src", "dst", iters = 4)
+      .select($"node", $"pagerank_e9").as[(Long, Long)].collect().toMap
+    val dist = DupGraph.pageRank(edges, "src", "dst", iters = 4,
+      localEdgeThreshold = 0L)
+      .select($"node", $"pagerank_e9").as[(Long, Long)].collect().toMap
+    assert(local == dist, s"local=$local dist=$dist")
+    assert(local.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
   test("kCore peels cascades to the stable core; empty when no core exists") {
     // triangle 1-2-3 with tail 3-4-5: 2-core must peel 5 THEN 4
     // (cascade needs a second round) and keep exactly the triangle
