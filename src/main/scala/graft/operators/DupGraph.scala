@@ -560,10 +560,18 @@ object DupGraph {
     * spread a small trusted label set (seed quality ratings, verified
     * languages) across the near-dup/kNN graph.
     *
-    * Each round is one equi-join (frontier edges × current labels) +
-    * one count aggregate + one min_by argmax — all keyed hash
-    * shuffles, no per-round sort; labels frame localCheckpoint'ed per
-    * round to keep lineage flat.
+    * Size-adaptive like [[connectedComponents]]/[[pageRank]]: a
+    * broadcast-sized symmetrized edge list (≤ `localEdgeThreshold`
+    * directed rows after symmetrization, and a seed set under the
+    * same bound) runs the synchronous rounds on the driver — integer
+    * vote counts and the same (max votes, smaller label) argmax, so
+    * both paths agree by construction. Local label/node ordering is
+    * only replicated for integral and string types (strings compare
+    * as UTF-8 bytes, [[LocalOrder.utf8]]); anything else keeps the
+    * distributed rounds: one equi-join (frontier edges × current
+    * labels) + one count aggregate + one min_by argmax per round —
+    * all keyed hash shuffles, no per-round sort, labels frame
+    * localCheckpoint'ed per round to keep lineage flat.
     *
     * @param seeds (node, label) trusted assignments
     * @return (node, label, round) — round 0 for seeds, i for nodes
@@ -572,12 +580,43 @@ object DupGraph {
   def labelPropagate(
       edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, nodeCol: String, labelCol: String,
-      iters: Int): DataFrame = {
+      iters: Int, localEdgeThreshold: Long = 1L << 20): DataFrame = {
     require(iters >= 1, "need at least one propagation round")
     // symmetrize once; neighbor lists as (node, nbr)
     val sym = edges.select(col(srcCol).as("node"), col(dstCol).as("nbr"))
       .union(edges.select(col(dstCol).as("node"), col(srcCol).as("nbr")))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      .distinct()
+    val localizable = {
+      import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+      val ok = Seq[org.apache.spark.sql.types.DataType](
+        LongType, IntegerType, StringType)
+      ok.contains(sym.schema("node").dataType) &&
+        seeds.schema(nodeCol).dataType == sym.schema("node").dataType &&
+        ok.contains(seeds.schema(labelCol).dataType)
+    }
+    if (!localizable)
+      return labelPropagateRounds(
+        sym.persist(StorageLevel.MEMORY_AND_DISK), seeds, nodeCol, labelCol,
+        iters, unpersistAfter = true)
+    // the symmetrized list is materialized up front either way, so the
+    // local-path probe is a free count plus one bounded seed collect
+    val symC = sym.localCheckpoint(true)
+    val bound = math.min(localEdgeThreshold, (1L << 28) - 1)
+    if (symC.count() <= 2 * bound) {
+      val seedRows = seeds
+        .select(col(nodeCol).as("node"), col(labelCol).as("label"))
+        .limit(bound.toInt + 1).collect()
+      if (seedRows.length <= bound)
+        return localLabelPropagate(
+          symC, seedRows, seeds.schema(labelCol).dataType, iters)
+    }
+    labelPropagateRounds(symC, seeds, nodeCol, labelCol, iters,
+      unpersistAfter = false)
+  }
+
+  private def labelPropagateRounds(
+      sym: DataFrame, seeds: DataFrame, nodeCol: String, labelCol: String,
+      iters: Int, unpersistAfter: Boolean): DataFrame = {
     var labels = seeds
       .select(col(nodeCol).as("node"), col(labelCol).as("label"), lit(0L).as("round"))
       .localCheckpoint(true)
@@ -595,8 +634,77 @@ object DupGraph {
         .select(col("node"), col("label"), lit(it.toLong).as("round"))
       labels = labels.unionByName(newly).localCheckpoint(true)
     }
-    sym.unpersist()
+    if (unpersistAfter) sym.unpersist()
     labels
+  }
+
+  /** Driver-local synchronous label-propagation rounds — the same
+    * per-round (unlabeled node, neighbor-label multiset) vote counts
+    * and (max votes, smaller label) argmax as the distributed rounds.
+    * Node/label values compare numerically for integral types and as
+    * UTF-8 bytes for strings ([[LocalOrder.utf8]]), matching Spark's
+    * binary string ordering.
+    */
+  private def localLabelPropagate(
+      symC: DataFrame,
+      seedRows: Array[org.apache.spark.sql.Row],
+      labelDt: org.apache.spark.sql.types.DataType,
+      iters: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import scala.collection.mutable
+    val spark = symC.sparkSession
+    val anyOrd: Ordering[Any] = new Ordering[Any] {
+      def compare(x: Any, y: Any): Int = (x, y) match {
+        case (a: Long, b: Long)     => java.lang.Long.compare(a, b)
+        case (a: Int, b: Int)       => Integer.compare(a, b)
+        case (a: String, b: String) => LocalOrder.utf8.compare(a, b)
+        case _ =>
+          throw new IllegalStateException("unreachable: guarded dtypes")
+      }
+    }
+    val symRows = symC.collect()
+    // nbr -> labels currently carried by nbr (a multiset: duplicate
+    // seed rows vote once per row, exactly as the distributed join)
+    val nbrLabels = mutable.HashMap.empty[Any, mutable.ArrayBuffer[Any]]
+    val labeled = mutable.HashSet.empty[Any]
+    val out = mutable.ArrayBuffer.empty[(Any, Any, Long)]
+    seedRows.foreach { r =>
+      val (node, label) = (r.get(0), r.get(1))
+      out += ((node, label, 0L))
+      nbrLabels.getOrElseUpdate(node, mutable.ArrayBuffer.empty) += label
+      labeled += node
+    }
+    for (it <- 1 to iters) {
+      val votes = mutable.HashMap.empty[(Any, Any), Long]
+      symRows.foreach { e =>
+        val (node, nbr) = (e.get(0), e.get(1))
+        if (!labeled.contains(node))
+          nbrLabels.getOrElse(nbr, Nil).foreach { l =>
+            votes((node, l)) = votes.getOrElse((node, l), 0L) + 1L
+          }
+      }
+      val newly = votes.toSeq
+        .groupBy(_._1._1)
+        .map { case (node, vs) =>
+          // min over (-votes, label): max votes, ties to smaller label
+          val best = vs.minBy { case ((_, l), v) => (-v, l) }(
+            Ordering.Tuple2(Ordering.Long, anyOrd))._1._2
+          (node, best)
+        }
+      newly.foreach { case (node, label) =>
+        out += ((node, label, it.toLong))
+        nbrLabels.getOrElseUpdate(node, mutable.ArrayBuffer.empty) += label
+        labeled += node
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("node", symC.schema("node").dataType),
+      StructField("label", labelDt),
+      StructField("round", LongType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(out.map(t => Row(t._1, t._2, t._3)).toArray: _*),
+      schema)
   }
 
   /** k-core decomposition by iterative peeling: drop every node whose
@@ -607,12 +715,17 @@ object DupGraph {
     * fixed-round replay (the oracle) and the early-exit run agree.
     *
     * Returns the surviving nodes with their in-core degree
-    * (node, degree). Each peel is two keyed shuffles (degree count +
-    * survivor semi-joins); edge frames localCheckpoint'ed per round.
+    * (node, degree). Size-adaptive like [[connectedComponents]]: a
+    * broadcast-sized canonical edge list (≤ `localEdgeThreshold`
+    * edges, integral node ids) peels on the driver with the identical
+    * round structure; larger graphs keep the distributed loop — each
+    * peel two keyed shuffles (degree count + survivor semi-joins),
+    * edge frames localCheckpoint'ed per round.
     */
   def kCore(
       edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int, maxIters: Int = 10): DataFrame = {
+      k: Int, maxIters: Int = 10,
+      localEdgeThreshold: Long = 1L << 20): DataFrame = {
     require(k >= 1 && maxIters >= 1)
     var e = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
@@ -620,6 +733,12 @@ object DupGraph {
       .filter(col("a") < col("b")).distinct()
       .localCheckpoint(true)
     var n = e.count()
+    locally {
+      import org.apache.spark.sql.types.{IntegerType, LongType}
+      val dt = e.schema("a").dataType
+      if (n <= localEdgeThreshold && (dt == LongType || dt == IntegerType))
+        return localKCore(e, k, maxIters)
+    }
     var converged = false
     var it = 0
     while (it < maxIters && !converged && n > 0) {
@@ -638,6 +757,42 @@ object DupGraph {
     e.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
       .filter(col("degree") >= k)
+  }
+
+  /** Driver-local peeling for broadcast-sized canonical edge lists —
+    * the same round structure as the distributed loop (peel below-k
+    * nodes, restrict edges, stop on fixpoint or `maxIters`, final
+    * degree filter), so both paths agree by construction.
+    */
+  private def localKCore(canonical: DataFrame, k: Int, maxIters: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import scala.collection.mutable
+    val spark = canonical.sparkSession
+    var es = canonical.collect().map(r => (r.get(0), r.get(1)))
+    def degrees(edges: Array[(Any, Any)]): mutable.HashMap[Any, Long] = {
+      val d = mutable.HashMap.empty[Any, Long]
+      edges.foreach { case (a, b) =>
+        d(a) = d.getOrElse(a, 0L) + 1L
+        d(b) = d.getOrElse(b, 0L) + 1L
+      }
+      d
+    }
+    var converged = false
+    var it = 0
+    while (it < maxIters && !converged && es.nonEmpty) {
+      val deg = degrees(es)
+      val es2 = es.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+      converged = es2.length == es.length
+      es = es2; it += 1
+    }
+    val out = degrees(es).toSeq.collect {
+      case (node, d) if d >= k => Row(node, d)
+    }
+    val schema = StructType(Seq(
+      StructField("node", canonical.schema("a").dataType),
+      StructField("degree", LongType, nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
   }
 
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {

@@ -83,6 +83,28 @@ class GraphSketchSpec extends SparkSpec {
     assert(local.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L, 6L))
   }
 
+  test("labelPropagate and kCore: local and distributed paths agree") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 4L), (1L, 3L),
+      (5L, 6L), (6L, 7L)).toDF("src", "dst")
+    val seeds = Seq((1L, 10L), (1L, 10L), (7L, 20L)).toDF("node", "lbl")
+    val lp = DupGraph
+      .labelPropagate(edges, "src", "dst", seeds, "node", "lbl", iters = 3)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val lpDist = DupGraph
+      .labelPropagate(edges, "src", "dst", seeds, "node", "lbl", iters = 3,
+        localEdgeThreshold = 0L)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(lp == lpDist, s"local=$lp dist=$lpDist")
+    val kc = DupGraph.kCore(edges, "src", "dst", k = 2)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val kcDist = DupGraph.kCore(edges, "src", "dst", k = 2,
+      localEdgeThreshold = -1L)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(kc == kcDist, s"local=$kc dist=$kcDist")
+    assert(kc.nonEmpty)
+  }
+
   test("kCore peels cascades to the stable core; empty when no core exists") {
     // triangle 1-2-3 with tail 3-4-5: 2-core must peel 5 THEN 4
     // (cascade needs a second round) and keep exactly the triangle
