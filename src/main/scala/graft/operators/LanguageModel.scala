@@ -19,6 +19,26 @@ import org.apache.spark.sql.functions._
   */
 object LanguageModel {
 
+  /** ONE tokenize pass feeding every LM statistic: the tokenized
+    * (doc, token-array) frame is materialized — one compact row per
+    * document — and each consumer re-derives the (doc, tok, next)
+    * stream with an in-flight explode (`next` is the following token,
+    * null for the last token of a document; `zip_with` pads the
+    * shifted slice). Every token instance is exactly one exploded
+    * row, so unigram counts, bigram counts (non-null `next`), and
+    * the per-document score join all come off this one checkpoint
+    * instead of re-tokenizing the corpus per consumer; the explode
+    * itself is pure CPU over checkpointed arrays, never re-parsed
+    * text.
+    */
+  private def tokenNextPairs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), tokens(lower(col(textCol))).as("w"))
+      .localCheckpoint(true)
+      .select(col(idCol), explode(zip_with(col("w"),
+        slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+        (a, b) => struct(a.as("tok"), b.as("next")))).as("p"))
+      .select(col(idCol), col("p.tok").as("tok"), col("p.next").as("next"))
+
   /** Per-document average negative log-probability under an add-one
     * smoothed bigram model trained on the corpus itself:
     * P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V), with c(·) corpus counts
@@ -27,26 +47,25 @@ object LanguageModel {
     * tables, wrong-language spans); near-zero flags verbatim
     * repetition. Documents with fewer than two tokens are not scored.
     *
+    * One (tok, next) roll-up supplies BOTH count tables: the unigram
+    * count of a token is the sum of its pair counts including the
+    * null-next group, so the token stream shuffles once for all
+    * statistics and once for the score join.
+    *
     * Returns (idCol, n_bigrams, avg_neg_logprob) with the score
     * rounded to 4 decimals (deterministic cross-engine).
     */
   def bigramNegLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol), tokens(lower(col(textCol))).as("w"))
-    // parallel-slice zip: (w[i], w[i+1]) pairs without an index explode
-    val bigrams = toks.filter(size(col("w")) >= 2)
-      .select(col(idCol),
-        explode(arrays_zip(
-          slice(col("w"), lit(1), size(col("w")) - 1).as("w1"),
-          slice(col("w"), lit(2), size(col("w")) - 1).as("w2"))).as("b"))
-      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val uni = toks.select(explode(col("w")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
-    val bi = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val exploded = tokenNextPairs(df, idCol, textCol)
+    val pairCounts = exploded.groupBy(col("tok"), col("next"))
+      .agg(count(lit(1)).as("c12"))
+    val uni = pairCounts.groupBy(col("tok")).agg(sum(col("c12")).as("c1"))
+    val bi = pairCounts.filter(col("next").isNotNull)
     // vocabulary size from the unigram frame — no extra corpus scan
     val v = uni.agg(count(lit(1)).as("v"))
-    bigrams
-      .join(bi, Seq("w1", "w2"))
-      .join(uni.withColumnRenamed("tok", "w1"), Seq("w1"))
+    exploded.filter(col("next").isNotNull)
+      .join(bi, Seq("tok", "next"))
+      .join(uni, Seq("tok"))
       .crossJoin(broadcast(v))
       .groupBy(col(idCol))
       .agg(
@@ -114,21 +133,16 @@ object LanguageModel {
       df: DataFrame, idCol: String, textCol: String,
       lambda: Double = 0.5): DataFrame = {
     require(lambda > 0 && lambda < 1, "lambda must be in (0, 1)")
-    val toks = df.select(col(idCol), tokens(lower(col(textCol))).as("w"))
-    val bigrams = toks.filter(size(col("w")) >= 2)
-      .select(col(idCol),
-        explode(arrays_zip(
-          slice(col("w"), lit(1), size(col("w")) - 1).as("w1"),
-          slice(col("w"), lit(2), size(col("w")) - 1).as("w2"))).as("b"))
-      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val uni = toks.select(explode(col("w")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val bi = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val exploded = tokenNextPairs(df, idCol, textCol)
+    val pairCounts = exploded.groupBy(col("tok"), col("next"))
+      .agg(count(lit(1)).as("c12"))
+    val uni = pairCounts.groupBy(col("tok")).agg(sum(col("c12")).as("c"))
+    val bi = pairCounts.filter(col("next").isNotNull)
     val n = uni.agg(sum(col("c")).as("n"))
-    bigrams
-      .join(bi, Seq("w1", "w2"))
-      .join(uni.select(col("tok").as("w1"), col("c").as("c1")), Seq("w1"))
-      .join(uni.select(col("tok").as("w2"), col("c").as("c2")), Seq("w2"))
+    exploded.filter(col("next").isNotNull)
+      .join(bi, Seq("tok", "next"))
+      .join(uni.select(col("tok"), col("c").as("c1")), Seq("tok"))
+      .join(uni.select(col("tok").as("next"), col("c").as("c2")), Seq("next"))
       .crossJoin(broadcast(n))
       .groupBy(col(idCol))
       .agg(
@@ -151,15 +165,49 @@ object LanguageModel {
     *
     * Returns one row per bucket: (bucket, n_docs, min_nlp, max_nlp).
     */
-  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // materialize the per-doc scores (one small row per document):
-    // the quantile pass and the bucket-assignment pass otherwise each
-    // re-execute the full LM scoring pipeline — tokenize + two count
-    // aggregates + the score join — doubling the corpus work
-    val scored = bigramNegLogProb(df, idCol, textCol)
+  def perplexityBuckets(
+      df: DataFrame, idCol: String, textCol: String,
+      maxLocalDocs: Int = 1000000): DataFrame = {
+    val spark = df.sparkSession
+    val scores = bigramNegLogProb(df, idCol, textCol)
       .select(col(idCol), col("avg_neg_logprob").as("nlp"))
-      .withColumn("_g", lit(1))
-      .localCheckpoint(true)
+    // the per-doc score frame is one small row per document — when it
+    // fits a bounded collect (limit-probe; a 100 TB corpus with
+    // billions of documents keeps the distributed tail), the quantile
+    // thresholds and the bucket roll-up run on the driver with the
+    // SAME arithmetic as the distributed tail: Percentile-style
+    // interpolation (wl·lo + wh·hi on p·(n−1)) and Spark-`round`
+    // semantics (BigDecimal.valueOf, HALF_UP), so both paths agree.
+    val probe = scores.select(col("nlp")).limit(maxLocalDocs + 1).collect()
+    if (maxLocalDocs > 0 && probe.length <= maxLocalDocs) {
+      import spark.implicits._
+      def rnd(x: Double, s: Int): Double =
+        java.math.BigDecimal.valueOf(x)
+          .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+      val vs = probe.map(_.getDouble(0)).sorted
+      if (vs.isEmpty)
+        return Seq.empty[(String, Long, Double, Double)]
+          .toDF("bucket", "n_docs", "min_nlp", "max_nlp")
+      def pct(p: Double): Double = {
+        val pos = p * (vs.length - 1).toDouble
+        val wl = math.ceil(pos) - pos
+        val wh = pos - math.floor(pos)
+        if (wh == 0.0) vs(math.floor(pos).toInt)
+        else wl * vs(math.floor(pos).toInt) + wh * vs(math.ceil(pos).toInt)
+      }
+      val t1 = rnd(pct(1.0 / 3), 6)
+      val t2 = rnd(pct(2.0 / 3), 6)
+      val out = vs.groupBy(v =>
+        if (v <= t1) "head" else if (v <= t2) "middle" else "tail")
+        .map { case (b, xs) => (b, xs.length.toLong, rnd(xs.min, 4), rnd(xs.max, 4)) }
+        .toSeq
+      return spark.createDataset(out).toDF("bucket", "n_docs", "min_nlp", "max_nlp")
+    }
+    // distributed tail: materialize the per-doc scores (the quantile
+    // pass and the bucket-assignment pass otherwise each re-execute
+    // the full LM scoring pipeline — tokenize + two count aggregates
+    // + the score join — doubling the corpus work)
+    val scored = scores.withColumn("_g", lit(1)).localCheckpoint(true)
     val th = Quantiles
       .groupPercentiles(scored, "_g", "nlp", Seq("t1" -> 1.0 / 3, "t2" -> 2.0 / 3))
       .select(round(col("t1"), 6).as("t1"), round(col("t2"), 6).as("t2"))

@@ -267,7 +267,8 @@ object Learning {
     * collected.
     */
   def naiveBayesConfusion(
-      docs: DataFrame, idCol: String, textCol: String, clsCol: String): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String, clsCol: String,
+      maxLocalNonzero: Int = 300000, maxVectorClasses: Int = 64): DataFrame = {
     import graft.functions.TextFunctions.tokens
     // ONE pass over the raw token stream, straight into per-doc token
     // multiplicities (the scoring granularity); every training
@@ -304,7 +305,7 @@ object Learning {
     // with the log-likelihood computed by the SAME Spark expression
     // as the distributed branch. Larger vocabularies keep the
     // scale-safe shuffle join on tok.
-    val maxNonzero = 300000
+    val maxNonzero = maxLocalNonzero
     val probe = tokCls.limit(maxNonzero + 1).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val localFits = probe.length <= maxNonzero && {
@@ -312,16 +313,58 @@ object Learning {
       val k0 = probe.iterator.map(_._2).toSet.size.toLong
       v0 * k0 <= 1000000L
     }
-    val grid = if (localFits) {
+    val localClasses =
+      if (localFits) probe.map(_._2).distinct.sorted else Array.empty[String]
+    if (localFits && localClasses.length <= maxVectorClasses) {
+      // the model is closed AND the class list is short, so scoring,
+      // argmax, and the confusion roll-up collapse into ONE stream
+      // shuffle with NO fan-out: each token carries its K-vector of
+      // log-likelihoods (one broadcast row per token, built on the
+      // driver with the same (c+1)/(tt+V) arithmetic), per-doc class
+      // scores are K element-wise sums that partial-aggregate
+      // map-side, the argmax is an in-row array_min over (−rounded
+      // score, class) structs (same max-score, smaller-class
+      // tie-break as the min_by form), and the final (cls, pred)
+      // count is a K²-sized aggregate
+      val vocab = probe.map(_._1).distinct
+      val v = vocab.length.toLong
+      val tt = probe.groupBy(_._2).map { case (c, rs) => c -> rs.map(_._3).sum }
+      val nz = probe.map { case (t, c, n) => (t, c) -> n }.toMap
+      val tokLls = vocab.toSeq.map { t =>
+        (t, localClasses.toSeq.map(c =>
+          math.log((nz.getOrElse((t, c), 0L) + 1.0) / (tt(c) + v.toDouble))))
+      }
+      val lls = broadcast(spark.createDataset(tokLls).toDF("tok", "_lls"))
+      val sums = localClasses.indices.map { i =>
+        sum(element_at(col("_lls"), i + 1) * col("_cnt")).as(s"_s$i")
+      }
+      val lpriorOf = clsDocsRows.toMap
+      val cand = array(localClasses.zipWithIndex.map { case (c, i) =>
+        struct(
+          (-round(col(s"_s$i") +
+            lit(math.log(lpriorOf(c).toDouble / nDocsTotal.toDouble)), 6))
+            .as("negscore"),
+          lit(c).as("scls"))
+      }.toIndexedSeq: _*)
+      docToks.join(lls, Seq("tok"))
+        .groupBy(col("_id"), col("cls"))
+        .agg(sums.head, sums.tail: _*)
+        .select(col("cls"), array_min(cand).getField("scls").as("pred"))
+        .groupBy(col("cls"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+    } else if (localFits) {
+      // closed model, wide class list: driver-built broadcast grid,
+      // scored through the grouped (doc, class) aggregate below
       val vocab = probe.map(_._1).distinct
       val v = vocab.length.toLong
       val tt = probe.groupBy(_._2).map { case (c, rs) => c -> rs.map(_._3).sum }
       val nz = probe.map { case (t, c, n) => (t, c) -> n }.toMap
       val cells = for { t <- vocab.toSeq; (c, ttc) <- tt.toSeq }
         yield (t, c, nz.getOrElse((t, c), 0L), ttc)
-      broadcast(spark.createDataset(cells).toDF("tok", "scls", "c", "tt")
+      val grid = broadcast(spark.createDataset(cells).toDF("tok", "scls", "c", "tt")
         .select(col("tok"), col("scls"),
           log((col("c") + lit(1.0)) / (col("tt") + lit(v.toDouble))).as("ll")))
+      scoreAndConfuse(docToks, grid, prior)
     } else {
       // scale path: materialize the big count frame once — it feeds
       // the class totals, the stats action, and two grid joins
@@ -336,11 +379,22 @@ object Learning {
         .select(col("tok"), col("cls").as("scls"),
           log((coalesce(col("c"), lit(0L)) + lit(1.0)) / (col("tt") + lit(v.toDouble)))
             .as("ll"))
-      if (v * k <= 2000000L) broadcast(grid0) else grid0
+      val grid = if (v * k <= 2000000L) broadcast(grid0) else grid0
+      scoreAndConfuse(docToks, grid, prior)
     }
-    // the joined stream is |distinct doc-token pairs| x K, never
-    // |token instances| x K; the logprob contribution is cnt * ll
-    // (same sum, 6-dp rounding absorbs the order)
+  }
+
+  /** Score a (doc, class, token, count) stream against a (tok, scls,
+    * ll) grid and roll up the confusion matrix. The joined stream is
+    * |distinct doc-token pairs| × K, never |token instances| × K; the
+    * logprob contribution is cnt · ll (same sum, 6-dp rounding absorbs
+    * the order). The per-doc argmax is a hash aggregate, not a
+    * window: min_by over (−score, scls) is max score with the
+    * lexicographic tie-break, and skips the window's per-partition
+    * sort entirely.
+    */
+  private def scoreAndConfuse(
+      docToks: DataFrame, grid: DataFrame, prior: DataFrame): DataFrame = {
     val scores = docToks
       .join(grid, Seq("tok"))
       .groupBy(col("_id"), col("cls"), col("scls"))
@@ -348,9 +402,6 @@ object Learning {
       .join(broadcast(prior.select(col("cls").as("scls"), col("lprior"))), Seq("scls"))
       .select(col("_id"), col("cls"), col("scls"),
         round(col("_s") + col("lprior"), 6).as("score"))
-    // per-doc argmax as a hash aggregate, not a window: min_by over
-    // (-score, scls) is max score with the lexicographic tie-break,
-    // and skips the window's per-partition sort entirely
     scores.groupBy(col("_id"), col("cls"))
       .agg(min_by(col("scls"), struct(-col("score"), col("scls"))).as("pred"))
       .groupBy(col("cls"), col("pred"))

@@ -186,6 +186,27 @@ class LearningSpec extends SparkSpec {
     assert(cm == Map(("fruit", "fruit") -> 2L, ("metal", "metal") -> 2L))
   }
 
+  test("naiveBayesConfusion: vector, wide-grid, and distributed paths agree") {
+    // overlapping vocabularies + a class imbalance so priors matter;
+    // force each strategy through the guard parameters
+    val docs = Seq(
+      (1L, "red blue red green", "a"), (2L, "blue blue green", "a"),
+      (3L, "red red yellow", "b"), (4L, "yellow green blue red", "b"),
+      (5L, "green green red", "a"), (6L, "yellow yellow", "c"))
+      .toDF("id", "text", "cls")
+    def cm(maxNonzero: Int, maxVec: Int) =
+      Learning.naiveBayesConfusion(docs, "id", "text", "cls",
+        maxLocalNonzero = maxNonzero, maxVectorClasses = maxVec)
+        .collect().map(r => (r.getAs[String]("cls"), r.getAs[String]("pred")) ->
+          r.getAs[Long]("n")).toMap
+    val vector = cm(300000, 64)   // token-ll-vector fast path
+    val wideGrid = cm(300000, 0)  // closed model, grid join path
+    val dist = cm(0, 64)          // distributed scale path
+    assert(vector == wideGrid, s"vector=$vector wideGrid=$wideGrid")
+    assert(vector == dist, s"vector=$vector dist=$dist")
+    assert(vector.values.sum == 6L)
+  }
+
   test("naiveBayesConfusion accepts a non-string class column") {
     // int labels: the driver-local model grid collects the class
     // column with getString — must be cast, not ClassCastException'd

@@ -80,6 +80,11 @@ class RobustStatsSpec extends SparkSpec {
     assert(r.map(_._2).sum == 6L)
     // buckets are score-ordered and non-overlapping
     assert(r(0)._4 <= r(1)._3 && r(1)._4 <= r(2)._3)
+    // driver-local and distributed bucketing agree exactly
+    val dist = LanguageModel.perplexityBuckets(docs, "doc_id", "text",
+      maxLocalDocs = 0)
+      .orderBy($"min_nlp").as[(String, Long, Double, Double)].collect()
+    assert(r.toSeq == dist.toSeq, s"local=${r.toSeq} dist=${dist.toSeq}")
   }
 
   test("hardNegatives never returns a same-label neighbor and ranks by similarity") {
