@@ -362,6 +362,102 @@ object SimilarityQueries {
         .orderBy($"cell")
     },
 
+    // q88 with the SCALE-CERTIFIABLE dial: the stride is derived from
+    // the corpus size as floor(sqrt(n)), so k ∝ sqrt(n) and the
+    // oracle's corpus × centroid grid grows n^1.5 instead of n² —
+    // single-node-replayable even at the 100× (~sf10) replica, which
+    // closes the clustering family's last uncertified decade. Same
+    // Lloyd iteration, same round-6 / exact-micro-integer arithmetic.
+    Q.sql(
+      "q151_kmeans_sqrtk",
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT greatest(CAST(floor(sqrt(count(*))) AS BIGINT), 1) AS step FROM embeddings),
+        |c0 AS (SELECT CAST(vec_id // s.step AS BIGINT) AS cell, v AS cv FROM e, s WHERE vec_id % s.step = 0),
+        |a1 AS (SELECT vec_id, v, cell FROM (
+        |  SELECT e.vec_id, e.v, c.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      round(list_sum(list_transform(range(1,65), i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))), 6),
+        |      c.cell) AS rn
+        |  FROM e, c0 c) WHERE rn = 1),
+        |c1 AS (SELECT cell, list(m ORDER BY dim) AS cv FROM (
+        |  SELECT cell, dim, round(avg(v[dim]), 6) AS m
+        |  FROM a1, range(1,65) r(dim) GROUP BY cell, dim) GROUP BY cell),
+        |a2 AS (SELECT vec_id, cell, d FROM (
+        |  SELECT e.vec_id, c.cell,
+        |    round(list_sum(list_transform(range(1,65), i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))), 6) AS d,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      round(list_sum(list_transform(range(1,65), i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))), 6),
+        |      c.cell) AS rn
+        |  FROM e, c1 c) WHERE rn = 1)
+        |SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+        |  round(sum(CAST(round(d * 1000000, 0) AS BIGINT)) / 1000000.0, 3) AS inertia
+        |FROM a2 GROUP BY cell
+        |ORDER BY cell""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val n = emb.select($"vec_id").count()
+      val step = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong).toInt
+      val cents = Clustering.kmeansLloyd(emb, "vec_id", "embedding",
+        centroidStep = step, iters = 1)
+      Clustering.cellSummary(Clustering.assignCells(emb, "vec_id", "embedding", cents))
+        .orderBy($"cell")
+    },
+
+    // q150's bucketed semantic dedup with the same sqrt(n) stride:
+    // codebook k ∝ sqrt(n) keeps the oracle's bucket-join replay
+    // sub-quadratic, certifiable at the 100× replica.
+    Q.sql(
+      "q152_semdedup_sqrtk",
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT greatest(CAST(floor(sqrt(count(*))) AS BIGINT), 1) AS step FROM embeddings),
+        |vb AS (
+        |  SELECT vec_id, v, t,
+        |    CAST(list_sum(list_transform(range(0, 4), p ->
+        |      CASE WHEN list_sum(list_transform(range(0, len(v)), i ->
+        |        v[i+1] * ((CAST(('0x'||substr(md5(t||'_'||p||'_'||i),1,15)) AS BIGINT) % 2001 - 1000)/1000.0))) >= 0
+        |      THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+        |  FROM e, (SELECT CAST(range AS BIGINT) AS t FROM range(4)) tt),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id, a.v, c.vec_id AS cell, c.v AS cv
+        |  FROM vb a JOIN vb c ON a.t = c.t AND a.bucket = c.bucket, s
+        |  WHERE c.vec_id % s.step = 0),
+        |asgn AS (
+        |  SELECT vec_id, v, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY
+        |      list_dot_product(v, cv)/sqrt(list_dot_product(v, v))/sqrt(list_dot_product(cv, cv)) DESC,
+        |      cell) AS crank
+        |  FROM cand),
+        |m AS (SELECT vec_id, v, cell FROM asgn WHERE crank = 1),
+        |p AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib
+        |  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v)
+        |        / sqrt(list_dot_product(a.v, a.v))
+        |        / sqrt(list_dot_product(b.v, b.v)), 6) >= 0.40),
+        |edges AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+        |walk AS (
+        |  SELECT a AS node, a AS label FROM edges
+        |  UNION
+        |  SELECT e2.a AS node, w2.label AS label FROM edges e2 JOIN walk w2 ON w2.node = e2.b
+        |)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (
+        |  SELECT node FROM walk GROUP BY node HAVING min(label) <> node)
+        |ORDER BY vec_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val n = emb.select($"vec_id").count()
+      val step = math.max(1L, math.floor(math.sqrt(n.toDouble)).toLong).toInt
+      val (survivors, _) = Similarity.semanticDedupBucketed(
+        emb, "vec_id", "embedding", centroidStep = step, threshold = 0.40,
+        tables = 4, planesPerTable = 4, corpusCount = n)
+      survivors.select($"vec_id").orderBy($"vec_id")
+    },
+
     // PageRank over the exact cosine 3-NN graph of the first 500
     // embeddings: 3 power iterations, damping 17/20, FIXED-POINT
     // integer arithmetic (scale 1e9, floor divisions) — the whole
