@@ -315,7 +315,8 @@ object Learning {
     }
     val localClasses =
       if (localFits) probe.map(_._2).distinct.sorted else Array.empty[String]
-    if (localFits && localClasses.length <= maxVectorClasses) {
+    if (localFits && localClasses.nonEmpty &&
+      localClasses.length <= maxVectorClasses) {
       // the model is closed AND the class list is short, so scoring,
       // argmax, and the confusion roll-up collapse into ONE stream
       // shuffle with NO fan-out: each token carries its K-vector of

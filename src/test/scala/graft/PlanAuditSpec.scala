@@ -22,6 +22,9 @@ class PlanAuditSpec extends SparkSpec {
     "q55_tfidf", "q59_profile_typed", "q66_unigram_logprob", "q76_pq_topk",
     "q78_semantic_dedup", "q84_bigram_logprob", "q85_bm25", "q86_rrf_fusion",
     "q87_pmi_collocations", "q88_kmeans_lloyd", "q93_pagerank",
+    // q151/q152 are q88/q150's sqrt(n)-stride variants and inherit the
+    // same broadcast-centroid nested-loop shapes
+    "q151_kmeans_sqrtk", "q152_semdedup_sqrtk",
     "q94_vocab_coverage", "q95_knn_classify", "q96_centroid_confusion",
     // round-5: q98/q103 ride bruteForceTopK's broadcast query set,
     // q104 broadcasts the 1-row corpus total N, q106 is the bounded
