@@ -178,11 +178,28 @@ object Clustering {
     val d = emb.select(col(idCol).as("_id"),
       posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "x")))
     val m = d.groupBy(col("i")).agg(avg(col("x")).as("mu"))
-    val centered = d.join(m, "i").select(col("_id"), col("i"), (col("x") - col("mu")).as("x"))
     val n = d.agg(countDistinct(col("_id")).as("n"))
-    val cov = centered.select(col("_id"), col("i"), col("x"))
-      .join(centered.select(col("_id"), col("i").as("j"), col("x").as("y")), Seq("_id"))
-      .groupBy(col("i"), col("j")).agg(sum(col("x") * col("y")).as("_s"))
+    // covariance WITHOUT the row-keyed self-join: the dim means ride
+    // along as one broadcast sorted array, each row centers its vector
+    // and emits its d² outer-product terms in-row, and the (i, j)
+    // sums partial-aggregate map-side — the only shuffle is the
+    // dim²-sized final aggregate. Same (x−μᵢ)(x−μⱼ) values as the
+    // centered-join formulation (ragged rows: zip_with pads missing
+    // entries with null, whose products drop from the sums exactly as
+    // the join's missing rows did), so round-6 entries are unchanged.
+    val mu1 = m.agg(array_sort(collect_list(struct(col("i"), col("mu")))).as("_ms"))
+    val cov = emb.select(col(vecCol).cast("array<double>").as("_v"))
+      .crossJoin(broadcast(mu1))
+      .select(zip_with(col("_v"), transform(col("_ms"), s => s.getField("mu")),
+        (x, mu) => x - mu).as("_c"))
+      .select(explode(flatten(transform(col("_c"), (xi, i) =>
+        transform(col("_c"), (xj, j) =>
+          struct(i.as("i"), j.as("j"), (xi * xj).as("p")))))).as("_e"))
+      .groupBy(col("_e.i").as("i"), col("_e.j").as("j"))
+      .agg(sum(col("_e.p")).as("_s"))
+      // all-null (i, j) groups (ragged rows that never co-occur) were
+      // simply absent from the join formulation — keep them absent
+      .filter(col("_s").isNotNull)
       .crossJoin(broadcast(n))
       .select(col("i"), col("j"), round(col("_s") / col("n"), 6).as("cv"))
     // the covariance matrix is dim²-bounded, never row-bounded: 100 TB
