@@ -86,6 +86,9 @@ class EmptyInputSpec extends SparkSpec {
     val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(DupGraph.triangleCounts(edges, "src", "dst").count() == 0)
     assert(DupGraph.kCore(edges, "src", "dst", k = 2).count() == 0)
+    assert(DupGraph.pageRank(edges, "src", "dst").count() == 0)
+    assert(DupGraph.pageRank(edges, "src", "dst",
+      localEdgeThreshold = -1L).count() == 0)
     val seeds = Seq.empty[(Long, Long)].toDF("node", "lbl")
     assert(DupGraph.labelPropagate(
       edges, "src", "dst", seeds, "node", "lbl", iters = 2).count() == 0)
