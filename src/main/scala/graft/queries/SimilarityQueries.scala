@@ -368,28 +368,33 @@ object SimilarityQueries {
     // single-node-replayable even at the 100× (~sf10) replica, which
     // closes the clustering family's last uncertified decade. Same
     // Lloyd iteration, same round-6 / exact-micro-integer arithmetic.
+    // (oracle note: the corpus × centroid windows keep their inputs
+    // NARROW — (vec_id, cell, d) only, vectors re-joined for the
+    // centroid update — so the single-node replay streams ~90M thin
+    // rows at the 100× replica instead of materializing 64-double
+    // lists per grid row, which OOMs)
     Q.sql(
       "q151_kmeans_sqrtk",
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |s AS (SELECT greatest(CAST(floor(sqrt(count(*))) AS BIGINT), 1) AS step FROM embeddings),
         |c0 AS (SELECT CAST(vec_id // s.step AS BIGINT) AS cell, v AS cv FROM e, s WHERE vec_id % s.step = 0),
-        |a1 AS (SELECT vec_id, v, cell FROM (
-        |  SELECT e.vec_id, e.v, c.cell,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      round(list_sum(list_transform(range(1,65), i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))), 6),
-        |      c.cell) AS rn
-        |  FROM e, c0 c) WHERE rn = 1),
+        |d1 AS (SELECT e.vec_id, c.cell,
+        |    round(list_sum(list_transform(range(1,65), i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))), 6) AS d
+        |  FROM e, c0 c),
+        |a1 AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |  FROM d1) WHERE rn = 1),
         |c1 AS (SELECT cell, list(m ORDER BY dim) AS cv FROM (
-        |  SELECT cell, dim, round(avg(v[dim]), 6) AS m
-        |  FROM a1, range(1,65) r(dim) GROUP BY cell, dim) GROUP BY cell),
+        |  SELECT a1.cell, dim, round(avg(e.v[dim]), 6) AS m
+        |  FROM a1 JOIN e ON e.vec_id = a1.vec_id, range(1,65) r(dim)
+        |  GROUP BY a1.cell, dim) GROUP BY cell),
+        |d2 AS (SELECT e.vec_id, c.cell,
+        |    round(list_sum(list_transform(range(1,65), i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))), 6) AS d
+        |  FROM e, c1 c),
         |a2 AS (SELECT vec_id, cell, d FROM (
-        |  SELECT e.vec_id, c.cell,
-        |    round(list_sum(list_transform(range(1,65), i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))), 6) AS d,
-        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      round(list_sum(list_transform(range(1,65), i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))), 6),
-        |      c.cell) AS rn
-        |  FROM e, c1 c) WHERE rn = 1)
+        |  SELECT vec_id, cell, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |  FROM d2) WHERE rn = 1)
         |SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
         |  round(sum(CAST(round(d * 1000000, 0) AS BIGINT)) / 1000000.0, 3) AS inertia
         |FROM a2 GROUP BY cell
@@ -421,22 +426,25 @@ object SimilarityQueries {
         |      THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
         |  FROM e, (SELECT CAST(range AS BIGINT) AS t FROM range(4)) tt),
         |cand AS (
-        |  SELECT DISTINCT a.vec_id, a.v, c.vec_id AS cell, c.v AS cv
+        |  SELECT DISTINCT a.vec_id, c.vec_id AS cell
         |  FROM vb a JOIN vb c ON a.t = c.t AND a.bucket = c.bucket, s
         |  WHERE c.vec_id % s.step = 0),
+        |sims AS (
+        |  SELECT cand.vec_id, cand.cell,
+        |    list_dot_product(ea.v, ec.v)/sqrt(list_dot_product(ea.v, ea.v))/sqrt(list_dot_product(ec.v, ec.v)) AS sim
+        |  FROM cand JOIN e ea ON ea.vec_id = cand.vec_id JOIN e ec ON ec.vec_id = cand.cell),
         |asgn AS (
-        |  SELECT vec_id, v, cell,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY
-        |      list_dot_product(v, cv)/sqrt(list_dot_product(v, v))/sqrt(list_dot_product(cv, cv)) DESC,
-        |      cell) AS crank
-        |  FROM cand),
-        |m AS (SELECT vec_id, v, cell FROM asgn WHERE crank = 1),
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS crank
+        |  FROM sims),
+        |m AS (SELECT vec_id, cell FROM asgn WHERE crank = 1),
         |p AS (
         |  SELECT a.vec_id AS ia, b.vec_id AS ib
         |  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |  WHERE round(list_dot_product(a.v, b.v)
-        |        / sqrt(list_dot_product(a.v, a.v))
-        |        / sqrt(list_dot_product(b.v, b.v)), 6) >= 0.40),
+        |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+        |  WHERE round(list_dot_product(ea.v, eb.v)
+        |        / sqrt(list_dot_product(ea.v, ea.v))
+        |        / sqrt(list_dot_product(eb.v, eb.v)), 6) >= 0.40),
         |edges AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
         |walk AS (
         |  SELECT a AS node, a AS label FROM edges

@@ -34,6 +34,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir, out_dir, json_out=None):
     con = duckdb.connect()
+    # large-replica replays: cap memory below the box and let DuckDB
+    # spill instead of getting OOM-killed mid-artifact
+    con.execute("SET memory_limit='96GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
