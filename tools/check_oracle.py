@@ -32,11 +32,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
-def main(sf_dir, out_dir, json_out=None):
+def fresh_con(sf_dir):
+    # one connection PER QUERY: a 90GB replay poisons the shared
+    # allocator for every query after it; views are free to recreate.
+    # The cap + spill dir make heavy oracles degrade to disk instead
+    # of getting OOM-killed mid-artifact.
     con = duckdb.connect()
-    # large-replica replays: cap memory below the box and let DuckDB
-    # spill instead of getting OOM-killed mid-artifact
-    con.execute("SET memory_limit='96GB'")
+    con.execute("SET memory_limit='90GB'")
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -44,26 +46,47 @@ def main(sf_dir, out_dir, json_out=None):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+def main(sf_dir, out_dir, json_out=None):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_noracle = 0
+    # resumable: a rerun with the same json_out skips queries already
+    # recorded and only replays the remainder (the report is flushed
+    # after every query, so a crash loses at most the in-flight one)
     report = {}
+    if json_out and os.path.exists(json_out):
+        report = json.load(open(json_out))
+        n_pass = sum(1 for v in report.values() if v.get("hash_match"))
+        n_noracle = sum(1 for v in report.values() if v.get("rows_only"))
+        n_fail = len(report) - n_pass - n_noracle
+    def flush():
+        if json_out:
+            json.dump(report, open(json_out, "w"), indent=1, sort_keys=True)
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(qdir.rstrip("/"))
+        if name in report and report[name].get("err") is None:
+            continue
         files = glob.glob(f"{qdir}/*.parquet")
         if not files:
             print(f"MISSING-OUTPUT {name}"); n_fail += 1
             report[name] = {"err": "missing output"}
+            flush()
             continue
         spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)])
         if name not in oracle:
             print(f"NO-ORACLE      {name} rows={len(spark_df)}"); n_noracle += 1
             report[name] = {"rows_only": True, "spark_rows": len(spark_df)}
+            flush()
             continue
         try:
+            con = fresh_con(sf_dir)
             duck_df = con.execute(oracle[name]).fetchdf()
+            con.close()
         except Exception as e:
             print(f"ORACLE-ERR     {name}: {e}"); n_fail += 1
             report[name] = {"err": f"oracle: {e}"}
+            flush()
             continue
         a, b = canon(spark_df), canon(duck_df)
         r = {"rows_match": len(a) == len(b),
@@ -73,11 +96,11 @@ def main(sf_dir, out_dir, json_out=None):
         if not r["schema_match"]:
             print(f"SCHEMA-MISMATCH {name}: spark={list(a.columns)} duck={list(b.columns)}")
             r["hash_match"] = False
-            n_fail += 1; continue
+            n_fail += 1; flush(); continue
         if not r["rows_match"]:
             print(f"ROWS-MISMATCH  {name}: spark={len(a)} duck={len(b)}")
             r["hash_match"] = False
-            n_fail += 1; continue
+            n_fail += 1; flush(); continue
         if not a.equals(b):
             r["hash_match"] = False
             neq = (a != b) & ~(a.isna() & b.isna())
@@ -86,10 +109,10 @@ def main(sf_dir, out_dir, json_out=None):
             for c in bad_cols[:2]:
                 idx = neq[c].idxmax()
                 print(f"   first diff {c}[{idx}]: spark={a[c][idx]!r} duck={b[c][idx]!r}")
-            n_fail += 1; continue
+            n_fail += 1; flush(); continue
         r["hash_match"] = True
         print(f"PASS           {name} rows={len(a)}")
-        n_pass += 1
+        n_pass += 1; flush()
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_noracle} rows-only ==")
     if json_out:
         json.dump(report, open(json_out, "w"), indent=1, sort_keys=True)
