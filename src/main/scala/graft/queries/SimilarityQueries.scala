@@ -413,9 +413,19 @@ object SimilarityQueries {
     // q150's bucketed semantic dedup with the same sqrt(n) stride:
     // codebook k ∝ sqrt(n) keeps the oracle's bucket-join replay
     // sub-quadratic, certifiable at the 100× replica.
+    //
+    // The dup-component min-label is computed by UNROLLED pointer-
+    // jumping rounds (l1..l24), NOT a recursive transitive-closure
+    // walk: the walk's (node, reachable-label) fixpoint is quadratic
+    // in component size and blew past 65 GB / 95 min on the 100×
+    // replica's ~450-member cells, while each jumping round is one
+    // linear (node, lbl) table. Min-label + label-chase converges in
+    // O(log n) rounds; 24 rounds cover any component this corpus can
+    // produce, and under-provisioning is loud (hash mismatch against
+    // the engine's exact union-find CC), never silent.
     Q.sql(
       "q152_semdedup_sqrtk",
-      """WITH RECURSIVE
+      """WITH
         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |s AS (SELECT greatest(CAST(floor(sqrt(count(*))) AS BIGINT), 1) AS step FROM embeddings),
         |vb AS (
@@ -445,15 +455,22 @@ object SimilarityQueries {
         |  WHERE round(list_dot_product(ea.v, eb.v)
         |        / sqrt(list_dot_product(ea.v, ea.v))
         |        / sqrt(list_dot_product(eb.v, eb.v)), 6) >= 0.40),
-        |edges AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
-        |walk AS (
-        |  SELECT a AS node, a AS label FROM edges
-        |  UNION
-        |  SELECT e2.a AS node, w2.label AS label FROM edges e2 JOIN walk w2 ON w2.node = e2.b
-        |)
+        |edges AS MATERIALIZED (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+        |l0 AS MATERIALIZED (SELECT a AS node, least(a, min(b)) AS lbl FROM edges GROUP BY a),
+        |""".stripMargin +
+      // MATERIALIZED is load-bearing: each round references the prior
+      // one three times, and an inlining planner would otherwise
+      // expand l24 into 3^24 scans (DuckDB 1.0 inlines CTEs by default)
+      (1 to 24).map { i =>
+        s"""l$i AS MATERIALIZED (SELECT v.node, least(v.lbl, coalesce(nb.m, v.lbl), coalesce(ch.lbl, v.lbl)) AS lbl
+           |  FROM l${i - 1} v
+           |  LEFT JOIN (SELECT e2.a AS node, min(l.lbl) AS m FROM edges e2
+           |             JOIN l${i - 1} l ON l.node = e2.b GROUP BY e2.a) nb ON nb.node = v.node
+           |  LEFT JOIN l${i - 1} ch ON ch.node = v.lbl)""".stripMargin
+      }.mkString(",\n") +
+      """
         |SELECT vec_id FROM embeddings
-        |WHERE vec_id NOT IN (
-        |  SELECT node FROM walk GROUP BY node HAVING min(label) <> node)
+        |WHERE vec_id NOT IN (SELECT node FROM l24 WHERE lbl <> node)
         |ORDER BY vec_id""".stripMargin
     ) { (s, d) =>
       import s.implicits._
