@@ -63,15 +63,24 @@ object LanguageModel {
     val bi = pairCounts.filter(col("next").isNotNull)
     // vocabulary size from the unigram frame — no extra corpus scan
     val v = uni.agg(count(lit(1)).as("v"))
-    exploded.filter(col("next").isNotNull)
-      .join(bi, Seq("tok", "next"))
+    // per-distinct-bigram score table: the count joins run over the
+    // vocab-sized frames (|distinct bigrams| rows), so the corpus-
+    // sized token stream shuffles ONCE for the score join instead of
+    // once per count table — the same stream-joins-the-model-not-the-
+    // counts shape as the naive-bayes scorer. -ln(p) is computed once
+    // per distinct bigram from the identical c12/c1/v integers, so
+    // per-occurrence values are bit-identical to the inline form.
+    val score = bi
       .join(uni, Seq("tok"))
       .crossJoin(broadcast(v))
+      .select(col("tok"), col("next"),
+        (-log((col("c12") + 1.0) / (col("c1") + col("v")))).as("_nl"))
+    exploded.filter(col("next").isNotNull)
+      .join(score, Seq("tok", "next"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_bigrams"),
-        round(avg(-log((col("c12") + 1.0) / (col("c1") + col("v")))), 4)
-          .as("avg_neg_logprob"))
+        round(avg(col("_nl")), 4).as("avg_neg_logprob"))
   }
 
   /** Top-k collocations by pointwise mutual information:
@@ -139,18 +148,26 @@ object LanguageModel {
     val uni = pairCounts.groupBy(col("tok")).agg(sum(col("c12")).as("c"))
     val bi = pairCounts.filter(col("next").isNotNull)
     val n = uni.agg(sum(col("c")).as("n"))
-    exploded.filter(col("next").isNotNull)
-      .join(bi, Seq("tok", "next"))
+    // per-distinct-bigram score table (see [[bigramNegLogProb]]): the
+    // c1/c2 joins run over the vocab-sized bigram frame, and the
+    // corpus-sized stream shuffles once for the score join instead of
+    // three times (on (tok,next), tok, next). -ln(p) per distinct
+    // bigram uses the identical c12/c1/c2/n values, so per-occurrence
+    // scores are bit-identical to the inline form.
+    val score = bi
       .join(uni.select(col("tok"), col("c").as("c1")), Seq("tok"))
       .join(uni.select(col("tok").as("next"), col("c").as("c2")), Seq("next"))
       .crossJoin(broadcast(n))
+      .select(col("tok"), col("next"),
+        (-log(
+          lit(lambda) * col("c12").cast("double") / col("c1") +
+            lit(1 - lambda) * col("c2").cast("double") / col("n"))).as("_nl"))
+    exploded.filter(col("next").isNotNull)
+      .join(score, Seq("tok", "next"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_bigrams"),
-        round(avg(-log(
-          lit(lambda) * col("c12").cast("double") / col("c1") +
-            lit(1 - lambda) * col("c2").cast("double") / col("n"))), 4)
-          .as("avg_neg_logprob"))
+        round(avg(col("_nl")), 4).as("avg_neg_logprob"))
   }
 
   /** CCNet-style perplexity bucketing: score every document with the

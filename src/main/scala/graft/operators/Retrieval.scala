@@ -10,12 +10,12 @@ import org.apache.spark.sql.functions._
   * neighbor triage, and hybrid (lexical + embedding) candidate
   * generation.
   *
-  * Scale shape: BM25 reduces the corpus to per-(doc, term) counts with
-  * one aggregation over the exploded token stream filtered to the
-  * query terms (the filter lands before the shuffle, so the heavy
-  * stream thins to |terms| rows per doc first); corpus-level scalars
-  * (N, avgdl) ride along as a broadcast 1-row frame. Fusion unions
-  * per-ranking contributions and aggregates once on the id.
+  * Scale shape: BM25 computes per-document length and per-term
+  * frequencies IN-ROW from the token array — the corpus is scanned
+  * once and the token stream never shuffles; only the thin
+  * (doc, term, tf) frame (≤ |terms| rows per matching doc) and two
+  * term-/corpus-level scalars move. Fusion unions per-ranking
+  * contributions and aggregates once on the id.
   */
 object Retrieval {
 
@@ -35,15 +35,35 @@ object Retrieval {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val termList = terms.map(_.toLowerCase)
-    val toks = df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("tok"))
-    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val tf = toks.filter(col("tok").isin(termList: _*))
-      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    // distinct: one in-row counter per term (the grouped formulation
+    // deduplicated repeated query terms implicitly)
+    val termList = terms.map(_.toLowerCase).distinct
+    // dl and per-term tf are in-row array reductions over the token
+    // array — the corpus is scanned once and the token stream never
+    // shuffles (the exploded formulation shuffled every token for the
+    // dl aggregate). `split` yields at least one element for non-null
+    // text, so size(w) equals the exploded per-doc row count exactly;
+    // null text produced no exploded rows and is filtered the same.
+    val perDoc = df
+      .select(col(idCol), tokens(lower(col(textCol))).as("w"))
+      .filter(col("w").isNotNull)
+      .select(col(idCol), size(col("w")).cast("long").as("dl"),
+        array(termList.map(t => struct(
+          lit(t).as("tok"),
+          size(filter(col("w"), x => x === lit(t))).cast("long").as("tf"))): _*)
+          .as("_tfs"))
+      // one compact row per document (id, dl, |terms| counts) — far
+      // smaller than the raw text; materialized so the stats scalar
+      // and the tf frame don't each re-tokenize the corpus
+      .localCheckpoint(true)
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = perDoc
+      .select(col(idCol), col("dl"), explode(col("_tfs")).as("t"))
+      .select(col(idCol), col("dl"), col("t.tok").as("tok"), col("t.tf").as("tf"))
+      .filter(col("tf") > 0)
+    // one row per query term — broadcast by construction
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df_t"))
-    tf.join(dfreq, "tok")
-      .join(dl, Seq(idCol))
+    tf.join(broadcast(dfreq), "tok")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df_t") + 0.5) / (col("df_t") + 0.5)))

@@ -218,19 +218,24 @@ object RelationalQueries {
     Q.sql(
       "q11_case_agg",
       """SELECT l_linestatus,
-        |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END), 2) AS returned_value,
-        |  round(sum(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice ELSE 0 END), 2) AS kept_value,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(trunc(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS returned_cents,
+        |  CAST(sum(CASE WHEN l_returnflag <> 'R' THEN CAST(trunc(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS kept_cents,
         |  count(*) AS cnt
         |FROM lineitem
         |GROUP BY l_linestatus
         |ORDER BY l_linestatus""".stripMargin
     ) { (s, d) =>
       import s.implicits._
+      // integer cents (q116's pattern): a rounded double sum drifts
+      // past 2 dp once the group magnitude crosses ~1e12 — caught by
+      // the 100× certificate on this query's l_linestatus groups
       Tables.lineitem(s, d)
         .groupBy($"l_linestatus")
         .agg(
-          round(sum(when($"l_returnflag" === "R", $"l_extendedprice").otherwise(0.0)), 2).as("returned_value"),
-          round(sum(when($"l_returnflag" =!= "R", $"l_extendedprice").otherwise(0.0)), 2).as("kept_value"),
+          sum(when($"l_returnflag" === "R", ($"l_extendedprice" * 100).cast("long"))
+            .otherwise(0L)).as("returned_cents"),
+          sum(when($"l_returnflag" =!= "R", ($"l_extendedprice" * 100).cast("long"))
+            .otherwise(0L)).as("kept_cents"),
           count(lit(1)).as("cnt"))
         .orderBy($"l_linestatus")
     },
@@ -321,7 +326,7 @@ object RelationalQueries {
     Q.sql(
       "q16_revenue_by_region",
       """SELECT r_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(sum(CAST(trunc(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation   ON s_nationkey = n_nationkey
@@ -335,7 +340,10 @@ object RelationalQueries {
         .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
         .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name")
-        .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+        // integer cents — 5 region groups × 60M+ rows put the double
+        // sum past the 2-dp-stable magnitude (100× certificate find)
+        .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100).cast("long"))
+          .as("revenue_cents"))
         .orderBy($"r_name")
     }
   )

@@ -46,7 +46,7 @@ object SetOpQueries {
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
         |  coalesce(l_linestatus, 'ALL') AS lstatus,
         |  count(*) AS cnt,
-        |  round(sum(l_extendedprice), 2) AS total
+        |  CAST(sum(CAST(trunc(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY rflag, lstatus""".stripMargin
@@ -56,11 +56,15 @@ object SetOpQueries {
         .groupingSets(
           Seq(Seq($"l_returnflag"), Seq($"l_linestatus"), Seq.empty),
           $"l_returnflag", $"l_linestatus")
-        .agg(count(lit(1)).as("cnt"), round(sum($"l_extendedprice"), 2).as("total"))
+        // integer cents — the grand-total grouping set sums the whole
+        // fact table (~1e12 at the 100× replica), past the 2-dp-stable
+        // double magnitude (100× certificate find)
+        .agg(count(lit(1)).as("cnt"),
+          sum(($"l_extendedprice" * 100).cast("long")).as("total_cents"))
         .select(
           coalesce($"l_returnflag", lit("ALL")).as("rflag"),
           coalesce($"l_linestatus", lit("ALL")).as("lstatus"),
-          $"cnt", $"total")
+          $"cnt", $"total_cents")
         .orderBy($"rflag", $"lstatus")
     },
 

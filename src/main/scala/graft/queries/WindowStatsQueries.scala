@@ -132,7 +132,7 @@ object WindowStatsQueries {
         |SELECT l.l_returnflag,
         |  CAST(count(*) FILTER (WHERE l_extendedprice < lo) AS BIGINT) AS n_low,
         |  CAST(count(*) FILTER (WHERE l_extendedprice > hi) AS BIGINT) AS n_high,
-        |  round(sum(least(greatest(l_extendedprice, lo), hi)), 2) AS clipped_sum
+        |  CAST(sum(CAST(trunc(least(greatest(l_extendedprice, lo), hi) * 100) AS BIGINT)) AS BIGINT) AS clipped_cents
         |FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
         |GROUP BY 1
         |ORDER BY 1""".stripMargin
@@ -149,7 +149,13 @@ object WindowStatsQueries {
         .agg(
           count_if($"l_extendedprice" < $"lo").as("n_low"),
           count_if($"l_extendedprice" > $"hi").as("n_high"),
-          round(sum(least(greatest($"l_extendedprice", $"lo"), $"hi")), 2).as("clipped_sum"))
+          // integer cents (q116's pattern): the per-row clip, ×100 and
+          // truncation are IEEE-identical in both engines, and BIGINT
+          // sums are associative — a rounded double sum drifts past
+          // 2 dp once the group's magnitude crosses ~1e12 (caught by
+          // the 100× certificate, 60M rows per group)
+          sum((least(greatest($"l_extendedprice", $"lo"), $"hi") * 100).cast("long"))
+            .as("clipped_cents"))
         .orderBy($"l_returnflag")
     },
 
@@ -166,8 +172,8 @@ object WindowStatsQueries {
         |    quantile_cont(l_quantity, 0.95) AS qhi
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l.l_returnflag,
-        |  round(sum(least(greatest(l_extendedprice, plo), phi)), 2) AS clipped_price_sum,
-        |  round(sum(least(greatest(l_quantity, qlo), qhi)), 2) AS clipped_qty_sum
+        |  CAST(sum(CAST(trunc(least(greatest(l_extendedprice, plo), phi) * 100) AS BIGINT)) AS BIGINT) AS clipped_price_cents,
+        |  CAST(sum(CAST(trunc(least(greatest(l_quantity, qlo), qhi) * 100) AS BIGINT)) AS BIGINT) AS clipped_qty_cents
         |FROM lineitem l JOIN q USING (l_returnflag)
         |GROUP BY l.l_returnflag
         |ORDER BY l.l_returnflag""".stripMargin
@@ -177,8 +183,10 @@ object WindowStatsQueries {
         Tables.lineitem(s, d), "l_returnflag", Seq("l_extendedprice", "l_quantity"))
       clipped.groupBy($"l_returnflag")
         .agg(
-          round(sum($"l_extendedprice"), 2).as("clipped_price_sum"),
-          round(sum($"l_quantity"), 2).as("clipped_qty_sum"))
+          // integer cents — see q49's note: exact associative sums are
+          // the only formulation that hash-matches at every scale
+          sum(($"l_extendedprice" * 100).cast("long")).as("clipped_price_cents"),
+          sum(($"l_quantity" * 100).cast("long")).as("clipped_qty_cents"))
         .orderBy($"l_returnflag")
     },
 

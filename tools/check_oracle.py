@@ -38,8 +38,15 @@ def fresh_con(sf_dir):
     # The cap + spill dir make heavy oracles degrade to disk instead
     # of getting OOM-killed mid-artifact.
     con = duckdb.connect()
-    con.execute("SET memory_limit='90GB'")
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEMLIMIT', '90GB')}'")
+    # one spill dir PER PROCESS: two concurrent checkers sharing a
+    # temp_directory delete each other's spill files mid-query
+    con.execute(
+        f"SET temp_directory='{os.environ.get('DUCKDB_TMPDIR', '/tmp/duckdb_spill')}'")
+    # cap DuckDB's thread pool when sharing the box with a live Spark
+    # run (e.g. checking completed dumps while Verify is still going)
+    if os.environ.get("DUCKDB_THREADS"):
+        con.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
