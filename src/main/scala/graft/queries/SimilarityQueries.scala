@@ -136,20 +136,34 @@ object SimilarityQueries {
 
     // IVF ANN, oracle-matched end-to-end: deterministic coarse
     // quantizer (every 50th vector), nearest-cell inversion, 4-cell
-    // probe, exact re-rank.
+    // probe, exact re-rank. The oracle's corpus-side assignment is a
+    // STREAMING min over a lexicographic (negsim, cell) struct — the
+    // windowed row_number replay materializes the corpus × centroid
+    // grid (cells ∝ n ⇒ n²/50 rows carrying two vectors each) and
+    // dies on disk at the 100× replica; min(STRUCT) replays the same
+    // (csim DESC, cell ASC) pick-1 through a 1-row-per-vector hash
+    // aggregate. The probe side keeps the window on the 5-query grid.
     Q.sql(
       "ann_topk_ivf",
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 50 = 0),
-        |asgn AS (
+        |inv0 AS (
+        |  SELECT n.vec_id,
+        |    min({'negsim': -(list_dot_product(n.v, c.cv)/sqrt(list_dot_product(n.v, n.v))/sqrt(list_dot_product(c.cv, c.cv))),
+        |         'cell': c.cell}) AS b
+        |  FROM e n, c
+        |  GROUP BY n.vec_id),
+        |inv AS (
+        |  SELECT i.vec_id AS neighbor_id, e.v AS nv, struct_extract(i.b, 'cell') AS cell
+        |  FROM inv0 i JOIN e ON e.vec_id = i.vec_id),
+        |qasgn AS (
         |  SELECT n.vec_id, n.v, c.cell,
         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
         |      list_dot_product(n.v, c.cv)/sqrt(list_dot_product(n.v, n.v))/sqrt(list_dot_product(c.cv, c.cv)) DESC,
         |      c.cell) AS crank
-        |  FROM e n, c),
-        |inv AS (SELECT vec_id AS neighbor_id, v AS nv, cell FROM asgn WHERE crank = 1),
-        |probed AS (SELECT vec_id AS query_id, v AS qv, cell FROM asgn WHERE crank <= 4 AND vec_id < 5)
+        |  FROM e n, c WHERE n.vec_id < 5),
+        |probed AS (SELECT vec_id AS query_id, v AS qv, cell FROM qasgn WHERE crank <= 4)
         |SELECT query_id, neighbor_id, sim, rank FROM (
         |  SELECT p.query_id, i.neighbor_id,
         |    round(list_dot_product(p.qv, i.nv)/sqrt(list_dot_product(p.qv, p.qv))/sqrt(list_dot_product(i.nv, i.nv)), 6) AS sim,
