@@ -111,48 +111,65 @@ object ScaleBench {
       df.withColumn("_i", explode(sequence(lit(0), lit(factor - 1)))).repartition(32)
     val i = col("_i")
 
+    // SPARK_GRAFT_TABLES=events,documents — restrict which fact
+    // tables are generated (dims always copy through). A 1000×
+    // lineitem needs ~60 GB of shuffle temp, which this box cannot
+    // hold; an events+documents-only replica keeps the dedup/
+    // sessionization/LM families probe-able one decade further.
+    val wanted = sys.env.get("SPARK_GRAFT_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def on(t: String) = wanted.forall(_.contains(t))
+
     // dims copy through unscaled
     for (t <- Seq("nation", "region", "part", "supplier")) write(read(t), t)
 
-    val custShift = shiftOf(read("customer"), "c_custkey")
-    val orderShift = shiftOf(read("orders"), "o_orderkey")
-    write(replicate(read("customer"))
-      .withColumn("c_custkey", col("c_custkey") + i * custShift)
-      .withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))
-      .drop("_i"), "customer")
-    write(replicate(read("orders"))
-      .withColumn("o_orderkey", col("o_orderkey") + i * orderShift)
-      .withColumn("o_custkey", col("o_custkey") + i * custShift)
-      .drop("_i"), "orders")
-    write(replicate(read("lineitem"))
-      .withColumn("l_orderkey", col("l_orderkey") + i * orderShift)
-      .drop("_i"), "lineitem")
+    if (on("customer") || on("orders") || on("lineitem")) {
+      val custShift = shiftOf(read("customer"), "c_custkey")
+      val orderShift = shiftOf(read("orders"), "o_orderkey")
+      if (on("customer")) write(replicate(read("customer"))
+        .withColumn("c_custkey", col("c_custkey") + i * custShift)
+        .withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))
+        .drop("_i"), "customer")
+      if (on("orders")) write(replicate(read("orders"))
+        .withColumn("o_orderkey", col("o_orderkey") + i * orderShift)
+        .withColumn("o_custkey", col("o_custkey") + i * custShift)
+        .drop("_i"), "orders")
+      if (on("lineitem")) write(replicate(read("lineitem"))
+        .withColumn("l_orderkey", col("l_orderkey") + i * orderShift)
+        .drop("_i"), "lineitem")
+    }
 
     val ev = read("events")
-    val evShift = shiftOf(ev, "event_id")
-    val userShift = shiftOf(ev, "user_id")
-    write(replicate(ev)
-      .withColumn("event_id", col("event_id") + i * evShift)
-      .withColumn("user_id", col("user_id") + i * userShift)
-      .drop("_i"), "events")
+    if (on("events")) {
+      val evShift = shiftOf(ev, "event_id")
+      val userShift = shiftOf(ev, "user_id")
+      write(replicate(ev)
+        .withColumn("event_id", col("event_id") + i * evShift)
+        .withColumn("user_id", col("user_id") + i * userShift)
+        .drop("_i"), "events")
+    }
 
-    val docShift = shiftOf(read("documents"), "doc_id")
-    write(replicate(read("documents"))
-      .withColumn("doc_id", col("doc_id") + i * docShift)
-      .withColumn("text", when(i === 0, col("text")).otherwise(
-        concat_ws(" ", transform(split(col("text"), " "),
-          t => concat(lit("r"), i.cast("string"), lit("_"), t)))))
-      .withColumn("n_chars", length(col("text")))
-      .drop("_i"), "documents")
+    if (on("documents")) {
+      val docShift = shiftOf(read("documents"), "doc_id")
+      write(replicate(read("documents"))
+        .withColumn("doc_id", col("doc_id") + i * docShift)
+        .withColumn("text", when(i === 0, col("text")).otherwise(
+          concat_ws(" ", transform(split(col("text"), " "),
+            t => concat(lit("r"), i.cast("string"), lit("_"), t)))))
+        .withColumn("n_chars", length(col("text")))
+        .drop("_i"), "documents")
+    }
 
-    val vecShift = shiftOf(read("embeddings"), "vec_id")
-    write(replicate(read("embeddings"))
-      .withColumn("vec_id", col("vec_id") + i * vecShift)
-      .withColumn("embedding", when(i === 0, col("embedding")).otherwise(
-        transform(col("embedding"), (x, j) =>
-          (x * when(pmod(xxhash64(i, j), lit(2)) === 0, 1.0d).otherwise(-1.0d))
-            .cast("float"))))
-      .drop("_i"), "embeddings")
+    if (on("embeddings")) {
+      val vecShift = shiftOf(read("embeddings"), "vec_id")
+      write(replicate(read("embeddings"))
+        .withColumn("vec_id", col("vec_id") + i * vecShift)
+        .withColumn("embedding", when(i === 0, col("embedding")).otherwise(
+          transform(col("embedding"), (x, j) =>
+            (x * when(pmod(xxhash64(i, j), lit(2)) === 0, 1.0d).otherwise(-1.0d))
+              .cast("float"))))
+        .drop("_i"), "embeddings")
+    }
     println(s"[scale] generated ${factor}x of $baseDir at $outDir")
   }
 }
