@@ -54,7 +54,12 @@ object Retrieval {
           .as("_tfs"))
       // one compact row per document (id, dl, |terms| counts) — far
       // smaller than the raw text; materialized so the stats scalar
-      // and the tf frame don't each re-tokenize the corpus
+      // and the tf frame don't each re-tokenize the corpus.
+      // NOTE: this makes bm25() EAGER — constructing the returned
+      // DataFrame runs a Spark job, and each call re-materializes the
+      // per-doc frame. Callers scoring several term sets over the same
+      // corpus should tokenize once upstream rather than call bm25 in
+      // a loop.
       .localCheckpoint(true)
     val stats = perDoc.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val tf = perDoc

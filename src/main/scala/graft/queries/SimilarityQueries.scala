@@ -143,6 +143,10 @@ object SimilarityQueries {
     // dies on disk at the 100× replica; min(STRUCT) replays the same
     // (csim DESC, cell ASC) pick-1 through a 1-row-per-vector hash
     // aggregate. The probe side keeps the window on the 5-query grid.
+    // ASSUMES no zero-norm embeddings: a NaN similarity would sort
+    // greatest under the window (DuckDB NaN-is-largest) but be skipped
+    // by the struct min — the generated corpus has no zero vectors
+    // (certified at 100×); re-check if the generator ever changes.
     Q.sql(
       "ann_topk_ivf",
       """WITH e AS (

@@ -42,7 +42,7 @@ def fresh_con(sf_dir):
     # one spill dir PER PROCESS: two concurrent checkers sharing a
     # temp_directory delete each other's spill files mid-query
     con.execute(
-        f"SET temp_directory='{os.environ.get('DUCKDB_TMPDIR', '/tmp/duckdb_spill')}'")
+        f"SET temp_directory='{os.environ.get('DUCKDB_TMPDIR', f'/tmp/duckdb_spill_{os.getpid()}')}'")
     # cap DuckDB's thread pool when sharing the box with a live Spark
     # run (e.g. checking completed dumps while Verify is still going)
     if os.environ.get("DUCKDB_THREADS"):

@@ -6,12 +6,18 @@ queries.
 
 Usage: python3 tools/drop_entries.py <report.json> <q1,q2,...>
 """
-import sys, json
+import sys, json, os, tempfile
 
 def main(path, names):
     report = json.load(open(path))
     dropped = [n for n in names if report.pop(n, None) is not None]
-    json.dump(report, open(path, "w"), indent=1, sort_keys=True)
+    # atomic rewrite: a crash mid-dump must not destroy the (expensive,
+    # resumable) certificate, so write a sibling temp file and rename
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path)),
+                               suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
     print(f"dropped {len(dropped)}/{len(names)} from {path}: {dropped}")
 
 if __name__ == "__main__":
