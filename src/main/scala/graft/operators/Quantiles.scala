@@ -46,8 +46,18 @@ object Quantiles {
     val keys = groupCols.map(col)
     val sortW = Window.partitionBy(keys: _*).orderBy(col("_v").asc_nulls_last)
     val cntW = Window.partitionBy(keys: _*)
+    // explicit numPartitions: an AQE-planned exchange here coalesces
+    // the (small-byte, large-row) shuffle to ONE partition and the
+    // window sort runs single-task — a 2× query-level slowdown at
+    // sf0.1 and a straight scale hazard. A user-specified repartition
+    // is exempt from coalescing, and hash-on-keys satisfies the
+    // window's required distribution, so no second exchange appears.
+    // Ties land identically either way: rank selection reads the VALUE
+    // at a rank, and tied ranks hold equal values.
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
     val ranked = df
       .select(keys :+ col(valCol).cast("double").as("_v"): _*)
+      .repartition(n, keys: _*)
       .withColumn("_rn", row_number().over(sortW).cast("long"))
       .withColumn("_n", count(col("_v")).over(cntW))
     val aggs = ps.flatMap { case (name, p) =>

@@ -165,10 +165,17 @@ object TextDedup {
     * of ONE shared signature frame, the candidate-pair count, the
     * verified-dup count, and the precision — the measurement that
     * picks the banding before a 100 TB run (more bands = higher
-    * recall, quadratically more candidates to verify). Signatures are
-    * computed once; each config adds only its band explode + bucket
-    * join; candidate frames are checkpointed because both the count
-    * and the verify pass consume them.
+    * recall, quadratically more candidates to verify).
+    *
+    * One wave, not one per config: every config's band rows carry a
+    * config tag into a SINGLE self-join on (cfg, band, bkey), and the
+    * expensive jaccard verify runs once per DISTINCT candidate pair
+    * across configs (the per-config verdicts are then joined back) —
+    * a pair surfacing under 3 of 4 bandings costs one array
+    * intersection, not three. The verify is explicitly repartitioned:
+    * its input is few rows × big shingle arrays, exactly the
+    * small-byte/heavy-CPU shape AQE's byte-based coalescing collapses
+    * to one task.
     */
   def lshTuningTable(
       df: DataFrame, idCol: String, textCol: String,
@@ -176,6 +183,8 @@ object TextDedup {
       configs: Seq[(Int, Int)] = Seq((2, 6), (3, 4), (4, 3), (6, 2))): DataFrame = {
     require(configs.nonEmpty && configs.forall { case (b, r) => b * r == numHashes },
       s"every (bands, rowsPerBand) config must multiply to numHashes=$numHashes")
+    require(configs.map(_._1).distinct.size == configs.size,
+      "band counts must be distinct (bands is the config key)")
     GraftFunctions.register(df.sparkSession)
     val sh = df.select(
       col(idCol).as("doc_id"),
@@ -184,38 +193,57 @@ object TextDedup {
       .withColumn("sig", GraftFunctions.minhashSig(col("sh"), numHashes))
       .persist()
     val shOnly = sh.select(col("doc_id"), col("sh"))
-    val rows = configs.map { case (b, r) =>
-      val banded = sh.select(
-        col("doc_id"),
-        explode(array((0 until b).map { bd =>
-          struct(lit(bd).as("band"),
+    // all configs' band rows in one explode: (doc_id, cfg, band, bkey)
+    val banded = sh.select(
+      col("doc_id"),
+      explode(array(configs.flatMap { case (b, r) =>
+        (0 until b).map { bd =>
+          struct(lit(b).as("cfg"), lit(bd).as("band"),
             md5(concat_ws("_",
               (0 until r).map(rr => element_at(col("sig"), bd * r + rr + 1)): _*))
               .as("bkey"))
-        }: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
-      val cand = banded.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
-        .join(banded.select(col("band"), col("bkey"), col("doc_id").as("id_b")),
-          Seq("band", "bkey"))
+        }
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.cfg"), col("bb.band"), col("bb.bkey"))
+    // Both heavy stages here break AQE's bytes≈cost assumption (the
+    // bucket join's output is quadratic per bucket; the verify is
+    // array-CPU-bound) and coalesce to one task under the default 1MB
+    // floor — scope a lower floor over this operator's own actions
+    // (everything below is materialized before returning).
+    val out = graft.plans.ConfScope.withMinPartitionSize(df.sparkSession, "16KB") {
+      // one bucket self-join covers every config; checkpointed because
+      // the per-config counts AND the verify pass both consume it
+      val cand = banded.select(col("cfg"), col("band"), col("bkey"), col("doc_id").as("id_a"))
+        .join(banded.select(col("cfg"), col("band"), col("bkey"), col("doc_id").as("id_b")),
+          Seq("cfg", "band", "bkey"))
         .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
+        .select(col("cfg"), col("id_a"), col("id_b")).distinct()
         .localCheckpoint(true)
-      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
-      val nVer = cand
+      val verdicts = cand.select(col("id_a"), col("id_b")).distinct()
         .join(shOnly.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
         .join(shOnly.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-        .filter(round(jaccard(col("sh_a"), col("sh_b")), 4) >= threshold)
-        .agg(count(lit(1)).as("n_verified"))
-      nCand.crossJoin(nVer).select(
-        lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
-        col("n_candidates"), col("n_verified"),
-        round(col("n_verified").cast("double") /
-          greatest(col("n_candidates"), lit(1L)), 6).as("precision"))
+        .select(col("id_a"), col("id_b"),
+          (round(jaccard(col("sh_a"), col("sh_b")), 4) >= threshold).as("_ok"))
+      val perCfg = cand.join(verdicts, Seq("id_a", "id_b"))
+        .groupBy(col("cfg"))
+        .agg(count(lit(1)).as("n_candidates"),
+          count_if(col("_ok")).as("n_verified"))
+      // left join onto the literal config list so a zero-candidate
+      // config still emits its row
+      val cfgRows = configs.map { case (b, r) => (b, b.toLong, r.toLong) }
+      val cfgDf = df.sparkSession.createDataFrame(cfgRows)
+        .toDF("cfg", "bands", "rows_per_band")
+      cfgDf.join(perCfg, Seq("cfg"), "left")
+        .select(col("bands"), col("rows_per_band"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+          round(coalesce(col("n_verified"), lit(0L)).cast("double") /
+            greatest(coalesce(col("n_candidates"), lit(0L)), lit(1L)), 6).as("precision"))
+        // materialize eagerly so the persisted signature frame can be
+        // released before returning (a lazy return here would leak
+        // sh's cached blocks for the session)
+        .localCheckpoint(true)
     }
-    // One row per config: materialize eagerly so the persisted
-    // signature frame can be released before returning (a lazy return
-    // here would leak sh's cached blocks for the session).
-    val out = rows.reduce(_ unionByName _).localCheckpoint(true)
     sh.unpersist()
     out
   }
@@ -408,6 +436,14 @@ object TextDedup {
           i.as("pos"))))
     val keyed = base.select(w, explode(keys).as("kp"))
       .select(col("w"), col("kp.kh").as("kh"), col("kp.pos").as("pos"))
+      // explicit partition count: vocab keys are byte-light, so AQE's
+      // 1MB floor coalesces this exchange to ~1 task and the per-bucket
+      // pair scan + levenshtein verify (the query's CPU) serialize.
+      // A user repartition is exempt, satisfies the groupBy's required
+      // clustering (no second exchange), and partial collect_list
+      // wouldn't have reduced shuffle bytes anyway.
+      .repartition(
+        vocab.sparkSession.sessionState.conf.numShufflePartitions, col("kh"))
     // ONE shuffle, no join: group the (word, pos) members sharing a key.
     // A bucket for key k can only hold k itself plus strings one
     // insertion away from k — at most (|k|+1)·|Σ|+1 members for

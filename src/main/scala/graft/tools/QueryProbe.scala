@@ -13,13 +13,21 @@ object QueryProbe {
       (if (args.nonEmpty) args(0) else "q74_edit1_join").split(",").map(_.trim).toSeq
     val reps = if (args.length > 1) args(1).toInt else 4
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    // ad-hoc conf overrides for hypothesis testing, e.g.
+    // SPARK_GRAFT_CONF="spark.sql.adaptive.coalescePartitions.enabled=false"
+    sys.env.get("SPARK_GRAFT_CONF").foreach { kvs =>
+      kvs.split(";").filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobLog = sys.env.get("SPARK_GRAFT_JOBLOG").contains("1")
     if (jobLog) {
