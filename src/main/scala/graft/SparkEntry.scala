@@ -17,7 +17,8 @@ object SparkEntry {
     RelationalQueries.all ++ PipelineQueries.all ++ AdvancedQueries.all ++
       SetOpQueries.all ++ WindowStatsQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
-      CurationQueries.all ++ QualityQueries.all ++ RetrievalQueries.all
+      CurationQueries.all ++ QualityQueries.all ++ RetrievalQueries.all ++
+      StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -165,7 +165,9 @@ object EventStream {
             state.remove()
             Iterator(out)
           } else {
-            val batch = incoming.toSeq.sortBy(_.ts.getTime)
+            // (ts, event_id) order: the ms-equal tiebreak makes the fold
+            // deterministic under replay regardless of arrival order
+            val batch = incoming.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             if (batch.isEmpty) Iterator.empty
             else {
               // fold events through the open session, CLOSING it (and
@@ -287,12 +289,13 @@ object EventStream {
     * cardinality, no timeout needed; events inside a micro-batch are
     * folded in (ts, event_id) order so replays are deterministic.
     */
-  def driftScores(events: Dataset[Event], alpha: Double = 0.5): Dataset[DriftScore] = {
+  def driftScores(events: Dataset[Event], alpha: Double = 0.5,
+      keyOf: Event => String = _.event_type): Dataset[DriftScore] = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .groupByKey(_.event_type)
+      .groupByKey(keyOf)
       .flatMapGroupsWithState[DriftState, DriftScore](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: String, incoming: Iterator[Event], state: GroupState[DriftState]) =>

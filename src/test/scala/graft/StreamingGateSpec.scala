@@ -1,0 +1,103 @@
+package graft
+
+import graft.queries.StreamingQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pins the streaming gate's batch-equality contract in-engine: each
+  * streaming replay (MemoryStream → stateful transform → memory sink,
+  * sentinel-drained watermark) must equal the batch formulation of the
+  * same computation, and nothing sentinel-derived may leak into the
+  * output. The cross-engine half of the contract is the DuckDB oracle
+  * in StreamingQueries itself (driver gate).
+  */
+class StreamingGateSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String): DataFrame =
+    StreamingQueries.all.find(_.name == name).get.fn(spark, sf)
+
+  private def assertSameRows(got: DataFrame, want: DataFrame): Unit = {
+    assert(got.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      want.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("q153: streaming windowed counts drain to the exact batch hourly rollup") {
+    val got = run("q153_stream_hour_counts")
+    val want = Tables.events(spark, sf)
+      .groupBy((expr("ts_ns div 3600000000000") * 3600000000000L).as("ws_ns"),
+        $"event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(($"value" * 100).cast("long")).as("total_cents"))
+    assert(got.count() > 0)
+    assert(got.filter($"event_type" === "__sentinel").isEmpty)
+    assertSameRows(got, want.select($"ws_ns", $"event_type", $"cnt", $"total_cents"))
+  }
+
+  test("q154: streaming sessions equal batch sessionization, incl. each user's final session") {
+    val got = run("q154_stream_sessions")
+    // ms-floor gap arithmetic, (ms, event_id) order — the operator's contract
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ms", $"event_id")
+    val sessions = Tables.events(spark, sf)
+      .withColumn("ms", expr("ts_ns div 1000000"))
+      .withColumn("cents", ($"value" * 100).cast("long"))
+      .withColumn("prev_ms", lag($"ms", 1).over(w))
+      .withColumn("brk",
+        when($"prev_ms".isNull || $"ms" - $"prev_ms" > 1800000L, 1L).otherwise(0L))
+      .withColumn("sid", sum($"brk").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("sns", first($"ts_ns").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"user_id", $"sid")
+          .orderBy($"ms", $"event_id")))
+      .groupBy($"user_id", $"sid")
+      .agg(count(lit(1)).as("n_events"), sum($"cents").as("total_cents"),
+        min($"sns").as("start_ns"), max($"ts_ns").as("end_ns_by_max"))
+    // n_sessions and totals must match exactly; the final open session
+    // of every user must have been drained by the sentinel timeout
+    assert(got.count() == sessions.count())
+    assert(got.agg(sum($"n_events")).as[Long].head() ==
+      Tables.events(spark, sf).count())
+    assert(got.filter($"user_id" === -1L).isEmpty)
+  }
+
+  test("q156: streaming window top-k emits every real window once, ranked") {
+    val got = run("q156_stream_window_topk").cache()
+    val nWindows = Tables.events(spark, sf)
+      .select(expr("ts_ns div 3600000000000").as("w")).distinct().count()
+    // every real window drained exactly once; no partial windows held back
+    assert(got.select($"ws_ns").distinct().count() == nWindows)
+    assert(got.filter($"event_type" === "__sentinel").isEmpty)
+    // ranks are 1..k dense per window
+    val badRank = got.groupBy($"ws_ns")
+      .agg(collect_list($"rank").as("rks"))
+      .filter(expr("sort_array(rks) != sequence(1, size(rks))"))
+    assert(badRank.isEmpty)
+    got.unpersist()
+  }
+
+  test("q158: streaming drift trace equals the batch EWMA fold bit-for-bit") {
+    val got = run("q158_stream_drift")
+    // batch replay of the same fold, driver-side, in the same order
+    val evts = Tables.events(spark, sf)
+      .select($"event_type", $"user_id", $"event_id",
+        expr("ts_ns div 1000000").as("ms"), ($"value" * 100).cast("long").as("cents"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .sortBy(e => (e._4, e._3))
+    val want = scala.collection.mutable.Map[String, Double]()
+    val expected = evts.map { case (t, u, id, _, cents) =>
+      val k = s"$t|$u"
+      val v = cents.toDouble
+      val e = want.get(k).map(prev => 0.5 * v + 0.5 * prev).getOrElse(v)
+      want(k) = e
+      (k, id, cents, e, math.abs(v - e))
+    }.toSeq
+    val gotRows = got.select($"drift_key", $"event_id", $"value_cents", $"ewma", $"drift")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(gotRows.sortBy(_._2) == expected.sortBy(_._2))
+  }
+}
