@@ -32,7 +32,11 @@ object Verify {
     // jobs fine, and overlapping the per-query fixed costs (planning,
     // AQE stage turnaround) cuts the gate's wall-clock ~4x. Failures
     // stay per-query, like the sequential loop.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    // SPARK_GRAFT_VERIFY_THREADS=1 for driver-heavy replays (e.g. the
+    // streaming queries at a 100x replica collect the corpus to the
+    // driver — four in flight can exhaust even a large heap)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt)
     // SPARK_GRAFT_ONLY=a,b,c — builder-side iteration filter, same as
     // Bench; the driver never sets it, so the gate always runs all
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -62,11 +62,22 @@ object TextFunctions {
     * to the Column form (asserted in HashExprSpec): md5 hex of the
     * UTF-8 bytes, first 15 hex chars as a 60-bit long.
     */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def hash60Scala(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8"))
-      .map(b => f"${b & 0xff}%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    // first 15 hex chars == high 60 bits of the first 8 digest bytes
+    // (big-endian >>> 4) — integer form of parseLong(hex.take(15), 16),
+    // pinned bit-identical to the Column family by HashExprSpec
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
   }
 
   /** Seeded Scala mirror of hash60(c, seed). */

@@ -3,85 +3,119 @@ package graft.queries
 import graft.{Q, Tables}
 import graft.streaming.EventStream
 import graft.streaming.EventStream.Event
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming operators under the cross-engine correctness
   * gate — the reference is batch-only (SURVEY.md §2.9), so these
   * certify the scale-path extension: each query replays the bounded
-  * `events` corpus through a real streaming query (MemoryStream →
+  * `events` corpus through a real streaming query (file source →
   * stateful transform → memory sink) and the DuckDB oracle states the
   * batch-equivalent SQL. Equality holds because every operator here
   * either emits independently of micro-batch boundaries (update-mode
   * state, inner stream-stream join) or finalizes all real event-time
-  * state once a far-future sentinel advances the watermark (Spark runs
-  * a data-less extra micro-batch whenever the watermark advances past
-  * pending state — `IncrementalExecution.shouldRunAnotherBatch` — so
-  * append aggregates and event-time timeouts drain completely).
+  * state once a far-future sentinel file advances the watermark (Spark
+  * runs a data-less extra micro-batch whenever the watermark advances
+  * past pending state — `IncrementalExecution.shouldRunAnotherBatch` —
+  * so append aggregates and event-time timeouts drain completely).
+  *
+  * The feed is `readStream.parquet` over a staged copy of the corpus —
+  * the PRODUCTION ingest path, distributed end-to-end with no
+  * driver-side data (a MemoryStream feed serializes the corpus into
+  * every stage's task binary — ~700 MB at a 100× replica — which is
+  * why it is only used in unit specs). All initial files land in the
+  * first micro-batch (no maxFilesPerTrigger), so within-batch file
+  * order is irrelevant: every stateful fold below sorts by (ts ms,
+  * event_id) or is order-insensitive.
   *
   * Determinism contracts (why a streaming run hash-matches batch SQL):
-  *  - all folds inside the stateful operators sort by (ts ms,
-  *    event_id) before applying state, so arrival order is irrelevant;
+  *  - single data batch: watermark state eviction cannot fire between
+  *    rows, and update-mode operators emit each cell exactly once;
   *  - monetary sums ride integer cents (exact in doubles);
   *  - the EWMA replays `0.5*v + 0.5*e` — the identical IEEE op
   *    sequence DuckDB's recursive CTE evaluates, so the trace is
   *    bit-equal even once the dyadic expansion exceeds the mantissa;
   *  - gap/window/timeout arithmetic is millisecond-floor on both
   *    sides (`Timestamp.getTime` ↔ `epoch_ns(ts)//1000000`).
-  *
-  * The MemoryStream feed collects the corpus to the driver — that is
-  * the determinism HARNESS, not the operator: the transforms take any
-  * streaming Dataset, and the production entry is `readStream` from
-  * files/Kafka where micro-batch boundaries don't need pinning (the
-  * contracts above make the results batch-boundary-invariant anyway).
   */
 object StreamingQueries {
 
-  /** Far enough that no real event-time state can outlive it; its own
-    * window/session state stays open (window < watermark distance), so
-    * nothing sentinel-derived is ever emitted.
+  private implicit val eventEnc: Encoder[Event] = Encoders.product[Event]
+
+  /** Later than any event time any testdata scale carries (2024), by
+    * years — beyond every watermark delay and window, so the
+    * sentinel's own state never finalizes and nothing sentinel-derived
+    * is ever emitted.
     */
-  private val SentinelGapMs = 100L * 24 * 3600 * 1000
+  private val SentinelTs =
+    java.sql.Timestamp.from(java.time.Instant.parse("2030-01-01T00:00:00Z"))
+
+  /** Stage a projection to a temp parquet dir that serves as the
+    * streaming source. Distributed write, no driver collect.
+    */
+  private def stage(df: DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("gq_stream_src").toString
+    df.write.mode("overwrite").parquet(dir)
+    dir
+  }
 
   /** Events with `value` as integer cents (exact in doubles — the
     * streaming folds stay drift-free and the oracle replays BIGINT).
     */
-  private def collectEvents(s: SparkSession, d: String): Seq[Event] = {
+  private def centsEvents(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.events(s, d)
       .select($"event_id", $"ts", $"user_id", $"event_type",
         ($"value" * 100).cast("long").cast("double").as("value"))
-      .as[Event].collect().toSeq
   }
 
-  private def sentinelAfter(evts: Seq[Event]): Event =
-    Event(-1L, new java.sql.Timestamp(evts.map(_.ts.getTime).max + SentinelGapMs),
-      -1L, "__sentinel", 0.0)
+  /** Clone the session for the replay: results are state-partition-
+    * invariant, but each micro-batch pays store setup/commit PER
+    * partition — 8 instead of 32 roughly halves the bounded replay's
+    * wall-clock without touching the caller's conf (a cluster run
+    * would size this up with the corpus, like any shuffle).
+    */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss
+  }
 
-  /** Run one bounded streaming replay: feed the whole corpus as one
-    * micro-batch, optionally advance the watermark with a sentinel
-    * (event-time state then drains in the watermark-only batch), and
-    * return the memory sink's table.
+  private def eventStream(s: SparkSession, dir: String): Dataset[Event] =
+    s.readStream.schema(eventEnc.schema).parquet(dir).as[Event]
+
+  private def rmdir(dir: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    } catch { case _: Throwable => () }
+
+  /** Run one bounded streaming replay: the staged corpus arrives as
+    * one micro-batch, then (optionally) a sentinel file advances the
+    * watermark so event-time state drains in the data-less batch that
+    * follows. Returns the memory sink's table.
     */
   private def replay(s: SparkSession, view: String, d: String,
       sentinel: Boolean, mode: String = "append")(
       build: Dataset[Event] => DataFrame): DataFrame = {
     import s.implicits._
-    implicit val sqlCtx = s.sqlContext
-    val evts = collectEvents(s, d)
-    val in = MemoryStream[Event]
-    val q = build(in.toDS())
+    val src = stage(centsEvents(s, d))
+    val ss = streamSession(s)
+    val q = build(eventStream(ss, src))
       .writeStream.format("memory").queryName(view).outputMode(mode).start()
     try {
-      in.addData(evts: _*)
       q.processAllAvailable()
       if (sentinel) {
-        in.addData(sentinelAfter(evts))
+        Seq(Event(-1L, SentinelTs, -1L, "__sentinel", 0.0)).toDS().toDF()
+          .write.mode("append").parquet(src)
         q.processAllAvailable()
       }
-    } finally q.stop()
-    s.table(view)
+    } finally {
+      q.stop()
+      rmdir(src)
+    }
+    ss.table(view)
   }
 
   val all: Seq[Q] = Seq(
@@ -164,20 +198,18 @@ object StreamingQueries {
         |ORDER BY left_id, right_id""".stripMargin
     ) { (s, d) =>
       import s.implicits._
-      implicit val sqlCtx = s.sqlContext
-      val evts = collectEvents(s, d)
-      val views = MemoryStream[Event]
-      val buys = MemoryStream[Event]
+      val ev = centsEvents(s, d)
+      val lsrc = stage(ev.filter($"event_type" === "view"))
+      val rsrc = stage(ev.filter($"event_type" === "purchase"))
+      val ss = streamSession(s)
       val q = EventStream.intervalJoin(
-        views.toDF(), buys.toDF(), "user_id", within = "15 minutes")
+        eventStream(ss, lsrc).toDF(), eventStream(ss, rsrc).toDF(),
+        "user_id", within = "15 minutes")
         .writeStream.format("memory").queryName("gq_stream_ijoin")
         .outputMode("append").start()
-      try {
-        views.addData(evts.filter(_.event_type == "view"): _*)
-        buys.addData(evts.filter(_.event_type == "purchase"): _*)
-        q.processAllAvailable()
-      } finally q.stop()
-      s.table("gq_stream_ijoin")
+      try q.processAllAvailable()
+      finally { q.stop(); rmdir(lsrc); rmdir(rsrc) }
+      ss.table("gq_stream_ijoin")
         .select($"user_id", $"left_id", $"right_id",
           (unix_micros($"left_ts") * 1000L).as("left_ns"),
           (unix_micros($"right_ts") * 1000L).as("right_ns"))
@@ -279,17 +311,20 @@ object StreamingQueries {
         |ORDER BY 1, 2""".stripMargin
     ) { (s, d) =>
       import s.implicits._
-      implicit val sqlCtx = s.sqlContext
-      val toks = collectEvents(s, d).map(_.user_id.toString)
-      val in = MemoryStream[String]
-      val q = EventStream.streamingCountMin(in.toDS(), rows = 4, width = 64)
+      val src = stage(
+        Tables.events(s, d).select($"user_id".cast("string").as("tok")))
+      val ss = streamSession(s)
+      val in = ss.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "tok", org.apache.spark.sql.types.StringType))))
+        .parquet(src).as[String]
+      val q = EventStream.streamingCountMin(in, rows = 4, width = 64)
         .writeStream.format("memory").queryName("gq_stream_cms")
         .outputMode("update").start()
-      try {
-        in.addData(toks: _*)
-        q.processAllAvailable()
-      } finally q.stop()
-      s.table("gq_stream_cms").orderBy($"row_id", $"bucket")
+      try q.processAllAvailable()
+      finally { q.stop(); rmdir(src) }
+      ss.table("gq_stream_cms").orderBy($"row_id", $"bucket")
     }
   )
 }
