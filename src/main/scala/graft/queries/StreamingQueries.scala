@@ -14,19 +14,30 @@ import org.apache.spark.sql.functions._
   * batch-equivalent SQL. Equality holds because every operator here
   * either emits independently of micro-batch boundaries (update-mode
   * state, inner stream-stream join) or finalizes all real event-time
-  * state once a far-future sentinel file advances the watermark (Spark
-  * runs a data-less extra micro-batch whenever the watermark advances
-  * past pending state — `IncrementalExecution.shouldRunAnotherBatch` —
-  * so append aggregates and event-time timeouts drain completely).
+  * state once the staged corpus's far-future sentinel row advances the
+  * watermark (Spark runs a data-less extra micro-batch whenever the
+  * watermark advances past pending state —
+  * `IncrementalExecution.shouldRunAnotherBatch` — so append aggregates
+  * and event-time timeouts drain completely).
   *
   * The feed is `readStream.parquet` over a staged copy of the corpus —
   * the PRODUCTION ingest path, distributed end-to-end with no
   * driver-side data (a MemoryStream feed serializes the corpus into
   * every stage's task binary — ~700 MB at a 100× replica — which is
-  * why it is only used in unit specs). All initial files land in the
-  * first micro-batch (no maxFilesPerTrigger), so within-batch file
-  * order is irrelevant: every stateful fold below sorts by (ts ms,
-  * event_id) or is order-insensitive.
+  * why it is only used in unit specs). The staged copy is written ONCE
+  * per input dir and shared by all seven replays (process-wide memo):
+  * it carries the whole corpus plus one sentinel row, so all files —
+  * sentinel included — land in a single micro-batch (no
+  * maxFilesPerTrigger) and within-batch file order is irrelevant:
+  * every stateful fold below sorts by (ts ms, event_id) or is
+  * order-insensitive. Because the watermark visible DURING batch N is
+  * the one computed after batch N−1, the sentinel cannot evict or
+  * finalize anything mid-batch; it only moves the post-batch watermark
+  * to 2030−delay, which is exactly what triggers the drain batch.
+  * Queries whose semantics don't involve the sentinel (dedup keys,
+  * drift trace, CMS, the type-filtered join sides) filter it out
+  * stream-side before their stateful operator, so it never even enters
+  * their state.
   *
   * Determinism contracts (why a streaming run hash-matches batch SQL):
   *  - single data batch: watermark state eviction cannot fire between
@@ -49,25 +60,46 @@ object StreamingQueries {
     */
   private val SentinelTs =
     java.sql.Timestamp.from(java.time.Instant.parse("2030-01-01T00:00:00Z"))
+  private val SentinelType = "__sentinel"
 
-  /** Stage a projection to a temp parquet dir that serves as the
-    * streaming source. Distributed write, no driver collect.
+  /** One staged streaming source per input dir, shared by every replay
+    * in the process (Verify's thread pool and the bench both hit the
+    * same corpus seven times — staging it once removes six distributed
+    * writes per run). Cleaned up on JVM exit.
     */
-  private def stage(df: DataFrame): String = {
-    val dir = java.nio.file.Files.createTempDirectory("gq_stream_src").toString
-    df.write.mode("overwrite").parquet(dir)
-    dir
-  }
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  sys.addShutdownHook(stagedDirs.values().forEach(rmdir(_)))
 
   /** Events with `value` as integer cents (exact in doubles — the
-    * streaming folds stay drift-free and the oracle replays BIGINT).
+    * streaming folds stay drift-free and the oracle replays BIGINT),
+    * plus the far-future sentinel row, staged to a temp parquet dir.
+    * Distributed write, no driver collect, no coalesce (a 100× replica
+    * stages wide).
     */
-  private def centsEvents(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    Tables.events(s, d)
-      .select($"event_id", $"ts", $"user_id", $"event_type",
-        ($"value" * 100).cast("long").cast("double").as("value"))
-  }
+  private def stagedEvents(s: SparkSession, d: String): String =
+    stagedDirs.computeIfAbsent(d, _ => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("gq_stream_src").toString
+      val corpus = Tables.events(s, d)
+        .select($"event_id", $"ts", $"user_id", $"event_type",
+          ($"value" * 100).cast("long").cast("double").as("value"))
+      val sentinel = Seq(Event(-1L, SentinelTs, -1L, SentinelType, 0.0)).toDS().toDF()
+      corpus.unionByName(sentinel).write.mode("overwrite").parquet(dir)
+      dir
+    })
+
+  /** Staged (doc_id, text) corpus for the document-stream queries —
+    * stateless per-batch operators, so no sentinel row. Shares the
+    * same memo (distinct key) and shutdown cleanup.
+    */
+  private def stagedDocs(s: SparkSession, d: String): String =
+    stagedDirs.computeIfAbsent(d + "#docs", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("gq_stream_docs").toString
+      Tables.documents(s, d).select("doc_id", "text")
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
 
   /** Clone the session for the replay: results are state-partition-
     * invariant, but each micro-batch pays store setup/commit PER
@@ -91,32 +123,53 @@ object StreamingQueries {
         .iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
     } catch { case _: Throwable => () }
 
-  /** Run one bounded streaming replay: the staged corpus arrives as
-    * one micro-batch, then (optionally) a sentinel file advances the
-    * watermark so event-time state drains in the data-less batch that
-    * follows. Returns the memory sink's table.
+  /** Fast scratch space for the replay's checkpoint (offset/commit
+    * logs + state-store deltas are many small fsync-ed files — tmpfs
+    * makes them memory writes). Falls back to the default temp dir
+    * where /dev/shm doesn't exist; a production deployment points this
+    * at durable storage instead, which is exactly what the explicit
+    * option models.
     */
-  private def replay(s: SparkSession, view: String, d: String,
-      sentinel: Boolean, mode: String = "append")(
-      build: Dataset[Event] => DataFrame): DataFrame = {
-    import s.implicits._
-    val src = stage(centsEvents(s, d))
-    val ss = streamSession(s)
-    val q = build(eventStream(ss, src))
-      .writeStream.format("memory").queryName(view).outputMode(mode).start()
-    try {
-      q.processAllAvailable()
-      if (sentinel) {
-        Seq(Event(-1L, SentinelTs, -1L, "__sentinel", 0.0)).toDS().toDF()
-          .write.mode("append").parquet(src)
-        q.processAllAvailable()
-      }
-    } finally {
-      q.stop()
-      rmdir(src)
-    }
+  private def checkpointDir(): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, "gq_ckpt")
+    else java.nio.file.Files.createTempDirectory("gq_ckpt")
+  }
+
+  /** Start the streaming query on a memory sink, drain it (the staged
+    * corpus arrives as one micro-batch; the sentinel-advanced
+    * watermark then drains event-time state in the data-less batch
+    * `processAllAvailable` also waits for), stop it, clean the
+    * checkpoint, and return the sink's table.
+    */
+  private def runToTable(ss: SparkSession, out: DataFrame, view: String,
+      mode: String): DataFrame = {
+    val ckpt = checkpointDir()
+    val q = out.writeStream.format("memory").queryName(view)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode(mode).start()
+    try q.processAllAvailable()
+    finally { q.stop(); rmdir(ckpt.toString) }
     ss.table(view)
   }
+
+  /** Run one bounded streaming replay over the shared staged corpus. */
+  private def replay(s: SparkSession, view: String, d: String,
+      mode: String = "append")(
+      build: Dataset[Event] => DataFrame): DataFrame = {
+    val src = stagedEvents(s, d)
+    val ss = streamSession(s)
+    runToTable(ss, build(eventStream(ss, src)), view, mode)
+  }
+
+  /** Sentinel filter for operators whose semantics shouldn't see it —
+    * applied BEFORE the stateful transform (and before any
+    * `withWatermark` the operator installs), so the sentinel neither
+    * enters state nor advances that query's watermark.
+    */
+  private def dropSentinel(ds: Dataset[Event]): Dataset[Event] =
+    ds.filter(col("event_type") =!= SentinelType)
 
   val all: Seq[Q] = Seq(
 
@@ -133,7 +186,7 @@ object StreamingQueries {
         |ORDER BY 1, 2""".stripMargin
     ) { (s, d) =>
       import s.implicits._
-      replay(s, "gq_stream_hour_counts", d, sentinel = true) { ds =>
+      replay(s, "gq_stream_hour_counts", d) { ds =>
         EventStream.windowedCounts(ds.toDF(), "10 minutes", "60 minutes")
       }
         .select(
@@ -174,7 +227,7 @@ object StreamingQueries {
         |ORDER BY user_id, start_ns""".stripMargin
     ) { (s, d) =>
       import s.implicits._
-      replay(s, "gq_stream_sessions", d, sentinel = true) { ds =>
+      replay(s, "gq_stream_sessions", d) { ds =>
         EventStream.sessionize(ds, gapMinutes = 30, watermark = "10 minutes").toDF()
       }
         .select($"user_id", $"n_events", $"total_value".cast("long").as("total_cents"),
@@ -185,7 +238,9 @@ object StreamingQueries {
 
     // watermarked stream-stream interval join (view → purchase within
     // 15 min): inner joins emit matches as rows arrive, and a single
-    // micro-batch retains all state → the full batch join, no sentinel
+    // micro-batch retains all state → the full batch join. Both sides
+    // are type-filtered reads of the SAME staged corpus (the sentinel
+    // matches neither side).
     Q.sql(
       "q155_stream_interval_join",
       """SELECT l.user_id AS user_id, l.event_id AS left_id, r.event_id AS right_id,
@@ -198,18 +253,14 @@ object StreamingQueries {
         |ORDER BY left_id, right_id""".stripMargin
     ) { (s, d) =>
       import s.implicits._
-      val ev = centsEvents(s, d)
-      val lsrc = stage(ev.filter($"event_type" === "view"))
-      val rsrc = stage(ev.filter($"event_type" === "purchase"))
+      val src = stagedEvents(s, d)
       val ss = streamSession(s)
-      val q = EventStream.intervalJoin(
-        eventStream(ss, lsrc).toDF(), eventStream(ss, rsrc).toDF(),
-        "user_id", within = "15 minutes")
-        .writeStream.format("memory").queryName("gq_stream_ijoin")
-        .outputMode("append").start()
-      try q.processAllAvailable()
-      finally { q.stop(); rmdir(lsrc); rmdir(rsrc) }
-      ss.table("gq_stream_ijoin")
+      runToTable(ss,
+        EventStream.intervalJoin(
+          eventStream(ss, src).toDF().filter(col("event_type") === "view"),
+          eventStream(ss, src).toDF().filter(col("event_type") === "purchase"),
+          "user_id", within = "15 minutes"),
+        "gq_stream_ijoin", "append")
         .select($"user_id", $"left_id", $"right_id",
           (unix_micros($"left_ts") * 1000L).as("left_ns"),
           (unix_micros($"right_ts") * 1000L).as("right_ns"))
@@ -234,7 +285,7 @@ object StreamingQueries {
         |ORDER BY ws_ns, rank""".stripMargin
     ) { (s, d) =>
       import s.implicits._
-      replay(s, "gq_stream_topk", d, sentinel = true) { ds =>
+      replay(s, "gq_stream_topk", d) { ds =>
         EventStream.windowedTopK(ds, k = 3, windowMinutes = 60).toDF()
       }
         .select((unix_micros($"window_start") * 1000L).as("ws_ns"),
@@ -253,9 +304,10 @@ object StreamingQueries {
         |ORDER BY user_id, event_type, hour_bucket""".stripMargin
     ) { (s, d) =>
       import s.implicits._
-      replay(s, "gq_stream_dedup", d, sentinel = false) { ds =>
+      replay(s, "gq_stream_dedup", d) { ds =>
         EventStream.dedupWithinWatermark(
-          ds.toDF().withColumn("hour_bucket", expr("unix_micros(ts) div 3600000000")),
+          dropSentinel(ds).toDF()
+            .withColumn("hour_bucket", expr("unix_micros(ts) div 3600000000")),
           Seq("user_id", "event_type", "hour_bucket"), "10 minutes")
           .select("user_id", "event_type", "hour_bucket")
       }
@@ -288,8 +340,8 @@ object StreamingQueries {
         |ORDER BY event_id""".stripMargin
     ) { (s, d) =>
       import s.implicits._
-      replay(s, "gq_stream_drift", d, sentinel = false, mode = "append") { ds =>
-        EventStream.driftScores(ds, alpha = 0.5,
+      replay(s, "gq_stream_drift", d) { ds =>
+        EventStream.driftScores(dropSentinel(ds), alpha = 0.5,
           keyOf = e => e.event_type + "|" + e.user_id).toDF()
       }
         .select($"event_type".as("drift_key"), $"event_id",
@@ -311,20 +363,89 @@ object StreamingQueries {
         |ORDER BY 1, 2""".stripMargin
     ) { (s, d) =>
       import s.implicits._
-      val src = stage(
-        Tables.events(s, d).select($"user_id".cast("string").as("tok")))
+      val src = stagedEvents(s, d)
       val ss = streamSession(s)
-      val in = ss.readStream
+      val in = dropSentinel(eventStream(ss, src))
+        .select(col("user_id").cast("string"))
+        .as[String]
+      runToTable(ss, EventStream.streamingCountMin(in, rows = 4, width = 64).toDF(),
+        "gq_stream_cms", "update")
+        .orderBy($"row_id", $"bucket")
+    },
+
+    // stream-static ledger dedup (the incremental-ingest shape): drop
+    // every streamed document whose canonical fingerprint is already
+    // in a static ledger — a stateless per-batch LEFT ANTI join, the
+    // streaming form of cross-run exact dedup. The ledger here is the
+    // fingerprints of every 7th document (the "previous corpus");
+    // at 100 TB the static side is a parquet ledger the join shuffles
+    // or broadcasts like any other.
+    Q.sql(
+      "q160_stream_ledger_dedup",
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS canonical_fp
+        |  FROM documents),
+        |led AS (SELECT DISTINCT canonical_fp FROM fp WHERE doc_id % 7 = 0)
+        |SELECT f.doc_id, f.canonical_fp
+        |FROM fp f LEFT JOIN led l ON f.canonical_fp = l.canonical_fp
+        |WHERE l.canonical_fp IS NULL
+        |ORDER BY f.doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val src = stagedDocs(s, d)
+      val ss = streamSession(s)
+      val ledger = Tables.documents(ss, d)
+        .filter($"doc_id" % 7 === 0)
+        .select(graft.functions.TextFunctions.canonicalFingerprint($"text").as("_fp"))
+      val stream = ss.readStream
         .schema(org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField(
-            "tok", org.apache.spark.sql.types.StringType))))
-        .parquet(src).as[String]
-      val q = EventStream.streamingCountMin(in, rows = 4, width = 64)
-        .writeStream.format("memory").queryName("gq_stream_cms")
-        .outputMode("update").start()
-      try q.processAllAvailable()
-      finally { q.stop(); rmdir(src) }
-      ss.table("gq_stream_cms").orderBy($"row_id", $"bucket")
+            "doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(
+            "text", org.apache.spark.sql.types.StringType))))
+        .parquet(src)
+      val out = EventStream.dropLedgered(stream, "text", ledger)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.canonicalFingerprint(col("text"))
+            .as("canonical_fp"))
+      runToTable(ss, out, "gq_stream_ledger", "append")
+        .orderBy($"doc_id")
+    },
+
+    // watermarked LEFT OUTER interval join — views that never
+    // converted: an unmatched left event is emitted (null right) only
+    // once the watermark PROVES no purchase can still arrive, which is
+    // the semantics an inner join cannot express. The sentinel passes
+    // both side filters so each side's watermark advances; it matches
+    // only itself (user −1) and that pair, like every matched pair, is
+    // excluded by the right-null predicate. Real unmatched views drain
+    // in the data-less eviction batch
+    // (StreamingSymmetricHashJoinExec.shouldRunAnotherBatch).
+    Q.sql(
+      "q161_stream_unmatched_views",
+      """SELECT l.user_id AS user_id, l.event_id AS left_id, epoch_ns(l.ts) AS left_ns
+        |FROM events l
+        |WHERE l.event_type = 'view' AND NOT EXISTS (
+        |  SELECT 1 FROM events r
+        |  WHERE r.user_id = l.user_id AND r.event_type = 'purchase'
+        |    AND epoch_ns(r.ts) >= epoch_ns(l.ts)
+        |    AND epoch_ns(r.ts) <= epoch_ns(l.ts) + 900000000000)
+        |ORDER BY left_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val src = stagedEvents(s, d)
+      val ss = streamSession(s)
+      val joined = EventStream.intervalJoin(
+        eventStream(ss, src).toDF()
+          .filter(col("event_type").isin("view", SentinelType)),
+        eventStream(ss, src).toDF()
+          .filter(col("event_type").isin("purchase", SentinelType)),
+        "user_id", within = "15 minutes", joinType = "left_outer")
+      runToTable(ss, joined, "gq_stream_unmatched", "append")
+        .filter($"right_id".isNull)
+        .select($"user_id", $"left_id", (unix_micros($"left_ts") * 1000L).as("left_ns"))
+        .orderBy($"left_id")
     }
   )
 }

@@ -100,4 +100,32 @@ class StreamingGateSpec extends SparkSpec {
       .as[(String, Long, Long, Double, Double)].collect().toSeq
     assert(gotRows.sortBy(_._2) == expected.sortBy(_._2))
   }
+
+  test("q160: stream-static ledger dedup equals the batch anti-join") {
+    val got = run("q160_stream_ledger_dedup")
+    val fp = graft.functions.TextFunctions.canonicalFingerprint($"text")
+    val docs = Tables.documents(spark, sf).select($"doc_id", fp.as("canonical_fp"))
+    val ledger = docs.filter($"doc_id" % 7 === 0).select($"canonical_fp")
+    val want = docs.join(ledger, Seq("canonical_fp"), "left_anti")
+      .select($"doc_id", $"canonical_fp")
+    assertSameRows(got, want)
+    // every ledgered fingerprint is absent from the survivors
+    assert(got.join(ledger, Seq("canonical_fp"), "left_semi").isEmpty)
+  }
+
+  test("q161: outer interval join emits exactly the views the watermark proved unmatched") {
+    val got = run("q161_stream_unmatched_views")
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", expr("ts_ns").as("ns"))
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("left_id"), $"ns".as("left_ns"))
+    val buys = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ns".as("r_ns"))
+    val matched = views.join(buys, Seq("user_id"))
+      .filter($"r_ns" >= $"left_ns" && $"r_ns" <= $"left_ns" + expr("900000000000"))
+      .select($"left_id").distinct()
+    val want = views.join(matched, Seq("left_id"), "left_anti")
+      .select($"user_id", $"left_id", $"left_ns")
+    assertSameRows(got, want)
+  }
 }
