@@ -185,32 +185,35 @@ object TextDedup {
       s"every (bands, rowsPerBand) config must multiply to numHashes=$numHashes")
     require(configs.map(_._1).distinct.size == configs.size,
       "band counts must be distinct (bands is the config key)")
-    GraftFunctions.register(df.sparkSession)
-    val sh = df.select(
-      col(idCol).as("doc_id"),
-      GraftFunctions.hashedShingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", GraftFunctions.minhashSig(col("sh"), numHashes))
-      .persist()
-    val shOnly = sh.select(col("doc_id"), col("sh"))
-    // all configs' band rows in one explode: (doc_id, cfg, band, bkey)
-    val banded = sh.select(
-      col("doc_id"),
-      explode(array(configs.flatMap { case (b, r) =>
-        (0 until b).map { bd =>
-          struct(lit(b).as("cfg"), lit(bd).as("band"),
-            md5(concat_ws("_",
-              (0 until r).map(rr => element_at(col("sig"), bd * r + rr + 1)): _*))
-              .as("bkey"))
-        }
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.cfg"), col("bb.band"), col("bb.bkey"))
     // Both heavy stages here break AQE's bytes≈cost assumption (the
     // bucket join's output is quadratic per bucket; the verify is
     // array-CPU-bound) and coalesce to one task under the default 1MB
-    // floor — scope a lower floor over this operator's own actions
-    // (everything below is materialized before returning).
-    val out = graft.plans.ConfScope.withMinPartitionSize(df.sparkSession, "16KB") {
+    // floor — scope a lower floor over a CLONED session (ConfScope
+    // re-binds the input there; a set/restore on the caller's session
+    // would leak into concurrently-planning queries, e.g. Verify's
+    // thread pool). The result is config-sized, so it re-binds to the
+    // caller's session by a plain collect.
+    graft.plans.ConfScope.withMinPartitionSize(df, "16KB") { dfc =>
+      GraftFunctions.register(dfc.sparkSession)
+      val sh = dfc.select(
+        col(idCol).as("doc_id"),
+        GraftFunctions.hashedShingles(col(textCol), shingleN).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .withColumn("sig", GraftFunctions.minhashSig(col("sh"), numHashes))
+        .persist()
+      val shOnly = sh.select(col("doc_id"), col("sh"))
+      // all configs' band rows in one explode: (doc_id, cfg, band, bkey)
+      val banded = sh.select(
+        col("doc_id"),
+        explode(array(configs.flatMap { case (b, r) =>
+          (0 until b).map { bd =>
+            struct(lit(b).as("cfg"), lit(bd).as("band"),
+              md5(concat_ws("_",
+                (0 until r).map(rr => element_at(col("sig"), bd * r + rr + 1)): _*))
+                .as("bkey"))
+          }
+        }: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.cfg"), col("bb.band"), col("bb.bkey"))
       // one bucket self-join covers every config; checkpointed because
       // the per-config counts AND the verify pass both consume it
       val cand = banded.select(col("cfg"), col("band"), col("bkey"), col("doc_id").as("id_a"))
@@ -231,21 +234,22 @@ object TextDedup {
       // left join onto the literal config list so a zero-candidate
       // config still emits its row
       val cfgRows = configs.map { case (b, r) => (b, b.toLong, r.toLong) }
-      val cfgDf = df.sparkSession.createDataFrame(cfgRows)
+      val cfgDf = dfc.sparkSession.createDataFrame(cfgRows)
         .toDF("cfg", "bands", "rows_per_band")
-      cfgDf.join(perCfg, Seq("cfg"), "left")
+      val outRows = cfgDf.join(perCfg, Seq("cfg"), "left")
         .select(col("bands"), col("rows_per_band"),
           coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
           coalesce(col("n_verified"), lit(0L)).as("n_verified"),
           round(coalesce(col("n_verified"), lit(0L)).cast("double") /
             greatest(coalesce(col("n_candidates"), lit(0L)), lit(1L)), 6).as("precision"))
-        // materialize eagerly so the persisted signature frame can be
-        // released before returning (a lazy return here would leak
-        // sh's cached blocks for the session)
-        .localCheckpoint(true)
+      // collect (one row per config) releases the clone and the
+      // persisted signature frame before returning
+      val schema = outRows.schema
+      val local = outRows.collect()
+      sh.unpersist()
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(local: _*), schema)
     }
-    sh.unpersist()
-    out
   }
 
   /** Cross-group duplicate matrix: how many verified near-dup pairs

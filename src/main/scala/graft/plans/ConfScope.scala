@@ -1,8 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.DataFrame
 
-/** Scoped session-conf override for EAGER operators.
+/** Scoped session-conf override for operators that need a non-default
+  * planning dial.
   *
   * AQE's byte-based partition coalescing assumes stage cost tracks
   * shuffle bytes. A few operators break that assumption structurally:
@@ -14,25 +15,33 @@ import org.apache.spark.sql.SparkSession
   * globally lowering it taxes every iterative operator with dozens of
   * genuinely tiny shuffles (measured +0.3–0.7 s each at sf0.1).
   *
-  * `withMinPartitionSize` scopes the override to one operator's own
-  * Spark actions. ONLY safe for eager operators that materialize every
-  * result (localCheckpoint/collect) before returning — a lazy frame
-  * escaping the scope would plan under the restored conf. Sessions are
-  * assumed to run queries sequentially (true of Bench/Verify and any
-  * sane driver loop); concurrent same-session queries would observe
-  * the override for the duration of the block.
+  * SQLConf is session-wide, not thread-local, and real drivers
+  * (including this repo's Verify) run several queries concurrently on
+  * one shared session — a set/restore on the caller's session would
+  * leak the override into whatever else is planning during the block.
+  * `withMinPartitionSize` therefore runs the block on a CLONED
+  * session (`newSession()`: same SparkContext, cached blocks and
+  * checkpoint store; its own SQLConf), with the input frame re-bound
+  * through a global temp view so the full Catalyst lineage — scan
+  * pruning included — re-resolves under the clone's conf. Frames the
+  * body returns are bound to the clone; callers must materialize
+  * (collect/localCheckpoint) and re-bind anything they hand onward,
+  * which the sole current caller (lshTuningTable) does by collecting
+  * its config-sized result.
   */
 object ConfScope {
   private val MinPartitionSizeKey =
     "spark.sql.adaptive.coalescePartitions.minPartitionSize"
 
-  def withMinPartitionSize[T](spark: SparkSession, size: String)(body: => T): T = {
-    val prev = spark.conf.getOption(MinPartitionSizeKey)
-    spark.conf.set(MinPartitionSizeKey, size)
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(MinPartitionSizeKey, v)
-      case None    => spark.conf.unset(MinPartitionSizeKey)
-    }
+  def withMinPartitionSize[T](df: DataFrame, size: String)(
+      body: DataFrame => T): T = {
+    val ss = df.sparkSession.newSession()
+    ss.conf.set(MinPartitionSizeKey, size)
+    val view = "gq_confscope_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    df.createOrReplaceGlobalTempView(view)
+    try body(ss.table(ss.conf.get("spark.sql.globalTempDatabase", "global_temp") +
+      "." + view))
+    finally df.sparkSession.catalog.dropGlobalTempView(view)
   }
 }

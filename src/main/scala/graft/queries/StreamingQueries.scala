@@ -3,7 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import graft.streaming.EventStream
 import graft.streaming.EventStream.Event
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming operators under the cross-engine correctness
@@ -77,13 +77,26 @@ object StreamingQueries {
     * Distributed write, no driver collect, no coalesce (a 100× replica
     * stages wide).
     */
+  /** Every sentinel-based determinism contract above assumes the real
+    * corpus lives strictly BEFORE the sentinel. Enforce it where the
+    * corpus is staged: a future-dated testdata generation then fails
+    * as this named error at staging, not as an unexplained hash
+    * mismatch three operators later. Expression-level (a `when` around
+    * `ts`), so the check rides the staging write's own scan — no extra
+    * job at any replica scale.
+    */
+  private[graft] def guardBelowSentinel(ts: Column): Column =
+    when(ts < lit(SentinelTs), ts).otherwise(raise_error(concat(
+      lit(s"event ts at/after the streaming sentinel ($SentinelTs): "),
+      ts.cast("string"))))
+
   private def stagedEvents(s: SparkSession, d: String): String =
     stagedDirs.computeIfAbsent(d, _ => {
       import s.implicits._
       val dir = java.nio.file.Files.createTempDirectory("gq_stream_src").toString
       val corpus = Tables.events(s, d)
-        .select($"event_id", $"ts", $"user_id", $"event_type",
-          ($"value" * 100).cast("long").cast("double").as("value"))
+        .select($"event_id", guardBelowSentinel($"ts").as("ts"), $"user_id",
+          $"event_type", ($"value" * 100).cast("long").cast("double").as("value"))
       val sentinel = Seq(Event(-1L, SentinelTs, -1L, SentinelType, 0.0)).toDS().toDF()
       corpus.unionByName(sentinel).write.mode("overwrite").parquet(dir)
       dir

@@ -26,6 +26,26 @@ class StreamingGateSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("sentinel guard: staging rejects events at/after the 2030 sentinel by name") {
+    // positive: a real-corpus-era ts passes through unchanged
+    val ok = Seq(java.sql.Timestamp.valueOf("2024-03-01 12:00:00"))
+      .toDF("ts")
+      .select(StreamingQueries.guardBelowSentinel($"ts").as("ts"))
+      .collect()
+    assert(ok.head.getTimestamp(0) == java.sql.Timestamp.valueOf("2024-03-01 12:00:00"))
+    // negative: a future-dated generation fails as a NAMED error at
+    // staging, not as a hash mismatch downstream
+    val e = intercept[Exception] {
+      Seq(java.sql.Timestamp.valueOf("2031-06-01 00:00:00"))
+        .toDF("ts")
+        .select(StreamingQueries.guardBelowSentinel($"ts").as("ts"))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("streaming sentinel")))
+  }
+
   test("q153: streaming windowed counts drain to the exact batch hourly rollup") {
     val got = run("q153_stream_hour_counts")
     val want = Tables.events(spark, sf)
