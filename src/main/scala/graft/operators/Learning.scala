@@ -261,93 +261,106 @@ object Learning {
     * by one token join + one (doc, class) aggregation, predictions by
     * per-doc argmax (rounded 6, lexicographic tie-break).
     *
-    * Returns the confusion matrix (cls, pred, n). The corpus is
-    * tokenized exactly once (doc-token multiplicities, materialized);
-    * the model itself is the |vocab| × K logprob frame, never
-    * collected.
+    * Returns the confusion matrix (cls, pred, n). Training is ONE
+    * job: each document emits a marker pseudo-token ahead of its real
+    * tokens, so the (tok, cls) roll-up carries the model's nonzero
+    * counts AND — via the marker rows — the per-class document counts
+    * the priors need; a limited collect probes whether that roll-up
+    * is broadcast-sized (LocalLimit short-circuits on an open 100 TB
+    * vocabulary). When it is, scoring, argmax, and the confusion
+    * count collapse into a second single-shuffle job; otherwise the
+    * scale-safe shuffle-join paths take over.
     */
   def naiveBayesConfusion(
       docs: DataFrame, idCol: String, textCol: String, clsCol: String,
       maxLocalNonzero: Int = 300000, maxVectorClasses: Int = 64): DataFrame = {
     import graft.functions.TextFunctions.tokens
-    // ONE pass over the raw token stream, straight into per-doc token
-    // multiplicities (the scoring granularity); every training
-    // statistic re-reduces from this materialized frame or its
-    // (tok, cls) roll-up rather than re-exploding the corpus
     val spark = docs.sparkSession
     import spark.implicits._
+    // tokens() splits on \s+, so no real token can ever contain a
+    // space — a marker with one cannot collide
+    val docMark = " doc"
     // labels are compared as strings throughout (both branches collect
     // them on the driver via getString; a non-string class column —
     // e.g. an int label — must not ClassCastException there)
-    val docToks = docs.select(col(idCol).as("_id"),
-      col(clsCol).cast("string").as("cls"),
-      explode(tokens(lower(col(textCol)))).as("tok"))
-      .groupBy(col("_id"), col("cls"), col("tok"))
-      .agg(count(lit(1)).as("_cnt"))
-      .localCheckpoint(true)
-    // class priors: K counted rows — collect and rebuild as a local
-    // frame (log computed in Spark, same expression as before) rather
-    // than paying two broadcast-build scans of `docs`. Counted over
-    // `docs`, not docToks: zero-token documents still carry a prior.
-    val clsDocsRows = docs.groupBy(col(clsCol).cast("string").as("cls"))
-      .agg(count(lit(1)).as("nd"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val nDocsTotal = clsDocsRows.map(_._2).sum
-    val prior = spark.createDataset(clsDocsRows.toSeq).toDF("cls", "nd")
-      .select(col("cls"), log(col("nd") / lit(nDocsTotal.toDouble)).as("lprior"))
-    val tokCls = docToks.groupBy(col("tok"), col("cls")).agg(sum(col("_cnt")).as("c"))
-    // the model is a |vocab| × K count grid — broadcast-sized whenever
-    // the vocabulary is closed. Probe it with ONE limited collect off
-    // the materialized docToks (LocalLimit short-circuits on an open
-    // 100 TB vocabulary): when the nonzero (tok, cls) counts fit, the
-    // grid is assembled on the driver — zero extra jobs, no stats
-    // action, no checkpoint — and shipped back as a broadcast frame
-    // with the log-likelihood computed by the SAME Spark expression
-    // as the distributed branch. Larger vocabularies keep the
-    // scale-safe shuffle join on tok.
-    val maxNonzero = maxLocalNonzero
-    val probe = tokCls.limit(maxNonzero + 1).collect()
+    val clsExpr = col(clsCol).cast("string").as("cls")
+    // Tokenize is CPU-per-row and its parallelism is the scan's split
+    // count: a mid-sized corpus can arrive as a handful of splits
+    // (e.g. 150 MB → 2), serializing every pass below. Spread the raw
+    // text across the cluster first when the scan is narrower than
+    // the core count AND carries enough bytes for the extra exchange
+    // to pay (a tiny corpus round-trips faster than it reshuffles; a
+    // 100 TB scan already has more splits than cores — no-op).
+    val raw0 = docs.select(col(idCol).as("_id"), clsExpr, col(textCol).as("_text"))
+    val raw = if (raw0.queryExecution.optimizedPlan.stats.sizeInBytes > (64L << 20) &&
+      raw0.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+      raw0.repartition(spark.sparkContext.defaultParallelism) else raw0
+    // the coalesce keeps the marker row for null-text documents: they
+    // score nothing but still count toward their class's prior,
+    // exactly like the docs-table count the priors used to make
+    val tokCls = raw.select(col("cls"),
+      explode(concat(array(lit(docMark)),
+        coalesce(tokens(lower(col("_text"))), array()))).as("tok"))
+      .groupBy(col("tok"), col("cls")).agg(count(lit(1)).as("c"))
+    val probeAll = tokCls.limit(maxLocalNonzero + 1).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val localFits = probe.length <= maxNonzero && {
+    val (markRows, probe) = probeAll.partition(_._1 == docMark)
+    val localFits = probeAll.length <= maxLocalNonzero && {
       val v0 = probe.iterator.map(_._1).toSet.size.toLong
       val k0 = probe.iterator.map(_._2).toSet.size.toLong
       v0 * k0 <= 1000000L
     }
     val localClasses =
       if (localFits) probe.map(_._2).distinct.sorted else Array.empty[String]
+    lazy val docToks = raw.select(col("_id"), col("cls"),
+      explode(tokens(lower(col("_text")))).as("tok"))
+      .groupBy(col("_id"), col("cls"), col("tok"))
+      .agg(count(lit(1)).as("_cnt"))
     if (localFits && localClasses.nonEmpty &&
       localClasses.length <= maxVectorClasses) {
-      // the model is closed AND the class list is short, so scoring,
-      // argmax, and the confusion roll-up collapse into ONE stream
-      // shuffle with NO fan-out: each token carries its K-vector of
-      // log-likelihoods (one broadcast row per token, built on the
-      // driver with the same (c+1)/(tt+V) arithmetic), per-doc class
-      // scores are K element-wise sums that partial-aggregate
-      // map-side, the argmax is an in-row array_min over (−rounded
-      // score, class) structs (same max-score, smaller-class
-      // tie-break as the min_by form), and the final (cls, pred)
-      // count is a K²-sized aggregate
+      // the model is closed AND the class list is short, so the whole
+      // score→argmax→confusion chain is one job over a second corpus
+      // pass with a single real shuffle and NO fan-out: each token
+      // instance hash-joins its K-vector of log-likelihoods (one
+      // broadcast row per distinct token, same (c+1)/(tt+V)
+      // arithmetic as the distributed grid), per-doc class scores are
+      // K element-wise sums that partial-aggregate map-side, the
+      // argmax is an in-row array_min over (−rounded score, class)
+      // structs (same max-score, smaller-class tie-break as the
+      // min_by form), and the final (cls, pred) count is a K²-sized
+      // aggregate. The scoring pass re-emits the marker token per
+      // doc, and the marker's "log-likelihood vector" IS the prior
+      // vector — the per-doc sums then include the prior with no
+      // per-class double literal in the plan, so the generated code
+      // is identical across corpora and the codegen cache survives a
+      // scale switch (a literal-prior plan recompiled ~0.35 s on
+      // every new corpus).
       val vocab = probe.map(_._1).distinct
       val v = vocab.length.toLong
       val tt = probe.groupBy(_._2).map { case (c, rs) => c -> rs.map(_._3).sum }
       val nz = probe.map { case (t, c, n) => (t, c) -> n }.toMap
-      val tokLls = vocab.toSeq.map { t =>
-        (t, localClasses.toSeq.map(c =>
-          math.log((nz.getOrElse((t, c), 0L) + 1.0) / (tt(c) + v.toDouble))))
-      }
+      val lpriorOf = markRows.map(t => (t._2, t._3)).toMap
+      val nDocsTotal = markRows.map(_._3).sum
+      val tokLls = (docMark, localClasses.toSeq.map(c =>
+        math.log(lpriorOf(c).toDouble / nDocsTotal.toDouble))) +:
+        vocab.toSeq.map { t =>
+          (t, localClasses.toSeq.map(c =>
+            math.log((nz.getOrElse((t, c), 0L) + 1.0) / (tt(c) + v.toDouble))))
+        }
       val lls = broadcast(spark.createDataset(tokLls).toDF("tok", "_lls"))
       val sums = localClasses.indices.map { i =>
-        sum(element_at(col("_lls"), i + 1) * col("_cnt")).as(s"_s$i")
+        sum(element_at(col("_lls"), i + 1)).as(s"_s$i")
       }
-      val lpriorOf = clsDocsRows.toMap
       val cand = array(localClasses.zipWithIndex.map { case (c, i) =>
-        struct(
-          (-round(col(s"_s$i") +
-            lit(math.log(lpriorOf(c).toDouble / nDocsTotal.toDouble)), 6))
-            .as("negscore"),
-          lit(c).as("scls"))
+        struct((-round(col(s"_s$i"), 6)).as("negscore"), lit(c).as("scls"))
       }.toIndexedSeq: _*)
-      docToks.join(lls, Seq("tok"))
+      // no coalesce around tokens() here: a null-text document
+      // contributes no row (the concat is null), so it is excluded
+      // from scoring exactly like the oracle's token join excludes it
+      raw.select(col("_id"), col("cls"),
+        explode(concat(array(lit(docMark)),
+          tokens(lower(col("_text"))))).as("tok"))
+        .join(lls, Seq("tok"))
         .groupBy(col("_id"), col("cls"))
         .agg(sums.head, sums.tail: _*)
         .select(col("cls"), array_min(cand).getField("scls").as("pred"))
@@ -355,7 +368,9 @@ object Learning {
         .agg(count(lit(1)).as("n"))
     } else if (localFits) {
       // closed model, wide class list: driver-built broadcast grid,
-      // scored through the grouped (doc, class) aggregate below
+      // scored through the grouped (doc, class) aggregate below (the
+      // grid join fans out K× per row, so score off the per-doc token
+      // MULTIPLICITIES, not raw instances)
       val vocab = probe.map(_._1).distinct
       val v = vocab.length.toLong
       val tt = probe.groupBy(_._2).map { case (c, rs) => c -> rs.map(_._3).sum }
@@ -365,11 +380,27 @@ object Learning {
       val grid = broadcast(spark.createDataset(cells).toDF("tok", "scls", "c", "tt")
         .select(col("tok"), col("scls"),
           log((col("c") + lit(1.0)) / (col("tt") + lit(v.toDouble))).as("ll")))
+      val nDocsTotal = markRows.map(_._3).sum
+      val prior = spark.createDataset(markRows.toSeq.map(t => (t._2, t._3)))
+        .toDF("cls", "nd")
+        .select(col("cls"), log(col("nd") / lit(nDocsTotal.toDouble)).as("lprior"))
       scoreAndConfuse(docToks, grid, prior)
     } else {
-      // scale path: materialize the big count frame once — it feeds
-      // the class totals, the stats action, and two grid joins
-      val tokClsD = tokCls.localCheckpoint(true)
+      // scale path: the probe overflowed (so the marker rows may be
+      // incomplete — recount priors from the docs table) and the
+      // model grid stays distributed. Materialize the per-doc token
+      // multiplicities once: they feed the (tok, cls) roll-up, the
+      // stats action, two grid joins, and scoring.
+      val docToksD = docToks.localCheckpoint(true)
+      val clsDocsRows = docs.groupBy(clsExpr)
+        .agg(count(lit(1)).as("nd"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val nDocsTotal = clsDocsRows.map(_._2).sum
+      val prior = spark.createDataset(clsDocsRows.toSeq).toDF("cls", "nd")
+        .select(col("cls"), log(col("nd") / lit(nDocsTotal.toDouble)).as("lprior"))
+      val tokClsD = docToksD.groupBy(col("tok"), col("cls"))
+        .agg(sum(col("_cnt")).as("c"))
+        .localCheckpoint(true)
       val clsTok = tokClsD.groupBy(col("cls")).agg(sum(col("c")).as("tt"))
       val stats = tokClsD.agg(
         countDistinct(col("tok")).as("v"), countDistinct(col("cls")).as("k")).head()
@@ -381,7 +412,7 @@ object Learning {
           log((coalesce(col("c"), lit(0L)) + lit(1.0)) / (col("tt") + lit(v.toDouble)))
             .as("ll"))
       val grid = if (v * k <= 2000000L) broadcast(grid0) else grid0
-      scoreAndConfuse(docToks, grid, prior)
+      scoreAndConfuse(docToksD, grid, prior)
     }
   }
 
