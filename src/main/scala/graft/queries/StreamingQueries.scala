@@ -123,6 +123,16 @@ object StreamingQueries {
   private def streamSession(s: SparkSession): SparkSession = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // SPARK_GRAFT_STATESTORE=rocksdb swaps the per-partition state
+    // store for RocksDB — state spills to local disk instead of being
+    // bounded by executor heap, which is the configuration a 100 TB
+    // streaming deployment runs. Results are provider-invariant (the
+    // scale certificates re-prove it); the default stays the in-heap
+    // HDFSBackedStateStoreProvider because the bounded replays here
+    // are faster on-heap.
+    if (sys.env.get("SPARK_GRAFT_STATESTORE").contains("rocksdb"))
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     ss
   }
 
@@ -165,6 +175,30 @@ object StreamingQueries {
     try q.processAllAvailable()
     finally { q.stop(); rmdir(ckpt.toString) }
     ss.table(view)
+  }
+
+  /** Like [[runToTable]] but draining to a PARQUET sink: the memory
+    * sink materializes the result table on the driver, which is fine
+    * for the aggregate-shaped replays but not for a corpus-sized
+    * output — q160 emits one row per surviving document, so at a
+    * 100×/1000× replica it must stream executor→files like a
+    * production job. The sink dir lives until JVM exit (the returned
+    * frame reads it lazily); the checkpoint is removed with the run.
+    */
+  private def runToParquet(ss: SparkSession, out: DataFrame, tag: String): DataFrame = {
+    val ckpt = checkpointDir()
+    // a FRESH dir per run (a reused one would hold the previous run's
+    // files and double the output), registered in the shutdown-cleanup
+    // memo under a unique key so it lives as long as the returned
+    // lazy frame can be read
+    val dir = java.nio.file.Files.createTempDirectory("gq_stream_out").toString
+    stagedDirs.put(tag + "#out#" + java.util.UUID.randomUUID(), dir)
+    val q = out.writeStream.format("parquet").option("path", dir)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally { q.stop(); rmdir(ckpt.toString) }
+    ss.read.parquet(dir)
   }
 
   /** Run one bounded streaming replay over the shared staged corpus. */
@@ -422,7 +456,11 @@ object StreamingQueries {
         .select(col("doc_id"),
           graft.functions.TextFunctions.canonicalFingerprint(col("text"))
             .as("canonical_fp"))
-      runToTable(ss, out, "gq_stream_ledger", "append")
+      // parquet sink, not memory: the output is corpus-sized (one row
+      // per surviving document), so it must stream executor→files —
+      // at a 100× replica a memory sink would materialize every
+      // survivor on the driver
+      runToParquet(ss, out, "gq_stream_ledger")
         .orderBy($"doc_id")
     },
 
