@@ -210,6 +210,19 @@ object StreamingQueries {
     runToTable(ss, build(eventStream(ss, src)), view, mode)
   }
 
+  /** Like [[replay]] but draining to a parquet sink — for the replays
+    * whose output is CORPUS-sized (one row per event / session /
+    * distinct key): a memory sink would materialize all of it on the
+    * driver, which caps the certified scale at whatever the driver
+    * heap holds. Append-mode only, like the parquet sink itself.
+    */
+  private def replayToFiles(s: SparkSession, tag: String, d: String)(
+      build: Dataset[Event] => DataFrame): DataFrame = {
+    val src = stagedEvents(s, d)
+    val ss = streamSession(s)
+    runToParquet(ss, build(eventStream(ss, src)), tag)
+  }
+
   /** Sentinel filter for operators whose semantics shouldn't see it —
     * applied BEFORE the stateful transform (and before any
     * `withWatermark` the operator installs), so the sentinel neither
@@ -274,7 +287,7 @@ object StreamingQueries {
         |ORDER BY user_id, start_ns""".stripMargin
     ) { (s, d) =>
       import s.implicits._
-      replay(s, "gq_stream_sessions", d) { ds =>
+      replayToFiles(s, "gq_stream_sessions", d) { ds =>
         EventStream.sessionize(ds, gapMinutes = 30, watermark = "10 minutes").toDF()
       }
         .select($"user_id", $"n_events", $"total_value".cast("long").as("total_cents"),
@@ -351,7 +364,7 @@ object StreamingQueries {
         |ORDER BY user_id, event_type, hour_bucket""".stripMargin
     ) { (s, d) =>
       import s.implicits._
-      replay(s, "gq_stream_dedup", d) { ds =>
+      replayToFiles(s, "gq_stream_dedup", d) { ds =>
         EventStream.dedupWithinWatermark(
           dropSentinel(ds).toDF()
             .withColumn("hour_bucket", expr("unix_micros(ts) div 3600000000")),
@@ -387,7 +400,7 @@ object StreamingQueries {
         |ORDER BY event_id""".stripMargin
     ) { (s, d) =>
       import s.implicits._
-      replay(s, "gq_stream_drift", d) { ds =>
+      replayToFiles(s, "gq_stream_drift", d) { ds =>
         EventStream.driftScores(dropSentinel(ds), alpha = 0.5,
           keyOf = e => e.event_type + "|" + e.user_id).toDF()
       }
