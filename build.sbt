@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Let the forked main write RAW stdout instead of routing through
+// sbt's logger: the bench/verify drivers parse stdout lines as JSON,
+// and the logger's "[info] " prefix breaks that parse (BENCH_r*.json
+// recorded parsed=null for exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -506,7 +506,9 @@ object StreamingQueries {
         eventStream(ss, src).toDF()
           .filter(col("event_type").isin("purchase", SentinelType)),
         "user_id", within = "15 minutes", joinType = "left_outer")
-      runToTable(ss, joined, "gq_stream_unmatched", "append")
+      // file sink: unmatched views are a constant fraction of the
+      // corpus (~20%), too big for a driver memory sink at a replica
+      runToParquet(ss, joined, "gq_stream_unmatched")
         .filter($"right_id".isNull)
         .select($"user_id", $"left_id", (unix_micros($"left_ts") * 1000L).as("left_ns"))
         .orderBy($"left_id")
