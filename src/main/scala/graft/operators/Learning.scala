@@ -284,17 +284,11 @@ object Learning {
     // them on the driver via getString; a non-string class column —
     // e.g. an int label — must not ClassCastException there)
     val clsExpr = col(clsCol).cast("string").as("cls")
-    // Tokenize is CPU-per-row and its parallelism is the scan's split
-    // count: a mid-sized corpus can arrive as a handful of splits
-    // (e.g. 150 MB → 2), serializing every pass below. Spread the raw
-    // text across the cluster first when the scan is narrower than
-    // the core count AND carries enough bytes for the extra exchange
-    // to pay (a tiny corpus round-trips faster than it reshuffles; a
-    // 100 TB scan already has more splits than cores — no-op).
-    val raw0 = docs.select(col(idCol).as("_id"), clsExpr, col(textCol).as("_text"))
-    val raw = if (raw0.queryExecution.optimizedPlan.stats.sizeInBytes > (64L << 20) &&
-      raw0.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
-      raw0.repartition(spark.sparkContext.defaultParallelism) else raw0
+    // Tokenize is CPU-per-row and its parallelism is the input's
+    // split count — narrow scans are the CALLER's concern
+    // (Tables.documents already spreads a few-split testdata file
+    // across the cores; a 100 TB scan has more splits than cores).
+    val raw = docs.select(col(idCol).as("_id"), clsExpr, col(textCol).as("_text"))
     // the coalesce keeps the marker row for null-text documents: they
     // score nothing but still count toward their class's prior,
     // exactly like the docs-table count the priors used to make
