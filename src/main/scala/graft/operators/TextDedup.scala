@@ -201,6 +201,11 @@ object TextDedup {
         .filter(size(col("sh")) > 0)
         .withColumn("sig", GraftFunctions.minhashSig(col("sh"), numHashes))
         .persist()
+      // try/finally: any failing action below (the cloned session runs
+      // every action of this table) must still release the persisted
+      // signature blocks — a bare success-path unpersist leaks them
+      // for the JVM lifetime
+      try {
       val shOnly = sh.select(col("doc_id"), col("sh"))
       // all configs' band rows in one explode: (doc_id, cfg, band, bkey)
       val banded = sh.select(
@@ -246,9 +251,9 @@ object TextDedup {
       // persisted signature frame before returning
       val schema = outRows.schema
       val local = outRows.collect()
-      sh.unpersist()
       df.sparkSession.createDataFrame(
         java.util.Arrays.asList(local: _*), schema)
+      } finally sh.unpersist()
     }
   }
 

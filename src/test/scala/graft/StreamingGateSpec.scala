@@ -44,6 +44,16 @@ class StreamingGateSpec extends SparkSpec {
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("streaming sentinel")))
+    // null ts: the when-condition is null, so it falls to the error
+    // branch — the guard must STILL fail by name (a null message would
+    // defeat the fail-by-name purpose)
+    val en = intercept[Exception] {
+      Seq(Tuple1(null: java.sql.Timestamp)).toDF("ts")
+        .select(StreamingQueries.guardBelowSentinel($"ts").as("ts"))
+        .collect()
+    }
+    assert(messages(en).exists(m =>
+      m.contains("streaming sentinel") && m.contains("NULL")))
   }
 
   test("q153: streaming windowed counts drain to the exact batch hourly rollup") {
