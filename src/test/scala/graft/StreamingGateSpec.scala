@@ -20,6 +20,21 @@ class StreamingGateSpec extends SparkSpec {
   private def run(name: String): DataFrame =
     StreamingQueries.all.find(_.name == name).get.fn(spark, sf)
 
+  /** Round-12 plan pin: a corpus-sized replay must come back reading a
+    * parquet sink dir (executor→files), never a memory-sink table — a
+    * memory sink materializes the output on the driver and silently
+    * caps the certified scale at driver heap. The sink dirs are named
+    * gq_stream_out*, so the file relation's root path is the witness.
+    */
+  private def assertFileBacked(got: DataFrame): Unit = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val fileRoots = got.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation
+    }.collect { case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString) }.flatten
+    assert(fileRoots.exists(_.contains("gq_stream_out")),
+      s"corpus-sized replay must drain to a parquet sink, found file roots: $fileRoots")
+  }
+
   private def assertSameRows(got: DataFrame, want: DataFrame): Unit = {
     assert(got.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
       want.schema.fields.map(f => (f.name, f.dataType)).toSeq)
@@ -70,6 +85,7 @@ class StreamingGateSpec extends SparkSpec {
 
   test("q154: streaming sessions equal batch sessionization, incl. each user's final session") {
     val got = run("q154_stream_sessions")
+    assertFileBacked(got)
     // ms-floor gap arithmetic, (ms, event_id) order — the operator's contract
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"user_id").orderBy($"ms", $"event_id")
@@ -110,8 +126,19 @@ class StreamingGateSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("q157: streaming dedup keys drain to a file sink and equal the batch DISTINCT") {
+    val got = run("q157_stream_dedup_keys")
+    assertFileBacked(got)
+    val want = Tables.events(spark, sf)
+      .select($"user_id", $"event_type",
+        expr("ts_ns div 3600000000000").as("hour_bucket"))
+      .distinct()
+    assertSameRows(got, want)
+  }
+
   test("q158: streaming drift trace equals the batch EWMA fold bit-for-bit") {
     val got = run("q158_stream_drift")
+    assertFileBacked(got)
     // batch replay of the same fold, driver-side, in the same order
     val evts = Tables.events(spark, sf)
       .select($"event_type", $"user_id", $"event_id",
@@ -133,6 +160,7 @@ class StreamingGateSpec extends SparkSpec {
 
   test("q160: stream-static ledger dedup equals the batch anti-join") {
     val got = run("q160_stream_ledger_dedup")
+    assertFileBacked(got)
     val fp = graft.functions.TextFunctions.canonicalFingerprint($"text")
     val docs = Tables.documents(spark, sf).select($"doc_id", fp.as("canonical_fp"))
     val ledger = docs.filter($"doc_id" % 7 === 0).select($"canonical_fp")
@@ -145,6 +173,7 @@ class StreamingGateSpec extends SparkSpec {
 
   test("q161: outer interval join emits exactly the views the watermark proved unmatched") {
     val got = run("q161_stream_unmatched_views")
+    assertFileBacked(got)
     val ev = Tables.events(spark, sf)
       .select($"event_id", $"user_id", $"event_type", expr("ts_ns").as("ns"))
     val views = ev.filter($"event_type" === "view")
