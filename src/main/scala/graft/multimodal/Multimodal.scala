@@ -7,22 +7,111 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed by per-partition batch
   * functions.
   *
-  * The decode step is STUBBED — this container has no image/audio
-  * codecs, so `decodeStub` derives a deterministic fake feature vector
-  * (byte histogram) from the payload. Everything around it is real
-  * Spark plumbing: binary column handling, metadata projection,
-  * `mapPartitions` over a typed Dataset (the Scala analogue of
-  * `mapInPandas` — per-partition batching, one decoder instance per
-  * partition, columnar in/out schema), and frame sampling that
-  * restricts work to the bytes actually needed.
+  * The IMAGE path runs a REAL codec: [[renderPng]]/[[decodeImages]]
+  * encode and decode actual PNG payloads through `javax.imageio`
+  * (ships with the JDK — no new dependency). The generic
+  * feature-extraction decode (`decodeStub`) and the audio/video paths
+  * stay stubbed — this container has no audio/video codecs — with a
+  * deterministic fake behind the identical plumbing. Everything around
+  * either body is real Spark: binary column handling, metadata
+  * projection, `mapPartitions` over a typed Dataset (the Scala
+  * analogue of `mapInPandas` — per-partition batching, one decoder
+  * instance per partition, columnar in/out schema), and frame sampling
+  * that restricts work to the bytes actually needed.
   *
-  * On a real cluster the stub body is replaced by the codec call; the
-  * schema, batching, and partitioning stay as-is.
+  * On a real cluster a stub body is replaced by the codec call — the
+  * image path demonstrates exactly that swap; the schema, batching,
+  * and partitioning stay as-is.
   */
 object Multimodal {
 
   final case class MediaRecord(id: Long, payload: Array[Byte])
   final case class MediaFeatures(id: Long, n_bytes: Long, features: Array[Float])
+  final case class ImageStats(id: Long, width: Long, height: Long,
+    sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Deterministic PNG test payload for media id `k`: a w×h RGB image
+    * (w = 8 + k%9, h = 8 + k%5) whose pixel (x,y) channels are the
+    * closed-form (k·31 + 7x + 13y) % 256 / (k·17 + 5x + 11y) % 256 /
+    * (k·13 + 3x + 19y) % 256 — so an oracle can predict any pixel
+    * statistic arithmetically, WITHOUT a decoder. PNG is lossless:
+    * decode must recover these exact values, which is what makes the
+    * codec round-trip testable cross-engine.
+    */
+  def renderPng(id: Long): Array[Byte] = {
+    val w = (8 + math.floorMod(id, 9)).toInt
+    val h = (8 + math.floorMod(id, 5)).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = math.floorMod(id * 31 + 7L * x + 13L * y, 256).toInt
+        val g = math.floorMod(id * 17 + 5L * x + 11L * y, 256).toInt
+        val b = math.floorMod(id * 13 + 3L * x + 19L * y, 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Attach a REAL PNG payload rendered from the id column — the
+    * test-data generator for the image-codec path (production images
+    * arrive as a binary parquet column; this stands in for that scan).
+    * Per-partition generation, no driver data.
+    */
+  def attachPngPayload(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // no per-stream disk cache
+        it.map(id => MediaRecord(id, renderPng(id)))
+      }.toDF()
+  }
+
+  /** REAL image decode: `javax.imageio` reads each binary PNG/JPEG
+    * payload and reduces it to (width, height, per-channel pixel sums)
+    * — the same `mapPartitions` batch shape as the stubbed feature
+    * decode, with the stub body replaced by the actual codec call.
+    * Codec init cost (plugin registry scan) is JVM-wide in ImageIO;
+    * the per-partition closure is where a heavier decoder (native lib,
+    * model session) would be instantiated once.
+    */
+  def decodeImages(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { rec =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(rec.payload))
+          require(img != null, s"undecodable image payload for id=${rec.id}")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff
+              sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          ImageStats(rec.id, w.toLong, h.toLong, sr, sg, sb)
+        }
+      }.toDF()
+  }
 
   /** Attach a binary payload + typed metadata struct. `srcCol` stands
     * in for raw media bytes (here: utf8 text bytes; in production the

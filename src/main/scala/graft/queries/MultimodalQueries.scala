@@ -107,6 +107,42 @@ object MultimodalQueries {
         .orderBy($"id", $"feature_idx")
     },
 
+    // REAL image codec round-trip: deterministic PNGs rendered from
+    // doc_id (closed-form pixel channels), encoded AND decoded through
+    // javax.imageio — the oracle predicts width/height/channel-sums
+    // arithmetically, so any codec defect (wrong size, channel order,
+    // lossy re-encode) breaks the hash match. PNG is lossless; the
+    // decode must recover the exact closed-form pixels.
+    Q.sql(
+      "multimodal_imgcodec",
+      """WITH d AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, xs.range AS x, ys.range AS y
+        |  FROM d, range(16) xs, range(12) ys
+        |  WHERE xs.range < w AND ys.range < h),
+        |s AS (
+        |  SELECT doc_id,
+        |    sum((doc_id * 31 + 7 * x + 13 * y) % 256) AS sum_r,
+        |    sum((doc_id * 17 + 5 * x + 11 * y) % 256) AS sum_g,
+        |    sum((doc_id * 13 + 3 * x + 19 * y) % 256) AS sum_b
+        |  FROM px GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+        |  CAST(s.sum_r AS BIGINT) AS sum_r, CAST(s.sum_g AS BIGINT) AS sum_g,
+        |  CAST(s.sum_b AS BIGINT) AS sum_b
+        |FROM d JOIN s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Multimodal.decodeImages(
+        Multimodal.attachPngPayload(Tables.documents(s, d), "doc_id"),
+        "id", "payload")
+        .select($"id".as("doc_id"), $"width", $"height",
+          $"sum_r", $"sum_g", $"sum_b")
+        .orderBy($"doc_id")
+    },
+
     // codec-free near-dup for BINARY payloads: simhash over distinct
     // 4-byte grams, computed in hex space (2 chars/byte) so DuckDB
     // replays it without blob slicing; pairs via the same pigeonhole

@@ -41,6 +41,35 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L).length == 6)
   }
 
+  test("renderPng/decodeImages: real PNG round-trip recovers the closed-form pixels") {
+    // the payload really is a PNG (magic bytes), not a fake
+    val png = Multimodal.renderPng(7L)
+    assert(png.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+    // decode via the operator; verify against the closed-form channels
+    val ids = Seq(0L, 7L, 123L, 100000L).toDF("doc_id")
+    val got = Multimodal.decodeImages(
+      Multimodal.attachPngPayload(ids, "doc_id"), "id", "payload")
+      .as[Multimodal.ImageStats].collect().map(s => s.id -> s).toMap
+    for (id <- Seq(0L, 7L, 123L, 100000L)) {
+      val w = (8 + id % 9).toInt; val h = (8 + id % 5).toInt
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += (id * 31 + 7L * x + 13L * y) % 256
+        sg += (id * 17 + 5L * x + 11L * y) % 256
+        sb += (id * 13 + 3L * x + 19L * y) % 256
+      }
+      val s = got(id)
+      assert((s.width, s.height, s.sum_r, s.sum_g, s.sum_b) ==
+        (w.toLong, h.toLong, sr, sg, sb), s"id=$id")
+    }
+    // a corrupted payload fails loudly, not silently
+    val bad = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    intercept[Exception] {
+      Multimodal.decodeImages(bad, "doc_id", "payload").collect()
+    }
+  }
+
   test("sampleFrames: byte ranges partition the payload exactly") {
     val df = Multimodal.sampleFrames(
       Multimodal.attachPayload(docs.filter($"doc_id" === 2), "doc_id", "text"),
