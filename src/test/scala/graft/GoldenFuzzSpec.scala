@@ -48,7 +48,7 @@ class GoldenFuzzSpec extends SparkSpec {
       catch { case _: Throwable => false })
 
   private val asOf = LocalDate.now()
-  private val Seeds = 25
+  private val Seeds = 32
 
   // ---- generators -------------------------------------------------
 
@@ -70,13 +70,27 @@ class GoldenFuzzSpec extends SparkSpec {
     val joinedRequired = r.nextBoolean()
     val resolution = Seq("first", "last", "exclude_all")(r.nextInt(3))
     val mode = if (r.nextDouble() < 0.35) "stop" else "skip"
-    val composite = r.nextInt(5) match {
+    val composite = r.nextInt(7) match {
       case 0 => Nil
       case 1 => Seq(Seq("id"))
       case 2 => Seq(Seq("id", "grp"))
       case 3 => Seq(Seq("grp"))
-      case _ => Seq(Seq("id"), Seq("grp"))
+      case 4 => Seq(Seq("id"), Seq("grp"))
+      // ≥3-key frame: ROW(id, grp, code) composite
+      case 5 => Seq(Seq("id", "grp", "code"))
+      // OVERLAPPING capture frames: the reference folds these
+      // sequentially (main.py:106-153) — each DELETE shrinks the
+      // stage table the next key sees, and the captured duplicate
+      // frames overlap on shared columns; the engine must replay the
+      // same fold over immutable DataFrame splits
+      case _ => Seq(Seq("id", "grp"), Seq("grp", "code"), Seq("id", "grp", "code"))
     }
+    // settings-DEFAULTS shape: when nothing besides the two mandatory
+    // keys is needed (no composite; `first` makes the compat knob a
+    // no-op), sometimes emit ONLY those two — exercising the default
+    // parse path (unique_composite [] / compat default) live
+    val minimalSettings =
+      composite.isEmpty && resolution == "first" && r.nextDouble() < 0.5
     val customRule = r.nextDouble() < 0.6
     val minAge = 10 + r.nextInt(51)
     val aliasName = r.nextDouble() < 0.3
@@ -147,11 +161,13 @@ class GoldenFuzzSpec extends SparkSpec {
     sb ++= "    settings:\n"
     sb ++= s"""      duplicate_resolution: "$resolution"\n"""
     sb ++= s"""      custom_validation_mode: "$mode"\n"""
-    sb ++= "      duplicate_resolution_compat: \"reference\"\n"
-    if (composite.nonEmpty) {
-      sb ++= "      unique_composite:\n"
-      for (k <- composite)
-        sb ++= s"""        - [${k.map("\"" + _ + "\"").mkString(", ")}]\n"""
+    if (!minimalSettings) {
+      sb ++= "      duplicate_resolution_compat: \"reference\"\n"
+      if (composite.nonEmpty) {
+        sb ++= "      unique_composite:\n"
+        for (k <- composite)
+          sb ++= s"""        - [${k.map("\"" + _ + "\"").mkString(", ")}]\n"""
+      }
     }
     sb ++= "    projections:\n"
     sb ++= "      - name: proj_a\n        type: \"table\"\n"
@@ -169,7 +185,7 @@ class GoldenFuzzSpec extends SparkSpec {
     Case(sb.toString,
       csv,
       s"seed=$seed res=$resolution mode=$mode keys=${composite.map(_.mkString("+")).mkString("/")} " +
-        s"rule=${if (customRule) minAge else "-"} clean=$cleanSchema")
+        s"rule=${if (customRule) minAge else "-"} clean=$cleanSchema min=$minimalSettings")
   }
 
   // ---- runners / comparators -------------------------------------
@@ -262,5 +278,32 @@ class GoldenFuzzSpec extends SparkSpec {
     val failures = (0 until Seeds).flatMap(runCase)
     assert(failures.isEmpty,
       s"${failures.size} divergences:\n" + failures.mkString("\n"))
+  }
+
+  test("settings-less entity fails identically in both engines (live validate_config parity)") {
+    assume(referenceRunnable, "reference checkout or driver python stack unavailable")
+    val dir = tmpDir("fuzz_settingsless")
+    Files.writeString(Paths.get(s"$dir/input.csv"), "id,name\n1,A\n")
+    val cfg =
+      s"""transformations_config:
+         |  fuzz:
+         |    source: "$dir/input.csv"
+         |    projections: []
+         |    validations:
+         |      schema:
+         |        fields:
+         |          id: {"type": "int", "required": true}
+         |""".stripMargin
+    val cfgPath = s"$dir/config.yaml"
+    Files.writeString(Paths.get(cfgPath), cfg)
+    // reference: validate_config raises KeyError before any work
+    val (code, out, err) = runReference(cfgPath, s"$dir/ref")
+    assert(code != 0, s"reference accepted a settings-less entity:\n$out")
+    assert((out + err).contains("Missing required configuration 'settings'"),
+      s"reference failed for a different reason:\n$out\n$err")
+    // engine: same gate, same flow (error before any Spark job)
+    val ex = intercept[NoSuchElementException](
+      PipelineConfig.load(cfgPath).entity("fuzz"))
+    assert(ex.getMessage.contains("settings"))
   }
 }
