@@ -27,8 +27,13 @@ object Multimodal {
 
   final case class MediaRecord(id: Long, payload: Array[Byte])
   final case class MediaFeatures(id: Long, n_bytes: Long, features: Array[Float])
+  /** `wsum` is position-weighted — Σ (1 + x + 17·y)·(r+g+b), weight
+    * unique per pixel (stride 17 > max width) — so a decoder that
+    * mirrors or transposes the raster breaks it even though the plain
+    * channel sums would survive.
+    */
   final case class ImageStats(id: Long, width: Long, height: Long,
-    sum_r: Long, sum_g: Long, sum_b: Long)
+    sum_r: Long, sum_g: Long, sum_b: Long, wsum: Long)
 
   /** Deterministic PNG test payload for media id `k`: a w×h RGB image
     * (w = 8 + k%9, h = 8 + k%5) whose pixel (x,y) channels are the
@@ -95,20 +100,22 @@ object Multimodal {
             new java.io.ByteArrayInputStream(rec.payload))
           require(img != null, s"undecodable image payload for id=${rec.id}")
           val (w, h) = (img.getWidth, img.getHeight)
-          var (sr, sg, sb) = (0L, 0L, 0L)
+          var (sr, sg, sb, ws) = (0L, 0L, 0L, 0L)
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
               val rgb = img.getRGB(x, y)
-              sr += (rgb >> 16) & 0xff
-              sg += (rgb >> 8) & 0xff
-              sb += rgb & 0xff
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              sr += r; sg += g; sb += b
+              ws += (1L + x + 17L * y) * (r + g + b)
               x += 1
             }
             y += 1
           }
-          ImageStats(rec.id, w.toLong, h.toLong, sr, sg, sb)
+          ImageStats(rec.id, w.toLong, h.toLong, sr, sg, sb, ws)
         }
       }.toDF()
   }

@@ -126,11 +126,15 @@ object MultimodalQueries {
         |  SELECT doc_id,
         |    sum((doc_id * 31 + 7 * x + 13 * y) % 256) AS sum_r,
         |    sum((doc_id * 17 + 5 * x + 11 * y) % 256) AS sum_g,
-        |    sum((doc_id * 13 + 3 * x + 19 * y) % 256) AS sum_b
+        |    sum((doc_id * 13 + 3 * x + 19 * y) % 256) AS sum_b,
+        |    sum((1 + x + 17 * y) * (
+        |      (doc_id * 31 + 7 * x + 13 * y) % 256 +
+        |      (doc_id * 17 + 5 * x + 11 * y) % 256 +
+        |      (doc_id * 13 + 3 * x + 19 * y) % 256)) AS wsum
         |  FROM px GROUP BY doc_id)
         |SELECT d.doc_id, CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
         |  CAST(s.sum_r AS BIGINT) AS sum_r, CAST(s.sum_g AS BIGINT) AS sum_g,
-        |  CAST(s.sum_b AS BIGINT) AS sum_b
+        |  CAST(s.sum_b AS BIGINT) AS sum_b, CAST(s.wsum AS BIGINT) AS wsum
         |FROM d JOIN s USING (doc_id)
         |ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
@@ -139,7 +143,7 @@ object MultimodalQueries {
         Multimodal.attachPngPayload(Tables.documents(s, d), "doc_id"),
         "id", "payload")
         .select($"id".as("doc_id"), $"width", $"height",
-          $"sum_r", $"sum_g", $"sum_b")
+          $"sum_r", $"sum_g", $"sum_b", $"wsum")
         .orderBy($"doc_id")
     },
 

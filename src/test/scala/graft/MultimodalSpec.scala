@@ -53,15 +53,17 @@ class MultimodalSpec extends SparkSpec {
       .as[Multimodal.ImageStats].collect().map(s => s.id -> s).toMap
     for (id <- Seq(0L, 7L, 123L, 100000L)) {
       val w = (8 + id % 9).toInt; val h = (8 + id % 5).toInt
-      var (sr, sg, sb) = (0L, 0L, 0L)
+      var (sr, sg, sb, ws) = (0L, 0L, 0L, 0L)
       for (y <- 0 until h; x <- 0 until w) {
-        sr += (id * 31 + 7L * x + 13L * y) % 256
-        sg += (id * 17 + 5L * x + 11L * y) % 256
-        sb += (id * 13 + 3L * x + 19L * y) % 256
+        val r = (id * 31 + 7L * x + 13L * y) % 256
+        val g = (id * 17 + 5L * x + 11L * y) % 256
+        val b = (id * 13 + 3L * x + 19L * y) % 256
+        sr += r; sg += g; sb += b
+        ws += (1L + x + 17L * y) * (r + g + b)
       }
       val s = got(id)
-      assert((s.width, s.height, s.sum_r, s.sum_g, s.sum_b) ==
-        (w.toLong, h.toLong, sr, sg, sb), s"id=$id")
+      assert((s.width, s.height, s.sum_r, s.sum_g, s.sum_b, s.wsum) ==
+        (w.toLong, h.toLong, sr, sg, sb, ws), s"id=$id")
     }
     // a corrupted payload fails loudly, not silently
     val bad = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
