@@ -50,7 +50,7 @@ INFEASIBLE_HARNESS = {
 
 
 def classify():
-    latest = sorted(REPO.glob("CORRECTNESS_r*.json"))[-1]
+    latest = sorted(REPO.glob("CORRECTNESS_r[0-9]*.json"))[-1]
     all_q = sorted(json.load(open(latest)).keys())
     cert = json.load(open(REPO / "CORRECTNESS_scale1000.json"))
     oracle_path = REPO / "tools" / "oracle_sql_snapshot.json"
