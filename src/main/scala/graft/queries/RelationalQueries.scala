@@ -241,13 +241,16 @@ object RelationalQueries {
     },
 
     // q12: date functions + aggregation by (year, month). Cast to BIGINT
-    // on both sides (Spark year() is INT, DuckDB's is BIGINT).
+    // on both sides (Spark year() is INT, DuckDB's is BIGINT). Totals
+    // ride the q116 integer-cents contract: round(sum(double), 2)
+    // drifted past 2 dp at the 1000x replica (group sums ~4e11 — the
+    // same scale boundary that moved q11/q16/q26/q49/q60 to cents).
     Q.sql(
       "q12_month_agg",
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
         |  CAST(month(o_orderdate) AS BIGINT) AS mon,
         |  count(*) AS cnt,
-        |  round(sum(o_totalprice), 2) AS total
+        |  CAST(sum(CAST(trunc(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin
@@ -257,7 +260,8 @@ object RelationalQueries {
         .groupBy(
           year($"o_orderdate").cast("long").as("yr"),
           month($"o_orderdate").cast("long").as("mon"))
-        .agg(count(lit(1)).as("cnt"), round(sum($"o_totalprice"), 2).as("total"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(($"o_totalprice" * 100).cast("long")).as("total_cents"))
         .orderBy($"yr", $"mon")
     },
 
