@@ -5,11 +5,9 @@ Classifies EVERY gate query into exactly one class so the 1000x
 certificate is principled rather than opportunistic:
 
   certified           in CORRECTNESS_scale1000.json (rows+schema+hash green)
-  table-absent        oracle reads lineitem/orders/customer/embeddings —
-                      tables not in the lean events+documents 1000x replica
-                      (the TPC-H relational surface is certified through the
-                      full-table 10x replica instead; the fourth decade
-                      exists to stress the corpus operators)
+  table-absent        oracle reads lineitem or embeddings — the two tables
+                      no 1000x replica can carry on this disk (certified
+                      through the full-table 10x replica instead)
   infeasible-oracle   the DuckDB oracle side is the blocker: q72/q73 replay
                       an unrolled 24-round pointer-jumping CTE (16 s at
                       sf0.1 already, multi-hour at 1000x), q140's oracle
@@ -32,8 +30,11 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
-# tables the lean 1000x replica does not carry (events+documents+dims)
-ABSENT_TABLES = re.compile(r"\b(lineitem|orders|customer|embeddings)\b", re.I)
+# tables no 1000x replica carries: lineitem needs ~60 GB of shuffle
+# temp (beyond the thin disk), embeddings ~41 GB of vectors. The
+# events+documents replica (graft_scale_x1000) and the customer+orders
+# replica (graft_scale_co1000, round 13) cover everything else.
+ABSENT_TABLES = re.compile(r"\b(lineitem|embeddings)\b", re.I)
 
 INFEASIBLE_ORACLE = {
     "q72_cc_stars": "24-round pointer-jumping CTE oracle (16 s at sf0.1; multi-hour at 1000x); 100x-certified",
@@ -46,6 +47,7 @@ INFEASIBLE_ORACLE = {
 }
 INFEASIBLE_HARNESS = {
     "q125_lsh_tuning": "bucket self-join spill (~tens of GB) exceeds the thin-provisioned disk's real free blocks; 100x-certified",
+    "q74_edit1_join": "output ~480M pair rows at the 1000x vocabulary (x12 per decade) exceeds the pandas-hash compare harness; Spark side MEASURED at 1000x (510 s, per-decade slope 5.9) and hash-certified through 100x",
 }
 
 
