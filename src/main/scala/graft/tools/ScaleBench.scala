@@ -106,9 +106,15 @@ object ScaleBench {
       df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     def shiftOf(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1L
-    // one row per (input row, replica)
+    // one row per (input row, replica). Repartition the INPUT, not the
+    // exploded output: shuffling after the explode moves factor× the
+    // data (a 1000× lineitem = ~60 GB of shuffle temp, which this
+    // box's thin disk cannot hold — the round-12 blocker); shuffling
+    // the base table first moves only the base bytes and the explode
+    // fans out inside each write task, so generation is shuffle-light
+    // at ANY factor. 64 input slices keep all cores writing.
     def replicate(df: DataFrame): DataFrame =
-      df.withColumn("_i", explode(sequence(lit(0), lit(factor - 1)))).repartition(32)
+      df.repartition(64).withColumn("_i", explode(sequence(lit(0), lit(factor - 1))))
     val i = col("_i")
 
     // SPARK_GRAFT_TABLES=events,documents — restrict which fact
