@@ -29,8 +29,9 @@ object RelationalQueries {
       "q01_pricing_summary",
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  CAST(sum(CAST(trunc(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(sum(CAST(trunc(l_extendedprice * 100) AS BIGINT) *
+        |           CAST(round((1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  round(avg(l_discount), 4) AS avg_disc,
         |  count(*) AS count_order
@@ -39,12 +40,21 @@ object RelationalQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
     ) { (s, d) =>
       import s.implicits._
+      // monetary sums ride exact integer units (the q116 contract):
+      // round(sum(double), 2) drifted at the 1000x lineitem (group
+      // sums ~5e12). Base price in cents; the discounted extension in
+      // 1e-4 units — price has 2 dp and discount 2 dp, so
+      // cents x (100 - 100*disc) is an exact BIGINT (~3e17 per group,
+      // well inside int64). Quantity/discount averages stay double:
+      // quantities are integers (exact double sums) and the 4-dp
+      // rounding absorbs the discount sum's ~1e-10 drift.
       Tables.lineitem(s, d)
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
           round(sum($"l_quantity"), 2).as("sum_qty"),
-          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+          sum(($"l_extendedprice" * 100).cast("long")).as("sum_base_cents"),
+          sum(($"l_extendedprice" * 100).cast("long") *
+            round((lit(1.0) - $"l_discount") * 100, 0).cast("long")).as("sum_disc_e4"),
           round(avg($"l_quantity"), 4).as("avg_qty"),
           round(avg($"l_discount"), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -73,7 +83,8 @@ object RelationalQueries {
     Q.sql(
       "q03_revenue_by_nation",
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(sum(CAST(trunc(l_extendedprice * 100) AS BIGINT) *
+        |           CAST(round((1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_e4,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -83,13 +94,16 @@ object RelationalQueries {
         |ORDER BY n_name""".stripMargin
     ) { (s, d) =>
       import s.implicits._
+      // revenue in exact 1e-4 units (see q01's contract note) — the
+      // double sum drifted at the 1000x lineitem
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
         .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
         .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
         .groupBy($"n_name")
         .agg(
-          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+          sum(($"l_extendedprice" * 100).cast("long") *
+            round((lit(1.0) - $"l_discount") * 100, 0).cast("long")).as("revenue_e4"),
           count(lit(1)).as("n_items"))
         .orderBy($"n_name")
     },
