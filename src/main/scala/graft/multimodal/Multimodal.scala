@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   *
   * The IMAGE path runs a REAL codec: [[renderPng]]/[[decodeImages]]
   * encode and decode actual PNG payloads through `javax.imageio`
-  * (ships with the JDK — no new dependency). The generic
-  * feature-extraction decode (`decodeStub`) and the audio/video paths
-  * stay stubbed — this container has no audio/video codecs — with a
+  * (ships with the JDK — no new dependency). The AUDIO path likewise
+  * runs a REAL codec: [[renderWav]]/[[decodeAudio]] encode and decode
+  * 16-bit PCM WAV through `javax.sound.sampled` (also JDK-shipped, no
+  * audio device needed for stream transcoding). The generic
+  * feature-extraction decode (`decodeStub`) and the video path stay
+  * stubbed — this container has no video codecs — with a
   * deterministic fake behind the identical plumbing. Everything around
   * either body is real Spark: binary column handling, metadata
   * projection, `mapPartitions` over a typed Dataset (the Scala
@@ -116,6 +119,111 @@ object Multimodal {
             y += 1
           }
           ImageStats(rec.id, w.toLong, h.toLong, sr, sg, sb, ws)
+        }
+      }.toDF()
+  }
+
+  /** `wsum` is frame-position-weighted — Σ (1 + i)·(left + right) over
+    * frame index i — so a decoder that reorders, drops, or duplicates
+    * frames breaks it even though the per-channel sums would survive;
+    * the separate left/right sums pin channel INTERLEAVING (a decoder
+    * that swaps channels keeps `wsum` but flips `sum_l`/`sum_r`).
+    */
+  final case class AudioStats(id: Long, n_frames: Long, channels: Long,
+    sum_l: Long, sum_r: Long, wsum: Long)
+
+  /** Deterministic WAV test payload for media id `k`: 16-bit signed
+    * PCM, 2 channels, little-endian, n = 64 + k%33 frames, where frame
+    * i channel c carries the closed-form sample
+    * ((k·31 + 7i + 13c) mod 4096) − 2048 — so an oracle can predict any
+    * sample statistic arithmetically, WITHOUT a decoder. PCM WAV is
+    * lossless: decode must recover these exact values, which is what
+    * makes the codec round-trip testable cross-engine.
+    */
+  def renderWav(id: Long): Array[Byte] = {
+    val n = (64 + math.floorMod(id, 33)).toInt
+    val pcm = new Array[Byte](n * 4) // 2 ch × 2 bytes
+    var i = 0
+    while (i < n) {
+      var c = 0
+      while (c < 2) {
+        val s = (math.floorMod(id * 31 + 7L * i + 13L * c, 4096) - 2048).toInt
+        pcm(4 * i + 2 * c) = (s & 0xff).toByte          // little-endian lo
+        pcm(4 * i + 2 * c + 1) = ((s >> 8) & 0xff).toByte // hi
+        c += 1
+      }
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      8000f, 16, 2, /*signed=*/ true, /*bigEndian=*/ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Attach a REAL WAV payload rendered from the id column — the
+    * test-data generator for the audio-codec path (production audio
+    * arrives as a binary parquet column; this stands in for that scan).
+    * Per-partition generation, no driver data.
+    */
+  def attachWavPayload(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(it => it.map(id => MediaRecord(id, renderWav(id))))
+      .toDF()
+  }
+
+  /** REAL audio decode: `javax.sound.sampled` parses each binary WAV
+    * payload (RIFF container + format chunk) and reduces it to
+    * (frame count, channel count, per-channel sample sums, a
+    * frame-position-weighted sum) — the same `mapPartitions` batch
+    * shape as the image decode. The sample layout (width, channel
+    * count, endianness, signedness) is read from the DECODED header,
+    * not assumed, so a container/codec defect surfaces as a hash
+    * mismatch rather than silently re-interpreted bytes.
+    */
+  def decodeAudio(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { rec =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(rec.payload))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 &&
+            fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            s"unexpected sample layout for id=${rec.id}: $fmt")
+          val channels = fmt.getChannels
+          val bytes = ais.readAllBytes()
+          val frameBytes = 2 * channels
+          val n = bytes.length / frameBytes
+          var (sl, sr, ws) = (0L, 0L, 0L)
+          var i = 0
+          while (i < n) {
+            var frameSum = 0L
+            var c = 0
+            while (c < channels) {
+              val off = i * frameBytes + 2 * c
+              val lo = bytes(off) & 0xff
+              val hi = bytes(off + 1)
+              // header-declared endianness, not an assumption
+              val s: Int =
+                if (fmt.isBigEndian) (bytes(off) << 8) | (bytes(off + 1) & 0xff)
+                else (hi << 8) | lo
+              if (c == 0) sl += s else sr += s
+              frameSum += s
+              c += 1
+            }
+            ws += (1L + i) * frameSum
+            i += 1
+          }
+          AudioStats(rec.id, n.toLong, channels.toLong, sl, sr, ws)
         }
       }.toDF()
   }

@@ -147,6 +147,47 @@ object MultimodalQueries {
         .orderBy($"doc_id")
     },
 
+    // REAL audio codec round-trip: deterministic 16-bit stereo PCM WAV
+    // rendered from doc_id (closed-form samples), encoded AND decoded
+    // through javax.sound.sampled — the oracle predicts frame count,
+    // per-channel sample sums, and a frame-position-weighted sum
+    // arithmetically, so any codec defect (wrong frame width, swapped
+    // channels, dropped/reordered frames, endianness) breaks the hash
+    // match. PCM WAV is lossless; the decode must recover the exact
+    // closed-form samples.
+    Q.sql(
+      "multimodal_audiocodec",
+      """WITH d AS (
+        |  SELECT doc_id, 64 + doc_id % 33 AS n
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, n, fs.range AS i
+        |  FROM d, range(97) fs
+        |  WHERE fs.range < n),
+        |s AS (
+        |  SELECT doc_id,
+        |    sum((doc_id * 31 + 7 * i) % 4096 - 2048) AS sum_l,
+        |    sum((doc_id * 31 + 7 * i + 13) % 4096 - 2048) AS sum_r,
+        |    sum((1 + i) * (
+        |      (doc_id * 31 + 7 * i) % 4096 +
+        |      (doc_id * 31 + 7 * i + 13) % 4096 - 4096)) AS wsum
+        |  FROM f GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_frames,
+        |  CAST(2 AS BIGINT) AS channels,
+        |  CAST(s.sum_l AS BIGINT) AS sum_l, CAST(s.sum_r AS BIGINT) AS sum_r,
+        |  CAST(s.wsum AS BIGINT) AS wsum
+        |FROM d JOIN s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Multimodal.decodeAudio(
+        Multimodal.attachWavPayload(Tables.documents(s, d), "doc_id"),
+        "id", "payload")
+        .select($"id".as("doc_id"), $"n_frames", $"channels",
+          $"sum_l", $"sum_r", $"wsum")
+        .orderBy($"doc_id")
+    },
+
     // codec-free near-dup for BINARY payloads: simhash over distinct
     // 4-byte grams, computed in hex space (2 chars/byte) so DuckDB
     // replays it without blob slicing; pairs via the same pigeonhole

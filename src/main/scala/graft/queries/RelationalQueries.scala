@@ -40,12 +40,17 @@ object RelationalQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
     ) { (s, d) =>
       import s.implicits._
-      // monetary sums ride exact integer units (the q116 contract):
-      // round(sum(double), 2) drifted at the 1000x lineitem (group
-      // sums ~5e12). Base price in cents; the discounted extension in
-      // 1e-4 units — price has 2 dp and discount 2 dp, so
-      // cents x (100 - 100*disc) is an exact BIGINT (~3e17 per group,
-      // well inside int64). Quantity/discount averages stay double:
+      // monetary sums ride drift-free integer units (the q116
+      // contract): round(sum(double), 2) drifted at the 1000x lineitem
+      // (group sums ~5e12). Base price in truncated cents — NOTE this
+      // is cross-engine-CONSISTENT truncation, not true decimal cents:
+      // both engines truncate the same double, so price*100 landing
+      // just under an integer (2098.99*100 = 209898.999…97) loses one
+      // cent identically on both sides, and the integer SUM then
+      // accumulates with zero drift. The discounted extension rides
+      // 1e-4 units — truncated cents x (100 - 100*disc) is an exact
+      // BIGINT product (~3e17 per group, well inside int64).
+      // Quantity/discount averages stay double:
       // quantities are integers (exact double sums) and the 4-dp
       // rounding absorbs the discount sum's ~1e-10 drift.
       Tables.lineitem(s, d)
@@ -242,7 +247,9 @@ object RelationalQueries {
       import s.implicits._
       // integer cents (q116's pattern): a rounded double sum drifts
       // past 2 dp once the group magnitude crosses ~1e12 — caught by
-      // the 100× certificate on this query's l_linestatus groups
+      // the 100× certificate on this query's l_linestatus groups.
+      // Cents are cross-engine-consistent TRUNCATION (see q01's note),
+      // which is what makes the integer sum drift-free.
       Tables.lineitem(s, d)
         .groupBy($"l_linestatus")
         .agg(

@@ -185,8 +185,12 @@ object StreamingQueries {
     * for the aggregate-shaped replays but not for a corpus-sized
     * output — q160 emits one row per surviving document, so at a
     * 100×/1000× replica it must stream executor→files like a
-    * production job. The sink dir lives until JVM exit (the returned
-    * frame reads it lazily); the checkpoint is removed with the run.
+    * production job. NEWEST-FRAME-ONLY contract: a same-tag re-run
+    * deletes the previous run's sink dir as soon as the new run
+    * commits, so only the most recently returned frame for a tag
+    * stays readable (earlier frames raise FileNotFoundException); the
+    * newest dir itself lives until JVM exit. The checkpoint is
+    * removed with the run.
     */
   private def runToParquet(ss: SparkSession, out: DataFrame, tag: String): DataFrame = {
     val ckpt = checkpointDir()
@@ -200,6 +204,12 @@ object StreamingQueries {
     val key = tag + "#out"
     val dir = java.nio.file.Files.createTempDirectory("gq_stream_out").toString
     val prev = Option(stagedDirs.put(key, dir))
+    // the displaced dir stays registered (under a side key) until its
+    // rmdir actually completes — an abnormal exit between the put
+    // above and the delete below must still clean it via the shutdown
+    // hook instead of leaking a corpus-sized dir on the thin disk
+    val displacedKey = key + "#displaced"
+    prev.foreach(stagedDirs.put(displacedKey, _))
     try {
       val q = out.writeStream.format("parquet").option("path", dir)
         .option("checkpointLocation", ckpt.toString)
@@ -209,13 +219,16 @@ object StreamingQueries {
     } catch {
       case e: Throwable =>
         // failed run: drop its partial dir, keep the last good one
+        // (restored under the primary key, so the side key can go)
         prev.fold[Unit] { stagedDirs.remove(key); () } { p =>
           stagedDirs.put(key, p); ()
         }
+        stagedDirs.remove(displacedKey)
         rmdir(dir)
         throw e
     }
     prev.foreach(rmdir)
+    stagedDirs.remove(displacedKey)
     // read with the declared schema: a corpus slice whose replay
     // commits zero output files (e.g. no view/purchase events feeding
     // q161's join) must come back as an empty frame, not as parquet's

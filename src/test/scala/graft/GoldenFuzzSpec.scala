@@ -12,7 +12,10 @@ import scala.util.Random
   * (`python3 /root/reference/main.py`): N seeded cases, each a fresh
   * synthetic entity with a randomized schema (types, required flags,
   * patterns, min bounds), randomized settings (duplicate resolution,
-  * composite keys, custom-validation mode, age_gte rule) and a
+  * composite keys, custom-validation mode, age_gte rule, projection
+  * aliases — including a no-op rename of an unprojected column and a
+  * not-in-schema source that makes both engines skip the projection)
+  * and a
   * generated CSV carrying seeded corruption (bad emails/codes/ints/
   * bools, empty required cells, under-min values, under-age dates,
   * duplicate keys). Both engines run the same config + input; exports
@@ -93,7 +96,22 @@ class GoldenFuzzSpec extends SparkSpec {
       composite.isEmpty && resolution == "first" && r.nextDouble() < 0.5
     val customRule = r.nextDouble() < 0.6
     val minAge = 10 + r.nextInt(51)
-    val aliasName = r.nextDouble() < 0.3
+    // alias dial (main.py:223-232 substring-replace path; the engine
+    // applies the same renames structurally): 0–2 sources drawn from
+    // the projected columns with fz_-prefixed targets — non-recurring
+    // by construction, since no column name is a substring of another
+    // and a target fz_X can only contain its own source X (the
+    // recurring-name divergence is documented out of fuzz scope) —
+    // plus two edge shapes: a schema-valid source ABSENT from the
+    // projection (the replace/rename is a no-op in both engines) and
+    // a source not in the schema at all (both engines skip the whole
+    // projection, main.py:287-291)
+    val aliasSafe = Seq("name", "email", "code", "score", "hours", "note")
+    val nAlias = { val p = r.nextDouble(); if (p < 0.45) 0 else if (p < 0.8) 1 else 2 }
+    val aliasShape =
+      if (nAlias == 0) "none"
+      else { val p = r.nextDouble(); if (p < 0.15) "absent" else if (p < 0.3) "bogus" else "normal" }
+    val aliasSources = r.shuffle(aliasSafe).take(nAlias)
 
     // rows: 30, with seeded corruption; `active` keeps one non-bool
     // token when declared str (see scope note above)
@@ -152,8 +170,18 @@ class GoldenFuzzSpec extends SparkSpec {
       val extra = r.shuffle(all.filterNot(mustHave.contains)).take(2 + r.nextInt(3))
       all.filter(c => mustHave.contains(c) || extra.contains(c)) // stable order
     }
-    val aCols = projCols(if (aliasName) Seq("id", "name") else Seq("id"))
+    val aCols = projCols(
+      Seq("id") ++ (if (aliasShape == "normal") aliasSources else Nil))
     val bCols = projCols(Seq("id"))
+    val aliasPairs: Seq[(String, String)] = aliasShape match {
+      case "normal" => aliasSources.map(c => c -> s"fz_$c")
+      case "absent" =>
+        val cand = aliasSafe.filterNot(aCols.contains)
+        if (cand.isEmpty) aliasSources.take(1).map(c => c -> s"fz_$c")
+        else Seq(cand(r.nextInt(cand.length)) -> "fz_ghostly")
+      case "bogus" => Seq("zz_ghost" -> "fz_ghost")
+      case _ => Nil
+    }
 
     val sb = new StringBuilder
     sb ++= "transformations_config:\n  fuzz:\n"
@@ -172,7 +200,10 @@ class GoldenFuzzSpec extends SparkSpec {
     sb ++= "    projections:\n"
     sb ++= "      - name: proj_a\n        type: \"table\"\n"
     sb ++= s"""        query: |\n          SELECT ${aCols.mkString(", ")} FROM fuzz\n"""
-    if (aliasName) sb ++= "        aliases:\n          name: full_name\n"
+    if (aliasPairs.nonEmpty) {
+      sb ++= "        aliases:\n"
+      for ((o, a) <- aliasPairs) sb ++= s"          $o: $a\n"
+    }
     sb ++= "      - name: proj_b\n        type: \"view\"\n"
     sb ++= s"""        query: |\n          SELECT ${bCols.mkString(", ")} FROM fuzz\n"""
     sb ++= "    validations:\n      schema:\n        fields:\n"
@@ -185,7 +216,8 @@ class GoldenFuzzSpec extends SparkSpec {
     Case(sb.toString,
       csv,
       s"seed=$seed res=$resolution mode=$mode keys=${composite.map(_.mkString("+")).mkString("/")} " +
-        s"rule=${if (customRule) minAge else "-"} clean=$cleanSchema min=$minimalSettings")
+        s"rule=${if (customRule) minAge else "-"} clean=$cleanSchema min=$minimalSettings " +
+        s"alias=$aliasShape:${aliasPairs.map(_._1).mkString("+")}")
   }
 
   // ---- runners / comparators -------------------------------------

@@ -57,4 +57,64 @@ class PlanPinSpec extends SparkSpec {
     assert(offending.isEmpty,
       s"data-dependent double literals leaked into the scoring plan:\n${offending.mkString("\n")}")
   }
+
+  /** The streaming query handle wraps a StreamExecution whose last
+    * micro-batch plan is the physical witness; both are private[sql],
+    * so reach them reflectively (runtime methods are public bytecode).
+    */
+  private def lastExecutedPlan(q: org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.execution.SparkPlan = {
+    val se = q.getClass.getMethod("streamingQuery").invoke(q)
+    val le = se.getClass.getMethod("lastExecution").invoke(se)
+    le.getClass.getMethod("executedPlan").invoke(le)
+      .asInstanceOf[org.apache.spark.sql.execution.SparkPlan]
+  }
+
+  test("streaming interval join: state watermark predicates bound BOTH sides (q155/q161 shape)") {
+    // q155/q161 are the suite's most expensive replays; the property
+    // that keeps them 100 TB-safe is that Spark derived a state
+    // CLEANUP predicate for each join side from the watermarks + the
+    // time-range condition — lose either (e.g. a refactor drops one
+    // side's withWatermark, or the range predicate stops being
+    // ts-vs-ts) and state retention becomes unbounded: results stay
+    // identical, only the cost model breaks. Pin it structurally.
+    import spark.implicits._
+    val dir = tmpDir("pin_ij")
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 10L, "click", 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 10L, "purchase", 2.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 11L, "click", 3.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    rows.write.parquet(s"$dir/ev")
+    val src = spark.readStream.schema(rows.schema).parquet(s"$dir/ev")
+    for (jt <- Seq("inner", "left_outer")) {
+      val joined = graft.streaming.EventStream.intervalJoin(
+        src.filter($"event_type" === "click"),
+        src.filter($"event_type" === "purchase"),
+        key = "user_id", within = "15 minutes", watermark = "10 minutes",
+        joinType = jt)
+      val ckpt = tmpDir("pin_ij_ckpt")
+      val q = joined.writeStream.format("memory").queryName(s"pin_ij_$jt")
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val plan = lastExecutedPlan(q)
+        val joins = plan.collect {
+          case p if p.nodeName.contains("StreamingSymmetricHashJoin") => p
+        }
+        assert(joins.size == 1,
+          s"[$jt] expected one streaming symmetric hash join, got:\n$plan")
+        // JoinStateWatermarkPredicates prints as
+        // "state cleanup [ left ... predicate: ..., right ... predicate: ... ]"
+        // with a side OMITTED when its predicate is None — a missing
+        // side means that side's state is never evicted
+        val swp = joins.head.getClass
+          .getMethod("stateWatermarkPredicates").invoke(joins.head).toString
+        assert(swp.contains("state cleanup"), s"[$jt] unexpected witness shape: $swp")
+        for (side <- Seq("left", "right"))
+          assert(swp.contains(s"$side value predicate:") || swp.contains(s"$side key predicate:"),
+            s"[$jt] the $side side lost its state cleanup predicate — unbounded retention: $swp")
+      } finally q.stop()
+    }
+  }
 }

@@ -5,9 +5,13 @@ Classifies EVERY gate query into exactly one class so the 1000x
 certificate is principled rather than opportunistic:
 
   certified           in CORRECTNESS_scale1000.json (rows+schema+hash green)
-  table-absent        oracle reads lineitem or embeddings — the two tables
-                      no 1000x replica can carry on this disk (certified
-                      through the full-table 10x replica instead)
+  table-absent        oracle reads embeddings — the one table no 1000x
+                      replica can carry on this disk (~41 GB of vectors;
+                      certified through the full-table 10x replica
+                      instead). The lineitem family moved OUT of this
+                      class in round 14: commit 4432b19's shuffle-light
+                      replication made the 600M-row replica generatable
+                      (5.2 GB), and the readers are now certified rows
   infeasible-oracle   the DuckDB oracle side is the blocker: q72/q73 replay
                       an unrolled 24-round pointer-jumping CTE (16 s at
                       sf0.1 already, multi-hour at 1000x), q140's oracle
@@ -30,11 +34,13 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
-# tables no 1000x replica carries: lineitem needs ~60 GB of shuffle
-# temp (beyond the thin disk), embeddings ~41 GB of vectors. The
-# events+documents replica (graft_scale_x1000) and the customer+orders
-# replica (graft_scale_co1000, round 13) cover everything else.
-ABSENT_TABLES = re.compile(r"\b(lineitem|embeddings)\b", re.I)
+# the one table no 1000x replica carries: embeddings is ~41 GB of
+# vectors, beyond the thin disk's real free blocks. The
+# events+documents replica (graft_scale_x1000), the customer+orders
+# replica (graft_scale_co1000, round 13), and the lineitem replica
+# (graft_scale_li1000, 600M rows / 5.2 GB, generatable since 4432b19's
+# repartition-the-input fix) cover everything else.
+ABSENT_TABLES = re.compile(r"\b(embeddings)\b", re.I)
 
 INFEASIBLE_ORACLE = {
     "q72_cc_stars": "24-round pointer-jumping CTE oracle (16 s at sf0.1; multi-hour at 1000x); 100x-certified",
@@ -52,14 +58,17 @@ INFEASIBLE_HARNESS = {
 
 
 def classify():
-    latest = sorted(REPO.glob("CORRECTNESS_r[0-9]*.json"))[-1]
+    # pick the latest gate round by PARSED round number, not string sort
+    # (lexicographic order would put r100 before r99)
+    latest = max(REPO.glob("CORRECTNESS_r[0-9]*.json"),
+                 key=lambda p: int(re.search(r"_r(\d+)", p.name).group(1)))
     all_q = sorted(json.load(open(latest)).keys())
     cert = json.load(open(REPO / "CORRECTNESS_scale1000.json"))
     oracle_path = REPO / "tools" / "oracle_sql_snapshot.json"
     if not oracle_path.exists():
-        # fall back to any verify dump the caller produced
-        import glob
-        cands = sorted(glob.glob("/tmp/*/oracle_sql.json"))
+        # fall back to the NEWEST verify dump the caller produced
+        import glob, os
+        cands = sorted(glob.glob("/tmp/*/oracle_sql.json"), key=os.path.getmtime)
         if not cands:
             sys.exit("no oracle_sql.json snapshot; run graft.Verify first")
         oracle_path = cands[-1]
