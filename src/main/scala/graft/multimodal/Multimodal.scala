@@ -132,6 +132,47 @@ object Multimodal {
   final case class AudioStats(id: Long, n_frames: Long, channels: Long,
     sum_l: Long, sum_r: Long, wsum: Long)
 
+  /** WAV SPI providers resolved ONCE per executor (lazy val): the
+    * `AudioSystem` facade re-walks `JDK13Services.getProviders` — a
+    * synchronized, non-caching ServiceLoader scan — on EVERY
+    * getAudioInputStream/write call, which serializes all tasks on a
+    * JVM-global lock (measured: a 5M-payload decode ran at ~1 core on
+    * a 32-thread box). Loading the public `javax.sound.sampled.spi`
+    * providers ourselves keeps the codec calls lock-free and the path
+    * embarrassingly parallel.
+    */
+  private lazy val wavReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    val all = java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toList
+    // probe ONCE with a minimal PCM WAV and sort the accepting reader
+    // first: trying providers blindly per record reaches
+    // SoftMidiAudioFileReader, whose rejection probe itself walks
+    // MidiSystem.getProviders — the very synchronized JDK13Services
+    // scan this cache exists to avoid (measured: 32 tasks BLOCKED on
+    // the JSSecurityManager class monitor)
+    val probe = renderWav(0L)
+    val (hit, miss) = all.partition { r =>
+      try { r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)).close(); true }
+      catch { case _: Exception => false }
+    }
+    hit ++ miss
+  }
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(sys.error("no WAVE AudioFileWriter provider in this JDK"))
+  }
+
+  private def openAudio(payload: Array[Byte]): javax.sound.sampled.AudioInputStream =
+    wavReaders.iterator.flatMap { r =>
+      try Iterator.single(r.getAudioInputStream(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => Iterator.empty }
+    }.nextOption().getOrElse(
+      throw new IllegalArgumentException("undecodable audio payload"))
+
   /** Deterministic WAV test payload for media id `k`: 16-bit signed
     * PCM, 2 channels, little-endian, n = 64 + k%33 frames, where frame
     * i channel c carries the closed-form sample
@@ -159,8 +200,8 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    // direct SPI writer, NOT AudioSystem.write — see wavWriter's note
+    wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
@@ -193,8 +234,13 @@ object Multimodal {
       .as[MediaRecord]
       .mapPartitions { it =>
         it.map { rec =>
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(rec.payload))
+          // direct SPI readers, NOT AudioSystem.getAudioInputStream —
+          // see wavReaders' note (the facade serializes on a global lock)
+          val ais =
+            try openAudio(rec.payload)
+            catch { case e: IllegalArgumentException =>
+              throw new IllegalArgumentException(s"${e.getMessage} for id=${rec.id}")
+            }
           val fmt = ais.getFormat
           require(fmt.getSampleSizeInBits == 16 &&
             fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
