@@ -274,6 +274,142 @@ object Multimodal {
       }.toDF()
   }
 
+  /** `wsum` weights every voxel uniquely — Σ (1 + x + 17y + 173f)·
+    * (r+g+b) with 17 > max width and 173 > max(x + 17y) — so a decoder
+    * that mirrors a raster, reorders frames, or drops/duplicates a
+    * frame breaks it even though the plain channel sums would survive.
+    */
+  final case class VideoStats(id: Long, n_frames: Long, width: Long, height: Long,
+    sum_r: Long, sum_g: Long, sum_b: Long, wsum: Long)
+
+  /** Deterministic multi-frame GIF89a test payload for media id `k`:
+    * n = 2 + k%3 frames of w×h (w = 4 + k%5, h = 3 + k%4) indexed
+    * pixels over a 64-entry id-derived palette — frame f pixel (x,y)
+    * carries palette index (k·31 + 3x + 5y + 11f) mod 64, and palette
+    * entry c decodes to channels ((k·5 + 4c) mod 256, (k·3 + 2c + 1)
+    * mod 256, (k·7 + 3c + 2) mod 256) — so an oracle can predict any
+    * frame/pixel statistic arithmetically, WITHOUT a decoder. An
+    * indexed GIF is lossless (LZW over palette indices): decode must
+    * recover these exact values. Two encoder details matter:
+    * TYPE_BYTE_INDEXED with an explicit IndexColorModel (handing the
+    * writer RGB makes it quantize to its own web palette — measured
+    * lossy), and interlace DISABLED (the JDK's interlaced write does
+    * not round-trip row order through its own reader at these sizes —
+    * measured: non-first rows come back as palette entry 0).
+    */
+  def renderGif(id: Long): Array[Byte] = {
+    val w = (4 + math.floorMod(id, 5)).toInt
+    val h = (3 + math.floorMod(id, 4)).toInt
+    val frames = (2 + math.floorMod(id, 3)).toInt
+    val (pr, pg, pb) = (new Array[Byte](64), new Array[Byte](64), new Array[Byte](64))
+    var c = 0
+    while (c < 64) {
+      pr(c) = math.floorMod(id * 5 + 4L * c, 256).toByte
+      pg(c) = math.floorMod(id * 3 + 2L * c + 1, 256).toByte
+      pb(c) = math.floorMod(id * 7 + 3L * c + 2, 256).toByte
+      c += 1
+    }
+    val icm = new java.awt.image.IndexColorModel(8, 64, pr, pg, pb)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < frames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      val ras = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          ras.setSample(x, y, 0,
+            math.floorMod(id * 31 + 3L * x + 5L * y + 11L * f, 64).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Attach a REAL multi-frame GIF payload rendered from the id column
+    * — the test-data generator for the video-shaped path (production
+    * video arrives as a binary parquet column; this stands in for that
+    * scan). Per-partition generation, no driver data.
+    */
+  def attachGifPayload(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map(id => MediaRecord(id, renderGif(id)))
+      }.toDF()
+  }
+
+  /** REAL multi-frame decode: `javax.imageio`'s GIF reader parses the
+    * GIF89a container (logical screen descriptor, global color table,
+    * per-frame image descriptors, LZW-compressed index streams) and
+    * reduces every frame to channel sums plus a voxel-weighted sum
+    * that pins frame ORDER and raster orientation. This is the
+    * video-shaped path: a multi-frame container decoded frame-by-frame
+    * — a production deployment swaps the GIF reader for a native
+    * H.264/VP9 codec behind the identical mapPartitions plumbing
+    * (frame iteration, per-frame stats, typed output schema).
+    */
+  def decodeVideo(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { rec =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(rec.payload))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          require(readers.hasNext, s"undecodable video payload for id=${rec.id}")
+          val reader = readers.next()
+          reader.setInput(iis)
+          try {
+            val n = reader.getNumImages(true)
+            var (w, h) = (0, 0)
+            var (sr, sg, sb, ws) = (0L, 0L, 0L, 0L)
+            var f = 0
+            while (f < n) {
+              val img = reader.read(f)
+              w = img.getWidth; h = img.getHeight
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  val r = (rgb >> 16) & 0xff
+                  val g = (rgb >> 8) & 0xff
+                  val b = rgb & 0xff
+                  sr += r; sg += g; sb += b
+                  ws += (1L + x + 17L * y + 173L * f) * (r + g + b)
+                  x += 1
+                }
+                y += 1
+              }
+              f += 1
+            }
+            VideoStats(rec.id, n.toLong, w.toLong, h.toLong, sr, sg, sb, ws)
+          } finally reader.dispose()
+        }
+      }.toDF()
+  }
+
   /** Attach a binary payload + typed metadata struct. `srcCol` stands
     * in for raw media bytes (here: utf8 text bytes; in production the
     * binary column arrives from parquet/a blob store as-is).

@@ -188,6 +188,52 @@ object MultimodalQueries {
         .orderBy($"doc_id")
     },
 
+    // REAL multi-frame (video-shaped) codec round-trip: deterministic
+    // GIF89a payloads rendered from doc_id (indexed frames over an
+    // id-derived 64-color palette), encoded AND decoded through
+    // javax.imageio's GIF writer/reader — the oracle predicts frame
+    // count, per-channel sums, and a voxel-weighted sum arithmetically,
+    // so any container/codec defect (dropped/reordered frames, palette
+    // remap, raster flip, interlace round-trip) breaks the hash match.
+    // Indexed GIF is lossless; the decode must recover the exact
+    // closed-form palette entries.
+    Q.sql(
+      "multimodal_vidcodec",
+      """WITH d AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+        |         2 + doc_id % 3 AS nf
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, w, h, nf, xs.range AS x, ys.range AS y, fs.range AS f,
+        |    (doc_id * 31 + 3 * xs.range + 5 * ys.range + 11 * fs.range) % 64 AS ci
+        |  FROM d, range(8) xs, range(6) ys, range(4) fs
+        |  WHERE xs.range < w AND ys.range < h AND fs.range < nf),
+        |px AS (
+        |  SELECT doc_id, x, y, f,
+        |    (doc_id * 5 + 4 * ci) % 256 AS r,
+        |    (doc_id * 3 + 2 * ci + 1) % 256 AS g,
+        |    (doc_id * 7 + 3 * ci + 2) % 256 AS b
+        |  FROM v),
+        |s AS (
+        |  SELECT doc_id, sum(r) AS sum_r, sum(g) AS sum_g, sum(b) AS sum_b,
+        |    sum((1 + x + 17 * y + 173 * f) * (r + g + b)) AS wsum
+        |  FROM px GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.nf AS BIGINT) AS n_frames,
+        |  CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+        |  CAST(s.sum_r AS BIGINT) AS sum_r, CAST(s.sum_g AS BIGINT) AS sum_g,
+        |  CAST(s.sum_b AS BIGINT) AS sum_b, CAST(s.wsum AS BIGINT) AS wsum
+        |FROM d JOIN s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      Multimodal.decodeVideo(
+        Multimodal.attachGifPayload(Tables.documents(s, d), "doc_id"),
+        "id", "payload")
+        .select($"id".as("doc_id"), $"n_frames", $"width", $"height",
+          $"sum_r", $"sum_g", $"sum_b", $"wsum")
+        .orderBy($"doc_id")
+    },
+
     // codec-free near-dup for BINARY payloads: simhash over distinct
     // 4-byte grams, computed in hex space (2 chars/byte) so DuckDB
     // replays it without blob slicing; pairs via the same pigeonhole

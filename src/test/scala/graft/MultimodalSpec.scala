@@ -102,6 +102,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("renderGif/decodeVideo: real multi-frame GIF round-trip recovers the closed-form voxels") {
+    // the payload really is a GIF89a container (magic bytes), not a fake
+    val gif = Multimodal.renderGif(7L)
+    assert(gif.take(6).map(_.toChar).mkString == "GIF89a")
+    val testIds = Seq(0L, 7L, 123L, 100000L)
+    val got = Multimodal.decodeVideo(
+      Multimodal.attachGifPayload(testIds.toDF("doc_id"), "doc_id"), "id", "payload")
+      .as[Multimodal.VideoStats].collect().map(s => s.id -> s).toMap
+    for (id <- testIds) {
+      val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt; val nf = (2 + id % 3).toInt
+      var (sr, sg, sb, ws) = (0L, 0L, 0L, 0L)
+      for (f <- 0 until nf; y <- 0 until h; x <- 0 until w) {
+        val c = (id * 31 + 3L * x + 5L * y + 11L * f) % 64
+        val r = (id * 5 + 4 * c) % 256
+        val g = (id * 3 + 2 * c + 1) % 256
+        val b = (id * 7 + 3 * c + 2) % 256
+        sr += r; sg += g; sb += b
+        ws += (1L + x + 17L * y + 173L * f) * (r + g + b)
+      }
+      val s = got(id)
+      assert((s.n_frames, s.width, s.height, s.sum_r, s.sum_g, s.sum_b, s.wsum) ==
+        (nf.toLong, w.toLong, h.toLong, sr, sg, sb, ws), s"id=$id")
+    }
+    // a corrupted payload fails loudly, not silently
+    val bad = Seq((1L, Array[Byte](9, 9, 9))).toDF("doc_id", "payload")
+    intercept[Exception] {
+      Multimodal.decodeVideo(bad, "doc_id", "payload").collect()
+    }
+  }
+
   test("sampleFrames: byte ranges partition the payload exactly") {
     val df = Multimodal.sampleFrames(
       Multimodal.attachPayload(docs.filter($"doc_id" === 2), "doc_id", "text"),
