@@ -9,13 +9,27 @@ import org.apache.spark.sql.functions._
   * Spark's built-in `percentile` aggregate collects every group's
   * values into one reducer's memory — exact, but group size is capped
   * by executor heap, the wrong shape for billion-row groups. This
-  * formulation is one in-partition sort window (plus a group-count
-  * window on the SAME shuffle), then a single aggregate that picks the
-  * two bracketing ranks per requested p and interpolates
+  * formulation is a VALUE HISTOGRAM: `groupBy(keys, value).count()`
+  * collapses the fact table map-side to one row per distinct value
+  * (the only shuffle that sees fact-scale data, and partial
+  * aggregation bounds what actually moves), then a cumulative-count
+  * sort window over the DISTINCT values finds, per requested p, the
+  * histogram rows whose cumulative range brackets the two
+  * interpolation ranks, and a single aggregate interpolates
   * `lower + (higher - lower) * frac` — the identical formula (and
   * double arithmetic) as `percentile` and DuckDB's `quantile_cont`,
-  * verified value-identical in QuantilesSpec, with memory bounded per
-  * ROW rather than per group.
+  * verified value-identical in QuantilesSpec.
+  *
+  * Why histogram, not rank-the-rows: a row-level sort window buffers
+  * every row of a group in the window evaluator
+  * (ExternalAppendOnlyUnsafeRowArray) — at a 600M-row lineitem with 3
+  * groups that is a 200M-row spill array per task, measured OOMing
+  * under concurrency (round 14). Real columns are bounded-domain
+  * (prices in cents, integer quantities, scores), so distinct values
+  * ≪ rows and the window input collapses by orders of magnitude;
+  * ties cost nothing extra because a tie IS one histogram row. The
+  * worst case (all values distinct) degrades to the old shape's
+  * cardinality, no worse.
   */
 object Quantiles {
 
@@ -44,29 +58,48 @@ object Quantiles {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 },
       "percentiles must be in [0, 1]")
     val keys = groupCols.map(col)
+    // 1. value histogram: the ONLY stage that sees fact-scale rows,
+    //    and map-side partial aggregation collapses it before the
+    //    shuffle. A null value forms its own histogram row (it must
+    //    not vanish — an all-null group still owes an output row).
+    val counts = df
+      .select(keys :+ col(valCol).cast("double").as("_v"): _*)
+      .groupBy(keys :+ col("_v"): _*)
+      .agg(count(lit(1)).as("_hc"))
     val sortW = Window.partitionBy(keys: _*).orderBy(col("_v").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cntW = Window.partitionBy(keys: _*)
     // explicit numPartitions: an AQE-planned exchange here coalesces
-    // the (small-byte, large-row) shuffle to ONE partition and the
-    // window sort runs single-task — a 2× query-level slowdown at
-    // sf0.1 and a straight scale hazard. A user-specified repartition
-    // is exempt from coalescing, and hash-on-keys satisfies the
-    // window's required distribution, so no second exchange appears.
-    // Ties land identically either way: rank selection reads the VALUE
-    // at a rank, and tied ranks hold equal values.
+    // the (small-byte) shuffle to ONE partition — harmless now that
+    // the window input is distinct-value-sized, but in the
+    // all-values-distinct worst case the window would run single-task
+    // over fact-scale rows, a straight scale hazard. A user-specified
+    // repartition is exempt from coalescing, and hash-on-keys
+    // satisfies the window's required distribution, so no second
+    // exchange appears.
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranked = df
-      .select(keys :+ col(valCol).cast("double").as("_v"): _*)
+    val nonNullCnt = when(col("_v").isNotNull, col("_hc")).otherwise(0L)
+    // 2. cumulative counts over the distinct sorted values: histogram
+    //    row r covers sorted ranks (_cum - _hc, _cum]; `_n` = non-null
+    //    total per group (count(_v) semantics — nulls ignored)
+    val ranked = counts
       .repartition(n, keys: _*)
-      .withColumn("_rn", row_number().over(sortW).cast("long"))
-      .withColumn("_n", count(col("_v")).over(cntW))
+      .withColumn("_cum", sum(nonNullCnt).over(sortW))
+      .withColumn("_n", sum(nonNullCnt).over(cntW))
+    // 3. rank selection: the value at 1-based rank k is the histogram
+    //    row whose cumulative range contains k — ties are free (a tie
+    //    IS one row, and any rank inside it reads the tied value,
+    //    exactly like the row-ranked formulation)
     val aggs = ps.flatMap { case (name, p) =>
       val pos = lit(p) * (col("_n") - 1).cast("double")
       val loIdx = floor(pos).cast("long") + 1 // 0-based pos → 1-based rank
       val hiIdx = ceil(pos).cast("long") + 1
+      def atRank(k: org.apache.spark.sql.Column) =
+        max(when(col("_v").isNotNull &&
+          col("_cum") - col("_hc") < k && k <= col("_cum"), col("_v")))
       Seq(
-        max(when(col("_rn") === loIdx, col("_v"))).as(s"_lo_$name"),
-        max(when(col("_rn") === hiIdx, col("_v"))).as(s"_hi_$name"),
+        atRank(loIdx).as(s"_lo_$name"),
+        atRank(hiIdx).as(s"_hi_$name"),
         // the two interpolation weights, with the same double
         // arithmetic as Spark's Percentile.getPercentile:
         // (higher - position) and (position - lower)
@@ -85,7 +118,7 @@ object Quantiles {
 
   /** Winsorize MANY numeric columns to their per-group [loP, hiP]
     * percentile bounds in one operator: the value columns are
-    * unpivoted with `stack` so ONE sort shuffle (keyed by group ×
+    * unpivoted with `stack` so ONE histogram pass (keyed by group ×
     * column-name) computes every column's exact bounds, the tiny
     * bounds table pivots back wide and broadcasts onto the fact — no
     * per-column re-shuffle, no full-table sort, outlier clipping for

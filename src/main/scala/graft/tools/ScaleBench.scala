@@ -118,10 +118,10 @@ object ScaleBench {
     val i = col("_i")
 
     // SPARK_GRAFT_TABLES=events,documents — restrict which fact
-    // tables are generated (dims always copy through). A 1000×
-    // lineitem needs ~60 GB of shuffle temp, which this box cannot
-    // hold; an events+documents-only replica keeps the dedup/
-    // sessionization/LM families probe-able one decade further.
+    // tables are generated (dims always copy through), keeping each
+    // replica dir sized to the family it certifies (events+documents,
+    // customer+orders, lineitem) instead of one dir carrying every
+    // fact table at once on the thin disk.
     val wanted = sys.env.get("SPARK_GRAFT_TABLES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def on(t: String) = wanted.forall(_.contains(t))
