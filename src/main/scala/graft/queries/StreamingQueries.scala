@@ -547,6 +547,54 @@ object StreamingQueries {
         .filter($"right_id".isNull)
         .select($"user_id", $"left_id", (unix_micros($"left_ts") * 1000L).as("left_ns"))
         .orderBy($"left_id")
+    },
+
+    // streaming as-of enrichment: each purchase matched to the user's
+    // LATEST view in the preceding hour — interval join → windowed
+    // argmax, Spark's supported two-stateful-operator chain (the
+    // streaming dual of q23's batch as-of, horizon-bounded so both
+    // operators' state stays finite). The sentinel passes both side
+    // filters so each watermark advances; it matches only itself
+    // (user −1), and that group's 2030 finalize window never closes,
+    // so nothing sentinel-derived is emitted — the real windows drain
+    // in the data-less eviction batches the advanced watermark
+    // triggers (delayed through the join by the horizon).
+    Q.sql(
+      "q162_stream_asof",
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS ns
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS ns
+        |  FROM events WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT p.user_id, p.event_id AS left_id, p.ns AS left_ns,
+        |    v.event_id AS right_id, v.ns AS right_ns,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |                       ORDER BY v.ns DESC, v.event_id DESC) AS rk
+        |  FROM p JOIN v ON v.user_id = p.user_id
+        |   AND v.ns <= p.ns AND v.ns >= p.ns - 3600000000000)
+        |SELECT user_id, left_id, left_ns, right_id, right_ns
+        |FROM j WHERE rk = 1
+        |ORDER BY left_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val src = stagedEvents(s, d)
+      val ss = streamSession(s)
+      val out = EventStream.asofEnrich(
+        eventStream(ss, src).toDF()
+          .filter(col("event_type").isin("purchase", SentinelType)),
+        eventStream(ss, src).toDF()
+          .filter(col("event_type").isin("view", SentinelType)),
+        "user_id", horizon = "60 minutes")
+      // file sink: one row per matched purchase — corpus-sized
+      runToParquet(ss, out, "gq_stream_asof")
+        // defensive only: the sentinel self-match can never finalize
+        .filter($"left_id" =!= -1L)
+        .select($"user_id", $"left_id",
+          (unix_micros($"left_ts") * 1000L).as("left_ns"),
+          $"right_id", (unix_micros($"right_ts") * 1000L).as("right_ns"))
+        .orderBy($"left_id")
     }
   )
 }

@@ -82,6 +82,52 @@ object EventStream {
         col("r.ts").as("right_ts"))
   }
 
+  /** Streaming as-of enrichment — the streaming dual of
+    * [[graft.operators.AsOfJoin]]'s backward direction with a horizon:
+    * each left event is matched to the LATEST right event of the same
+    * `key` with `r.ts <= l.ts` and within `horizon` (the "attach the
+    * most recent prior user context to every purchase" shape training
+    * pipelines run at ingest). Composed from built-ins per the
+    * custom-op ladder, as a supported chain of two stateful operators
+    * (Spark ≥3.5 multiple-stateful-operator support): a watermarked
+    * stream-stream TIME-INTERVAL join generates the candidates, and a
+    * time-window aggregation argmaxes the latest right row per left
+    * event — `max(struct(r.ts, r.event_id))` makes the equal-timestamp
+    * tie-break deterministic (larger right id wins).
+    *
+    * State on both operators is watermark-bounded: join rows older
+    * than watermark + horizon are evicted, and each finalize window
+    * emits once the (join-delayed) watermark passes it, so the
+    * operator runs indefinitely on an infinite stream. Matched-only
+    * (inner as-of): a left event with no right row in its horizon
+    * emits nothing — compose with [[intervalJoin]]'s left_outer for
+    * the unmatched stream.
+    */
+  def asofEnrich(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      horizon: String = "60 minutes",
+      watermark: String = "10 minutes",
+      finalizeWindow: String = "1 minute"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+        col(s"l.$key") === col(s"r.$key") &&
+          col("r.ts") <= col("l.ts") &&
+          col("r.ts") >= col("l.ts") - expr(s"INTERVAL $horizon"),
+        "inner")
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("l.ts"), finalizeWindow),
+        col(s"l.$key").as(key),
+        col("l.event_id").as("left_id"))
+      .agg(
+        max(col("l.ts")).as("left_ts"),
+        max(struct(col("r.ts").as("right_ts"), col("r.event_id").as("right_id"))).as("_m"))
+      .select(col(key), col("left_id"), col("left_ts"),
+        col("_m.right_id").as("right_id"), col("_m.right_ts").as("right_ts"))
+  }
+
   /** Streaming form of the cross-batch exact-dedup ledger: drop every
     * stream row whose canonical content fingerprint already exists in
     * the (static) ledger written by

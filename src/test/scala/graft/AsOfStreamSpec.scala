@@ -1,0 +1,105 @@
+package graft
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** Streaming as-of enrichment (interval join → windowed argmax, the
+  * supported two-stateful-operator chain).
+  */
+class AsOfStreamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  test("asofEnrich picks the latest prior right row within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val query = EventStream.asofEnrich(
+      buys.toDF(), views.toDF(), "user_id",
+      horizon = "15 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("asof_stream").outputMode("append").start()
+    views.addData(
+      Event(100, ts(0), 1, "view", 0.0), // older view, superseded
+      Event(101, ts(4), 1, "view", 0.0), // the latest prior → the match
+      Event(102, ts(6), 1, "view", 0.0), // AFTER the purchase → excluded
+      Event(103, ts(0), 2, "view", 0.0)) // >15 min before u2's purchase → out of horizon
+    buys.addData(
+      Event(10, ts(5), 1, "buy", 9.0),
+      Event(11, ts(20), 2, "buy", 9.0),
+      Event(12, ts(5), 3, "buy", 9.0))   // no views at all → no row
+    query.processAllAvailable()
+    // far-future rows on both sides advance the watermark past every
+    // finalize window (the join delays it by the horizon)
+    views.addData(Event(900, ts(59), 9, "view", 0.0))
+    buys.addData(Event(901, ts(59), 9, "buy", 0.0))
+    query.processAllAvailable()
+    val got = spark.table("asof_stream")
+      .select($"left_id", $"right_id").as[(Long, Long)].collect().toMap
+    query.stop()
+    assert(got.get(10L).contains(101L), s"got=$got")
+    assert(!got.contains(11L), s"out-of-horizon view matched: $got")
+    assert(!got.contains(12L), s"viewless purchase emitted: $got")
+  }
+
+  test("asofEnrich ties on timestamp break to the larger right id, deterministically") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val query = EventStream.asofEnrich(
+      buys.toDF(), views.toDF(), "user_id",
+      horizon = "15 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("asof_ties").outputMode("append").start()
+    views.addData(
+      Event(200, ts(3), 1, "view", 0.0),
+      Event(201, ts(3), 1, "view", 0.0), // same ts → larger id wins
+      Event(202, ts(5), 1, "view", 0.0)) // simultaneous WITH the buy → inclusive match
+    buys.addData(Event(20, ts(5), 1, "buy", 9.0))
+    query.processAllAvailable()
+    views.addData(Event(900, ts(59), 9, "view", 0.0))
+    buys.addData(Event(901, ts(59), 9, "buy", 0.0))
+    query.processAllAvailable()
+    val got = spark.table("asof_ties")
+      .select($"left_id", $"right_id", $"right_ts").as[(Long, Long, Timestamp)]
+      .collect().toSeq
+    query.stop()
+    assert(got == Seq((20L, 202L, ts(5))), s"got=$got")
+  }
+
+  test("asofEnrich matches the batch as-of on the same horizon-filtered data") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val viewRows = Seq.tabulate(30)(i => Event(100L + i, ts(rnd.nextInt(50)), 1L + rnd.nextInt(3), "view", 0.0))
+    val buyRows = Seq.tabulate(15)(i => Event(10L + i, ts(rnd.nextInt(50)), 1L + rnd.nextInt(4), "buy", 9.0))
+    // batch reference: horizon-filtered backward as-of
+    val expect = buyRows.flatMap { b =>
+      val cands = viewRows.filter(v => v.user_id == b.user_id &&
+        !v.ts.after(b.ts) && v.ts.getTime >= b.ts.getTime - 15 * 60000L)
+      if (cands.isEmpty) None
+      else {
+        val m = cands.maxBy(v => (v.ts.getTime, v.event_id))
+        Some(b.event_id -> m.event_id)
+      }
+    }.toMap
+    val views = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val query = EventStream.asofEnrich(
+      buys.toDF(), views.toDF(), "user_id",
+      horizon = "15 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("asof_fuzz").outputMode("append").start()
+    views.addData(viewRows: _*)
+    buys.addData(buyRows: _*)
+    query.processAllAvailable()
+    val far = Timestamp.valueOf("2024-01-01 03:00:00")
+    views.addData(Event(900, far, 9, "view", 0.0))
+    buys.addData(Event(901, far, 9, "buy", 0.0))
+    query.processAllAvailable()
+    val got = spark.table("asof_fuzz")
+      .select($"left_id", $"right_id").as[(Long, Long)].collect().toMap
+    query.stop()
+    assert(got == expect, s"got=$got want=$expect")
+  }
+}

@@ -139,4 +139,48 @@ class PlanPinSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("streaming as-of chain: bounded join state AND a stateful argmax agg (q162 shape)") {
+    // q162 is the suite's only two-stateful-operator chain. Two
+    // structural properties keep it 100 TB-safe: the interval join
+    // must derive state-cleanup predicates for BOTH sides (else join
+    // state never evicts), and the argmax must run as a stateful
+    // streaming aggregation (StateStoreSave) — if a refactor collapses
+    // it to a stateless projection the append-mode finalize-once
+    // contract is silently gone.
+    import spark.implicits._
+    val dir = tmpDir("pin_asof")
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 10L, "view", 0.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 10L, "purchase", 2.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 11L, "view", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    rows.write.parquet(s"$dir/ev")
+    val src = spark.readStream.schema(rows.schema).parquet(s"$dir/ev")
+    val out = graft.streaming.EventStream.asofEnrich(
+      src.filter($"event_type" === "purchase"),
+      src.filter($"event_type" === "view"),
+      "user_id", horizon = "60 minutes", watermark = "10 minutes")
+    val ckpt = tmpDir("pin_asof_ckpt")
+    val q = out.writeStream.format("memory").queryName("pin_asof")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val plan = lastExecutedPlan(q)
+      val joins = plan.collect {
+        case p if p.nodeName.contains("StreamingSymmetricHashJoin") => p
+      }
+      assert(joins.size == 1, s"expected one streaming symmetric hash join, got:\n$plan")
+      val swp = joins.head.getClass
+        .getMethod("stateWatermarkPredicates").invoke(joins.head).toString
+      for (side <- Seq("left", "right"))
+        assert(swp.contains(s"$side value predicate:") || swp.contains(s"$side key predicate:"),
+          s"the $side side lost its state cleanup predicate — unbounded retention: $swp")
+      val saves = plan.collect {
+        case p if p.nodeName.contains("StateStoreSave") => p
+      }
+      assert(saves.nonEmpty,
+        s"the argmax must be a stateful streaming aggregation, got:\n$plan")
+    } finally q.stop()
+  }
 }

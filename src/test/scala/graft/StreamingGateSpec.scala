@@ -187,4 +187,24 @@ class StreamingGateSpec extends SparkSpec {
       .select($"user_id", $"left_id", $"left_ns")
     assertSameRows(got, want)
   }
+
+  test("q162: streaming as-of equals the batch horizon-bounded backward as-of") {
+    val got = run("q162_stream_asof")
+    assertFileBacked(got)
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("left_id"), $"ts_ns".as("left_ns"))
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id".as("vu"), $"event_id".as("right_id"), $"ts_ns".as("right_ns"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"left_id").orderBy($"right_ns".desc, $"right_id".desc)
+    val want = p.join(v, $"user_id" === $"vu" &&
+        $"right_ns" <= $"left_ns" &&
+        $"right_ns" >= $"left_ns" - 3600000000000L)
+      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"user_id", $"left_id", $"left_ns", $"right_id", $"right_ns")
+    assert(got.count() > 0)
+    assert(got.filter($"user_id" === -1L).isEmpty)
+    assertSameRows(got, want)
+  }
 }
