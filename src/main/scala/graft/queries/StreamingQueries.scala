@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
   * driver-side data (a MemoryStream feed serializes the corpus into
   * every stage's task binary — ~700 MB at a 100× replica — which is
   * why it is only used in unit specs). The staged copy is written ONCE
-  * per input dir and shared by all seven replays (process-wide memo):
+  * per input dir and shared by all the event-corpus replays
+  * (process-wide memo):
   * it carries the whole corpus plus one sentinel row, so all files —
   * sentinel included — land in a single micro-batch (no
   * maxFilesPerTrigger) and within-batch file order is irrelevant:
@@ -64,8 +65,9 @@ object StreamingQueries {
 
   /** One staged streaming source per input dir, shared by every replay
     * in the process (Verify's thread pool and the bench both hit the
-    * same corpus seven times — staging it once removes six distributed
-    * writes per run). Cleaned up on JVM exit.
+    * same corpus once per event-stream replay — staging it once turns
+    * a distributed write per replay into one per run). Cleaned up on
+    * JVM exit.
     */
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
