@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{CdcChunks, CosineSim, Hash60Array, HashedShingles, HyperplaneBuckets, MinHashSig, SimHash60, WinnowFingerprints}
+import graft.plans.{CdcChunks, CosineSim, Hash60Array, HashedShingles, HyperplaneBuckets, MinHashSig, SimHash60, SquaredDist, WinnowFingerprints}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -38,6 +38,7 @@ object GraftFunctions {
     "graft_lsh_buckets" -> (es => HyperplaneBuckets(
       es(0), intArg(es(1), "graft_lsh_buckets"), intArg(es(2), "graft_lsh_buckets"))),
     "graft_cosine" -> (es => CosineSim(es(0), es(1))),
+    "graft_sqdist" -> (es => SquaredDist(es(0), es(1))),
     "graft_winnow_fp" -> (es => WinnowFingerprints(
       es(0), intArg(es(1), "graft_winnow_fp"), intArg(es(2), "graft_winnow_fp"))),
     "graft_cdc_chunks" -> (es => CdcChunks(
@@ -82,6 +83,12 @@ object GraftFunctions {
   /** Fused cosine similarity (== Similarity.cosine). */
   def cosineFast(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
+
+  /** Fused squared euclidean distance (== Clustering's composed
+    * aggregate/zip_with sqDist, bit-for-bit).
+    */
+  def sqDistFast(a: Column, b: Column): Column =
+    call_function("graft_sqdist", a, b)
 
   /** Winnowing fingerprints: distinct window-minima of char-k-gram
     * hashes (sorted ascending).

@@ -28,6 +28,9 @@ object Clustering {
 
   /** Squared L2 distance of two array<double> columns, summed in
     * index order (matches DuckDB's list_sum over list_transform).
+    * Bit-identical composed form, kept as the parity witness for the
+    * native [[graft.plans.SquaredDist]] fast path assignCells uses
+    * (asserted equal in HashExprSpec).
     */
   def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
@@ -64,15 +67,20 @@ object Clustering {
       idCol: String,
       vecCol: String,
       centroids: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val centArr = centroids
       .agg(array_sort(collect_list(struct(col("cell"), col("cv")))).as("_cs"))
     emb.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
       .crossJoin(broadcast(centArr))
       // a null distance (dim-mismatched centroid) ranked LAST under
       // the old window's asc-nulls-last; a null struct field would
-      // sort FIRST here, so pin it to +∞ explicitly
+      // sort FIRST here, so pin it to +∞ explicitly. Native sqdist:
+      // this expression runs rows × centroids times — the composed
+      // aggregate/zip_with form's per-call lambda overhead was the √k
+      // family's fourth-decade wall (bit-identical values either way)
       .withColumn("_m", array_min(transform(col("_cs"), c =>
-        struct(coalesce(round(sqDist(col("_v"), c.getField("cv")), 6),
+        struct(coalesce(round(
+          graft.functions.GraftFunctions.sqDistFast(col("_v"), c.getField("cv")), 6),
           lit(Double.PositiveInfinity)).as("d"),
           c.getField("cell").as("cell")))))
       .filter(col("_m").isNotNull) // empty codebook assigns nothing

@@ -381,6 +381,43 @@ case class CdcChunks(child: Expression, window: Int, mask: Long)
   * in index order — identical to Similarity.cosine and DuckDB
   * list_dot_product over double-cast lists, one fused pass.
   */
+/** Squared euclidean distance over two double arrays — the k-means /
+  * IVF assignment kernel. Value-identical to the composed
+  * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0.0, +)` (same
+  * left-to-right IEEE accumulation from 0.0, null on dimension
+  * mismatch) and to the DuckDB list_  formulation the oracles replay,
+  * but a tight primitive loop instead of per-element lambda
+  * evaluation: inside `assignCells`' per-row argmin the composed form
+  * is evaluated centroids-per-row times, and its ~µs/call object
+  * overhead — not arithmetic — dominated the √k clustering family at
+  * the fourth decade (2M rows × 1.4k centroids).
+  */
+case class SquaredDist(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sqdist"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toDoubleArray()
+    val b = r.asInstanceOf[ArrayData].toDoubleArray()
+    // mismatched dimensionality is corrupt input — null, like the
+    // composed zip_with form (its null-padded tail nulls the fold)
+    if (a.length != b.length) return null
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = a(i) - b(i)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SquaredDist =
+    copy(left = newLeft, right = newRight)
+}
+
 case class CosineSim(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
 

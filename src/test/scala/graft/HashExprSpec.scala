@@ -96,6 +96,34 @@ class HashExprSpec extends SparkSpec {
     assert(pairs.filter($"fast" =!= $"slow").count() == 0)
   }
 
+  test("SquaredDist == composed sqDist, exactly, incl. edge cases") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(30)
+    val a = emb.select($"vec_id".as("ia"), $"embedding".cast("array<double>").as("va"))
+    val b = emb.select($"vec_id".as("ib"), $"embedding".cast("array<double>").as("vb"))
+    val pairs = a.crossJoin(b).filter($"ia" <= $"ib")
+      .select(
+        GraftFunctions.sqDistFast($"va", $"vb").as("fast"),
+        graft.operators.Clustering.sqDist($"va", $"vb").as("slow"))
+    // bit-identical: same left-to-right accumulation from 0.0
+    assert(pairs.filter($"fast" =!= $"slow").count() == 0)
+    assert(pairs.filter($"fast".isNull).count() == 0)
+    // dimension mismatch → null, like the composed zip_with null-pad;
+    // empty arrays → 0.0; null side → null
+    val edge = Seq(
+      (Seq(1.0, 2.0), Seq(1.0)),
+      (Seq.empty[Double], Seq.empty[Double]))
+      .toDF("x", "y")
+      .select(
+        GraftFunctions.sqDistFast($"x", $"y").as("fast"),
+        graft.operators.Clustering.sqDist($"x", $"y").as("slow"))
+      .collect()
+    assert(edge(0).isNullAt(0) && edge(0).isNullAt(1))
+    assert(edge(1).getDouble(0) == 0.0 && edge(1).getDouble(1) == 0.0)
+    val nul = Seq((Some(Seq(1.0)), None: Option[Seq[Double]])).toDF("x", "y")
+      .select(GraftFunctions.sqDistFast($"x", $"y").as("fast")).collect()
+    assert(nul(0).isNullAt(0))
+  }
+
   test("CdcChunks == composed cdcChunks, row for row") {
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
     val fast = graft.operators.Curation.cdcChunks(d, "doc_id", "text", window = 8, mask = 15L)
