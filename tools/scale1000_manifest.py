@@ -5,23 +5,30 @@ Classifies EVERY gate query into exactly one class so the 1000x
 certificate is principled rather than opportunistic:
 
   certified           in CORRECTNESS_scale1000.json (rows+schema+hash green)
-  table-absent        oracle reads embeddings — the one table no 1000x
-                      replica can carry on this disk (~41 GB of vectors;
-                      certified through the full-table 10x replica
-                      instead). The lineitem family moved OUT of this
-                      class in round 14: commit 4432b19's shuffle-light
-                      replication made the 600M-row replica generatable
-                      (5.2 GB), and the readers are now certified rows
   infeasible-oracle   the DuckDB oracle side is the blocker: q72/q73 replay
                       an unrolled 24-round pointer-jumping CTE (16 s at
                       sf0.1 already, multi-hour at 1000x), q140's oracle
-                      grid is >80 GB, and the four n-proportional oracle
-                      grids (q78/q88/q103/q150 families) blow up on BOTH
-                      engines' oracle formulation — each family keeps a
-                      100x-certified member
-  infeasible-harness  this box is the blocker: q125's tagged bucket
-                      self-join legitimately spills tens of GB, beyond the
-                      thin-provisioned disk's REAL free blocks
+                      grid is >80 GB, the n-proportional oracle grids
+                      (q78/q88/q103/q150 families, ann_topk_ivf's n*n/50
+                      cells) blow up on BOTH engines' formulation, and
+                      q95's pairwise kNN oracle OOMs single-node DuckDB
+                      (83.8 GiB pin failure measured at 2M vectors) —
+                      each family keeps a 100x-certified member
+  infeasible-harness  this box is the blocker: legitimate spills (sorts,
+                      bucket self-joins, oracle pair grids) exceed the
+                      thin-provisioned disk's REAL free blocks — q125,
+                      the sqrt-k clustering pair (q151's oracle spill at
+                      a 105 GB memlimit, q152's Spark-side sort spill,
+                      both MEASURED; q151's Spark side itself is green in
+                      ~7 min with the native sqdist kernel), and three
+                      learned-op oracles (q143/q147/q149)
+
+There is no table-absent class anymore: round 14 measured the
+embeddings 1000x replica at 88 MB (2M vectors of dim 64 — the earlier
+"~41 GB" estimate was wrong by ~470x), generated it
+(/tmp/graft_scale_emb1000, with 5M documents alongside), and drained
+28 of the 35 embeddings readers into the certificate; the other 7 are
+named above.
 
 Usage: python3 tools/scale1000_manifest.py [--markdown]
 Exits nonzero if any query is unclassified — adding a query to the gate
@@ -34,26 +41,32 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
-# the one table no 1000x replica carries: embeddings is ~41 GB of
-# vectors, beyond the thin disk's real free blocks. The
-# events+documents replica (graft_scale_x1000), the customer+orders
-# replica (graft_scale_co1000, round 13), and the lineitem replica
-# (graft_scale_li1000, 600M rows / 5.2 GB, generatable since 4432b19's
-# repartition-the-input fix) cover everything else.
-ABSENT_TABLES = re.compile(r"\b(embeddings)\b", re.I)
+# All five fact replicas are generatable on this disk: events+documents
+# (graft_scale_x1000), customer+orders (graft_scale_co1000, round 13),
+# lineitem (graft_scale_li1000, 600M rows / 5.2 GB, since 4432b19's
+# repartition-the-input fix), and — round 14 — embeddings+documents
+# (graft_scale_emb1000, 903 MB total; the embeddings table itself is
+# 88 MB, not the "~41 GB" earlier rounds assumed).
 
 INFEASIBLE_ORACLE = {
     "q72_cc_stars": "24-round pointer-jumping CTE oracle (16 s at sf0.1; multi-hour at 1000x); 100x-certified",
     "q73_cluster_reps": "same pointer-jumping oracle family as q72; 100x-certified",
     "q140_naive_bayes": "oracle token-grid replay >80 GB at the 1000x corpus; 100x-certified",
-    "q78_semantic_dedup": "n-proportional oracle pair grid; family member q151/q152 1000x-path-certified at 100x",
-    "q88_kmeans_lloyd": "k grows with n in the oracle grid; family member q151 certified",
-    "q103_mrl_recall": "n-proportional recall grid on both sides; family member q148 certified at 100x",
-    "q150_semdedup_bucketed": "n-proportional oracle grid; bucketed family certified via q151/q152",
+    "q78_semantic_dedup": "n-proportional oracle pair grid; bucketed family member q152 certified at 100x, q151 Spark-side green at 1000x",
+    "q88_kmeans_lloyd": "k grows with n in the oracle grid; family member q151 Spark-side MEASURED green at 1000x (~7 min, native sqdist)",
+    "q103_mrl_recall": "n-proportional recall grid on both sides; family member q148 certified at 1000x",
+    "q150_semdedup_bucketed": "n-proportional oracle grid; bucketed family certified via q151/q152 at 100x",
+    "ann_topk_ivf": "n x n/50 centroid-assignment grid on BOTH sides (8e10 64-dim sims at 2M vectors, >35 min on 32 cores before kill); 100x-certified",
+    "q95_knn_classify": "pairwise kNN oracle OOMs single-node DuckDB (83.8 GiB pin failure MEASURED at the 2M-vector replica); 100x-certified",
 }
 INFEASIBLE_HARNESS = {
     "q125_lsh_tuning": "bucket self-join spill (~tens of GB) exceeds the thin-provisioned disk's real free blocks; 100x-certified",
     "q74_edit1_join": "output ~480M pair rows at the 1000x vocabulary (x12 per decade) exceeds the pandas-hash compare harness; Spark side MEASURED at 1000x (510 s, per-decade slope 5.9) and hash-certified through 100x",
+    "q151_kmeans_sqrtk": "Spark side MEASURED green at 1000x (~7 min, native sqdist kernel); the n*sqrt(n) oracle grid spills past the thin disk's real free blocks even at a 105 GB memlimit (IO Error MEASURED); 100x-certified",
+    "q152_semdedup_sqrtk": "Spark-side within-cell pair sort spill exceeds the thin disk's real free blocks (SPILL_OUT_OF_MEMORY MEASURED at 2M vectors); 100x-certified",
+    "q143_mmr": "oracle spill exceeds the thin disk's real free blocks (IO Error MEASURED at the 2M-vector replica); 100x-certified",
+    "q147_learned_gate": "oracle spill exceeds the thin disk's real free blocks (IO Error MEASURED); 100x-certified",
+    "q149_brier": "oracle spill exceeds the thin disk's real free blocks (IO Error MEASURED); 100x-certified",
 }
 
 
@@ -82,9 +95,6 @@ def classify():
             rows.append((q, "infeasible-oracle", INFEASIBLE_ORACLE[q]))
         elif q in INFEASIBLE_HARNESS:
             rows.append((q, "infeasible-harness", INFEASIBLE_HARNESS[q]))
-        elif q in oracle and ABSENT_TABLES.search(oracle[q]):
-            tabs = ",".join(sorted({t.lower() for t in ABSENT_TABLES.findall(oracle[q])}))
-            rows.append((q, "table-absent", f"reads {tabs}; certified at the full-table 10x replica"))
         else:
             rows.append((q, "UNCLASSIFIED", ""))
     return rows
@@ -98,7 +108,7 @@ def main():
     if "--markdown" in sys.argv:
         print("| class | queries |")
         print("|---|---|")
-        for cls in ["certified", "table-absent", "infeasible-oracle", "infeasible-harness", "UNCLASSIFIED"]:
+        for cls in ["certified", "infeasible-oracle", "infeasible-harness", "UNCLASSIFIED"]:
             qs = [q for q, c, _ in rows if c == cls]
             if qs:
                 print(f"| {cls} ({len(qs)}) | {' '.join(qs)} |")
