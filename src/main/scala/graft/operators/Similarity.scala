@@ -475,13 +475,47 @@ object Similarity {
       threshold: Double): (DataFrame, DataFrame) = {
     GraftFunctions.register(emb.sparkSession)
     val sim = GraftFunctions.cosineFast(col("_v"), col("cv"))
-    val assigned = emb.select(col(idCol), col(vecCol).as("_v"))
+    val cand = emb.select(col(idCol), col(vecCol).as("_v"))
       .crossJoin(broadcast(centroids))
-      .withColumn("_crank", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(sim.desc, col("cell").asc)))
-      .filter(col("_crank") === 1)
+      .select(col(idCol), sim.as("_sim"), col("cell"))
+    dedupFromAssigned(emb, idCol, bestCell(cand, emb, idCol, vecCol), threshold)
+  }
+
+  /** Per-id argmax over NARROW `(id, _sim, cell)` candidate rows as
+    * ONE map-side-collapsed aggregation, vectors re-joined from the
+    * corpus afterwards — the candidate stream (corpus ×
+    * centroids-per-bucket) never crosses an exchange: the partial agg
+    * collapses each partition to one best-so-far row per id, so the
+    * shuffle moves at most one 24-byte row per corpus id plus one
+    * row-linear vector re-join. The previous shape (dropDuplicates +
+    * a row_number window over candidates CARRYING BOTH VECTORS)
+    * shipped the full wide stream through an exchange and a sort —
+    * measured SPILL_OUT_OF_MEMORY past the thin disk's real free
+    * blocks at the 2M-vector replica (round 15; the
+    * percentile-histogram lesson, applied to assignment). Narrowness
+    * matters inside the agg too: max_by's struct ordering buffer
+    * compiles to SortAggregate, whose partial stage sorts each
+    * partition's candidate slice — 40-byte rows keep that sort
+    * in-memory at any measured scale, vector-bearing rows would not.
+    *
+    * Tie semantics match the window it replaces (orderBy sim DESC,
+    * cell ASC): max_by over struct(_sim, -cell) — struct ordering
+    * treats a null _sim as smallest, like desc-nulls-last, and
+    * equal-ordering candidates carry the same cell, so the argmax is
+    * deterministic.
+    */
+  private[graft] def bestCell(
+      cand: DataFrame,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val best = cand
+      .groupBy(col(idCol))
+      .agg(max_by(col("cell"),
+        struct(col("_sim"), (-col("cell")).as("_nc"))).as("cell"))
+    emb.select(col(idCol), col(vecCol).as("_v"))
+      .join(best, Seq(idCol))
       .select(col(idCol), col("_v"), col("cell"))
-    dedupFromAssigned(emb, idCol, assigned, threshold)
   }
 
   /** [[semanticDedupStride]] with LSH-BUCKETED centroid assignment —
@@ -550,15 +584,13 @@ object Similarity {
     val cb = vb.filter(pmod(col(idCol), lit(centroidStep)) === 0)
       .select(col(idCol).as("cell"), col("_v").as("cv"), col("tbl"), col("bucket"))
     val sim = GraftFunctions.cosineFast(col("_v"), col("cv"))
-    val assigned = vb.join(cb, Seq("tbl", "bucket"))
-      // the same (vector, centroid) meeting in several tables: any one
-      // row works, the rows are identical
-      .dropDuplicates(idCol, "cell")
-      .withColumn("_crank", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(sim.desc, col("cell").asc)))
-      .filter(col("_crank") === 1)
-      .select(col(idCol), col("_v"), col("cell"))
-    dedupFromAssigned(emb, idCol, assigned, threshold)
+    // the same (vector, centroid) meeting in several tables yields
+    // identical candidate rows — harmless duplicates under the argmax
+    // agg (no dropDuplicates pass needed, it was a second full
+    // exchange of the wide candidate stream)
+    val cand = vb.join(cb, Seq("tbl", "bucket"))
+      .select(col(idCol), sim.as("_sim"), col("cell"))
+    dedupFromAssigned(emb, idCol, bestCell(cand, emb, idCol, vecCol), threshold)
   }
 
   /** Pair generation within cells + component survivors, shared by

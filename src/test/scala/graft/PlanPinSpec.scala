@@ -80,6 +80,31 @@ class PlanPinSpec extends SparkSpec {
       s"a row-level rank window reappeared in the percentile plan:\n$plan")
   }
 
+  test("SemDeDup assignment: narrow map-side argmax, no window, no vector through the agg") {
+    // the round-15 rewrite's scale property: centroid assignment is a
+    // partial max_by over NARROW (id, _sim, cell) rows — one best row
+    // per id crosses the exchange, and the SortAggregate partial's
+    // per-partition sort touches 40-byte rows only. The old shape
+    // (dropDuplicates + row_number window over vector-bearing
+    // candidates) measured SPILL_OUT_OF_MEMORY at the 2M-vector
+    // replica; a refactor back would return identical rows and only
+    // break the cost model.
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val cand = emb.select(col("vec_id"), col("embedding").as("_v"))
+      .select(col("vec_id"),
+        graft.functions.GraftFunctions.cosineFast(col("_v"), col("_v")).as("_sim"),
+        (col("vec_id") % 7).as("cell"))
+    val assigned = Similarity.bestCell(cand, emb, "vec_id", "embedding")
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max_by(cell"),
+      s"assignment must be a narrow partial max_by over the cell id:\n$plan")
+    assert(!plan.contains("partial_max_by(struct(_v") && !plan.contains("max_by(struct(_v"),
+      s"the vector column leaked into the argmax buffer (wide per-partition sort):\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("row_number"),
+      s"a window argmax reappeared in the assignment plan:\n$plan")
+  }
+
   /** The streaming query handle wraps a StreamExecution whose last
     * micro-batch plan is the physical witness; both are private[sql],
     * so reach them reflectively (runtime methods are public bytecode).
@@ -91,6 +116,21 @@ class PlanPinSpec extends SparkSpec {
     le.getClass.getMethod("executedPlan").invoke(le)
       .asInstanceOf[org.apache.spark.sql.execution.SparkPlan]
   }
+
+  /** The join's JoinStateWatermarkPredicates witness is private[sql];
+    * reach it reflectively, and degrade a Spark-upgrade rename into
+    * this pin's own readable diagnostic instead of a bare
+    * NoSuchMethodException that says nothing about state bounds.
+    */
+  private def stateCleanupWitness(
+      join: org.apache.spark.sql.execution.SparkPlan): String =
+    try join.getClass.getMethod("stateWatermarkPredicates").invoke(join).toString
+    catch {
+      case e: ReflectiveOperationException =>
+        fail("cannot read the streaming join's state cleanup predicates — " +
+          s"Spark internals moved ($e); re-anchor this pin before trusting " +
+          "that join state retention is still watermark-bounded")
+    }
 
   test("streaming interval join: state watermark predicates bound BOTH sides (q155/q161 shape)") {
     // q155/q161 are the suite's most expensive replays; the property
@@ -130,8 +170,7 @@ class PlanPinSpec extends SparkSpec {
         // "state cleanup [ left ... predicate: ..., right ... predicate: ... ]"
         // with a side OMITTED when its predicate is None — a missing
         // side means that side's state is never evicted
-        val swp = joins.head.getClass
-          .getMethod("stateWatermarkPredicates").invoke(joins.head).toString
+        val swp = stateCleanupWitness(joins.head)
         assert(swp.contains("state cleanup"), s"[$jt] unexpected witness shape: $swp")
         for (side <- Seq("left", "right"))
           assert(swp.contains(s"$side value predicate:") || swp.contains(s"$side key predicate:"),
@@ -171,8 +210,7 @@ class PlanPinSpec extends SparkSpec {
         case p if p.nodeName.contains("StreamingSymmetricHashJoin") => p
       }
       assert(joins.size == 1, s"expected one streaming symmetric hash join, got:\n$plan")
-      val swp = joins.head.getClass
-        .getMethod("stateWatermarkPredicates").invoke(joins.head).toString
+      val swp = stateCleanupWitness(joins.head)
       for (side <- Seq("left", "right"))
         assert(swp.contains(s"$side value predicate:") || swp.contains(s"$side key predicate:"),
           s"the $side side lost its state cleanup predicate — unbounded retention: $swp")

@@ -17,11 +17,11 @@ certificate is principled rather than opportunistic:
   infeasible-harness  this box is the blocker: legitimate spills (sorts,
                       bucket self-joins, oracle pair grids) exceed the
                       thin-provisioned disk's REAL free blocks — q125,
-                      the sqrt-k clustering pair (q151's oracle spill at
-                      a 105 GB memlimit, q152's Spark-side sort spill,
-                      both MEASURED; q151's Spark side itself is green in
-                      ~7 min with the native sqdist kernel), and three
-                      learned-op oracles (q143/q147/q149)
+                      q151's oracle spill at a 105 GB memlimit (its Spark
+                      side is green in ~7 min with the native sqdist
+                      kernel; q152's Spark side went green too in round
+                      15 after the narrow-argmax assignment rewrite), and
+                      three learned-op oracles (q143/q147/q149)
 
 There is no table-absent class anymore: round 14 measured the
 embeddings 1000x replica at 88 MB (2M vectors of dim 64 — the earlier
@@ -33,6 +33,13 @@ named above.
 Usage: python3 tools/scale1000_manifest.py [--markdown]
 Exits nonzero if any query is unclassified — adding a query to the gate
 without either certifying it at 1000x or extending a class here fails.
+
+tools/oracle_sql_snapshot.json refresh rule: regenerate it from a fresh
+graft.Verify dump (cp <outDir>/oracle_sql.json tools/oracle_sql_snapshot.json)
+EVERY time SparkEntry.queries grows or an oracle statement changes — a
+stale snapshot silently under-covers the suite here and in any DuckDB
+bench replayed from it (round 14 shipped three queries past a 192-query
+snapshot before this rule was written down).
 """
 import json
 import re
@@ -52,18 +59,18 @@ INFEASIBLE_ORACLE = {
     "q72_cc_stars": "24-round pointer-jumping CTE oracle (16 s at sf0.1; multi-hour at 1000x); 100x-certified",
     "q73_cluster_reps": "same pointer-jumping oracle family as q72; 100x-certified",
     "q140_naive_bayes": "oracle token-grid replay >80 GB at the 1000x corpus; 100x-certified",
-    "q78_semantic_dedup": "n-proportional oracle pair grid; bucketed family member q152 certified at 100x, q151 Spark-side green at 1000x",
+    "q78_semantic_dedup": "n-proportional oracle pair grid; bucketed family member q152 certified at 100x, q151 AND q152 Spark-side green at 1000x",
     "q88_kmeans_lloyd": "k grows with n in the oracle grid; family member q151 Spark-side MEASURED green at 1000x (~7 min, native sqdist)",
     "q103_mrl_recall": "n-proportional recall grid on both sides; family member q148 certified at 1000x",
     "q150_semdedup_bucketed": "n-proportional oracle grid; bucketed family certified via q151/q152 at 100x",
     "ann_topk_ivf": "n x n/50 centroid-assignment grid on BOTH sides (8e10 64-dim sims at 2M vectors, >35 min on 32 cores before kill); 100x-certified",
     "q95_knn_classify": "pairwise kNN oracle OOMs single-node DuckDB (83.8 GiB pin failure MEASURED at the 2M-vector replica); 100x-certified",
+    "q152_semdedup_sqrtk": "Spark side MEASURED green at 2M vectors (351 s sbt-total, round-15 narrow-argmax assignment; 1578 survivors, two independent plan shapes agree) — the old wide window-argmax's SPILL_OUT_OF_MEMORY is fixed; the oracle side (n*sqrt(n) LSH/pair grid + 24-round pointer-jumping CTE) is the same single-node class as q151's measured IO Error; 100x-certified",
 }
 INFEASIBLE_HARNESS = {
     "q125_lsh_tuning": "bucket self-join spill (~tens of GB) exceeds the thin-provisioned disk's real free blocks; 100x-certified",
     "q74_edit1_join": "output ~480M pair rows at the 1000x vocabulary (x12 per decade) exceeds the pandas-hash compare harness; Spark side MEASURED at 1000x (510 s, per-decade slope 5.9) and hash-certified through 100x",
     "q151_kmeans_sqrtk": "Spark side MEASURED green at 1000x (~7 min, native sqdist kernel); the n*sqrt(n) oracle grid spills past the thin disk's real free blocks even at a 105 GB memlimit (IO Error MEASURED); 100x-certified",
-    "q152_semdedup_sqrtk": "Spark-side within-cell pair sort spill exceeds the thin disk's real free blocks (SPILL_OUT_OF_MEMORY MEASURED at 2M vectors); 100x-certified",
     "q143_mmr": "oracle spill exceeds the thin disk's real free blocks (IO Error MEASURED at the 2M-vector replica); 100x-certified",
     "q147_learned_gate": "oracle spill exceeds the thin disk's real free blocks (IO Error MEASURED); 100x-certified",
     "q149_brier": "oracle spill exceeds the thin disk's real free blocks (IO Error MEASURED); 100x-certified",
