@@ -385,7 +385,9 @@ case class CdcChunks(child: Expression, window: Int, mask: Long)
   * IVF assignment kernel. Value-identical to the composed
   * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0.0, +)` (same
   * left-to-right IEEE accumulation from 0.0, null on dimension
-  * mismatch) and to the DuckDB list_  formulation the oracles replay,
+  * mismatch OR on any null element — null arithmetic nulls the
+  * composed fold) and to the DuckDB list_  formulation the oracles
+  * replay,
   * but a tight primitive loop instead of per-element lambda
   * evaluation: inside `assignCells`' per-row argmin the composed form
   * is evaluated centroids-per-row times, and its ~µs/call object
@@ -399,15 +401,21 @@ case class SquaredDist(left: Expression, right: Expression)
   override def prettyName: String = "graft_sqdist"
 
   override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData].toDoubleArray()
-    val b = r.asInstanceOf[ArrayData].toDoubleArray()
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
     // mismatched dimensionality is corrupt input — null, like the
     // composed zip_with form (its null-padded tail nulls the fold)
-    if (a.length != b.length) return null
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < a.length) {
-      val d = a(i) - b(i)
+    while (i < n) {
+      // a null ELEMENT nulls the composed fold too (null arithmetic
+      // propagates through the aggregate) — return null rather than
+      // silently reading the slot as 0.0, keeping the bit-for-bit
+      // contract on every input, not just null-free arrays
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getDouble(i) - b.getDouble(i)
       acc += d * d
       i += 1
     }
@@ -425,16 +433,19 @@ case class CosineSim(left: Expression, right: Expression)
   override def prettyName: String = "graft_cosine"
 
   override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData].toFloatArray()
-    val b = r.asInstanceOf[ArrayData].toFloatArray()
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
     // mismatched dimensionality is corrupt input — surface it as null
     // (matching the composed zip_with form) instead of silently
     // scoring a truncated prefix
-    if (a.length != b.length) return null
+    if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    while (i < a.length) {
-      val x = a(i).toDouble; val y = b(i).toDouble
+    while (i < n) {
+      // null elements null the composed fold — propagate, don't read 0
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }

@@ -124,6 +124,27 @@ class HashExprSpec extends SparkSpec {
     assert(nul(0).isNullAt(0))
   }
 
+  test("SquaredDist / CosineSim: a null ELEMENT nulls the result, like the composed fold") {
+    // the composed zip_with/aggregate form propagates a null element
+    // through the fold to a NULL result; the native kernels must not
+    // silently read the slot as 0.0 (the round-15 contract fix)
+    val rows = Seq(
+      (Seq(Some(1.0), None, Some(3.0)), Seq(Some(1.0), Some(2.0), Some(3.0))),
+      (Seq(Some(1.0), Some(2.0)), Seq(Some(4.0), None)))
+      .toDF("x", "y")
+    val sq = rows.select(
+      GraftFunctions.sqDistFast($"x", $"y").as("fast"),
+      graft.operators.Clustering.sqDist($"x", $"y").as("slow")).collect()
+    sq.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
+    val cosRows = Seq(
+      (Seq(Some(1.0f), None, Some(3.0f)), Seq(Some(1.0f), Some(2.0f), Some(3.0f))))
+      .toDF("x", "y")
+    val cos = cosRows.select(
+      GraftFunctions.cosineFast($"x", $"y").as("fast"),
+      Similarity.cosine($"x", $"y").as("slow")).collect()
+    cos.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
+  }
+
   test("CdcChunks == composed cdcChunks, row for row") {
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
     val fast = graft.operators.Curation.cdcChunks(d, "doc_id", "text", window = 8, mask = 15L)
