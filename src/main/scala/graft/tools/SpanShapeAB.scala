@@ -91,9 +91,19 @@ object SpanShapeAB {
         println(f"[ab] $tag%-10s rep$r ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
     }
-    val a = viaWindow(docs, 8).count()
-    val b = viaSemiJoin(docs, 8).count()
-    println(s"[ab] span rows window=$a semijoin=$b ${if (a == b) "MATCH" else "MISMATCH"}")
+    // SPARK_GRAFT_AB_CHECK=0 skips the equivalence pass for pure
+    // timing runs (it executes both pipelines once more, doubling
+    // tool runtime at large replicas). The check itself is a
+    // symmetric-difference count, not a row-count compare — equal
+    // counts with differing span contents must not read as MATCH.
+    if (sys.env.getOrElse("SPARK_GRAFT_AB_CHECK", "1") != "0") {
+      val a = viaWindow(docs, 8)
+      val b = viaSemiJoin(docs, 8)
+      val onlyA = a.exceptAll(b).count()
+      val onlyB = b.exceptAll(a).count()
+      println(s"[ab] span diff window-only=$onlyA semijoin-only=$onlyB " +
+        (if (onlyA == 0 && onlyB == 0) "MATCH" else "MISMATCH"))
+    } else println("[ab] equivalence check skipped (SPARK_GRAFT_AB_CHECK=0)")
     time("window", viaWindow(docs, 8))
     time("semijoin", viaSemiJoin(docs, 8))
     spark.stop()
