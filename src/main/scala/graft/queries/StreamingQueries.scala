@@ -205,13 +205,15 @@ object StreamingQueries {
     // corpus-sized dirs until exit on a thin-provisioned disk
     val key = tag + "#out"
     val dir = java.nio.file.Files.createTempDirectory("gq_stream_out").toString
-    val prev = Option(stagedDirs.put(key, dir))
-    // the displaced dir stays registered (under a side key) until its
-    // rmdir actually completes — an abnormal exit between the put
-    // above and the delete below must still clean it via the shutdown
-    // hook instead of leaking a corpus-sized dir on the thin disk
+    // the displaced dir must stay registered until its rmdir actually
+    // completes — an abnormal exit anywhere in this method must still
+    // clean it via the shutdown hook instead of leaking a corpus-sized
+    // dir on the thin disk. Copy it under the side key BEFORE the
+    // primary-key put displaces it, so there is no instant at which
+    // the old dir is absent from the memo.
     val displacedKey = key + "#displaced"
-    prev.foreach(stagedDirs.put(displacedKey, _))
+    Option(stagedDirs.get(key)).foreach(stagedDirs.put(displacedKey, _))
+    val prev = Option(stagedDirs.put(key, dir))
     try {
       val q = out.writeStream.format("parquet").option("path", dir)
         .option("checkpointLocation", ckpt.toString)

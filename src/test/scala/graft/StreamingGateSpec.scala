@@ -126,6 +126,32 @@ class StreamingGateSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("parquet-sink re-run: displaced dir is deleted, no displaced memo key survives") {
+    // the runToParquet newest-frame-only contract (round 14) plus the
+    // round-15 crash-window close: a same-tag re-run must (1) stage a
+    // FRESH dir, (2) rmdir the displaced one as soon as the new run
+    // commits, and (3) drop the "#displaced" side key only after that
+    // rmdir — so the shutdown hook can always see any dir that still
+    // exists on disk. The memo is private; reflect it.
+    val memoField = StreamingQueries.getClass.getDeclaredFields
+      .find(_.getName.endsWith("stagedDirs"))
+      .getOrElse(fail("stagedDirs memo field moved — re-anchor this pin"))
+    memoField.setAccessible(true)
+    val memo = memoField.get(StreamingQueries)
+      .asInstanceOf[java.util.concurrent.ConcurrentHashMap[String, String]]
+    run("q157_stream_dedup_keys").collect()
+    val first = memo.get("gq_stream_dedup#out")
+    assert(first != null, "the replay must register its sink dir in the shutdown memo")
+    run("q157_stream_dedup_keys").collect()
+    val second = memo.get("gq_stream_dedup#out")
+    assert(second != null && second != first, "a re-run must stage a fresh sink dir")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(first)),
+      "the displaced run-1 sink dir must be deleted once run 2 commits")
+    assert(memo.get("gq_stream_dedup#out#displaced") == null,
+      "the displaced side key must not outlive its rmdir")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(second)))
+  }
+
   test("q157: streaming dedup keys drain to a file sink and equal the batch DISTINCT") {
     val got = run("q157_stream_dedup_keys")
     assertFileBacked(got)
