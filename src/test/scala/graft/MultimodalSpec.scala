@@ -102,6 +102,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio codec stays off the AudioSystem facade (provider-cache invariant)") {
+    // The round-14 scale fix: AudioSystem.getAudioInputStream / .write
+    // re-walk JDK13Services' SYNCHRONIZED provider scan on every call,
+    // serializing all 32 cores on a JVM-global lock (measured 191 s →
+    // 14 s at the 100× replica after switching to the per-JVM
+    // ServiceLoader cache + direct SPI readers/writer). That fix is
+    // load-bearing but value-invisible: a refactor back to the facade
+    // passes every round-trip test and silently re-serializes decode.
+    // Pin it structurally — a class only names the facade in its
+    // constant pool if code references it, so the compiled package
+    // must not contain the string at all (comments don't compile in).
+    val root = java.nio.file.Paths.get(
+      Multimodal.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+    val pkgDir = root.resolve("graft/multimodal")
+    assert(java.nio.file.Files.isDirectory(pkgDir),
+      s"multimodal class dir moved: $pkgDir — re-anchor this pin")
+    import scala.jdk.CollectionConverters._
+    val offenders = java.nio.file.Files.list(pkgDir).iterator().asScala
+      .filter(_.toString.endsWith(".class"))
+      .filter { p =>
+        new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+          .contains("javax/sound/sampled/AudioSystem")
+      }
+      .map(_.getFileName.toString).toList
+    assert(offenders.isEmpty,
+      s"classes referencing the synchronized AudioSystem facade: $offenders — " +
+        "use the cached wavReaders/wavWriter SPI path instead")
+  }
+
   test("renderGif/decodeVideo: real multi-frame GIF round-trip recovers the closed-form voxels") {
     // the payload really is a GIF89a container (magic bytes), not a fake
     val gif = Multimodal.renderGif(7L)
