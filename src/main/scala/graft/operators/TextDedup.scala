@@ -419,6 +419,19 @@ object TextDedup {
     *
     * Input should be DISTINCT strings (a vocabulary); emits
     * (word_a < word_b, dist).
+    *
+    * SymSpell-style PREFIX bucketing (keying deletions of only the
+    * first P chars) was measured and REJECTED (round 15, BENCH_NOTES):
+    * on this vocabulary shape (shared literal prefix + varying digit
+    * tail, i.e. zero-padded names) truncation collapses the key space
+    * to a handful of buckets — candidate pairs explode 36×–1270×
+    * (P=16: 35M, P=10: 1.24B vs 0.98M for full keys at sf0.1). The
+    * SUFFIX mirror keeps candidates identical with 2.5× fewer key
+    * bytes, but it breaks the deleted-position pruning invariant (an
+    * insert inside the window pairs two DIFFERENT non-zero positions,
+    * which the same-position filter would wrongly drop), and key bytes
+    * are not this query's cost at any measured scale. Full deletion
+    * keys stay.
     */
   def editDistance1Pairs(vocab: DataFrame, strCol: String): DataFrame = {
     // rename FIRST, derive keys in a second select: a generator whose
