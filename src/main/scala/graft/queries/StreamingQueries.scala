@@ -599,6 +599,53 @@ object StreamingQueries {
           (unix_micros($"left_ts") * 1000L).as("left_ns"),
           $"right_id", (unix_micros($"right_ts") * 1000L).as("right_ns"))
         .orderBy($"left_id")
+    },
+
+    // q163: the FULL (left-outer) streaming as-of — q162's enrichment
+    // plus one null-enriched row per purchase whose horizon holds no
+    // view, emitted when the watermark proves no match can arrive (the
+    // delayed outer row from the join's state expiry; its event time
+    // is the purchase's own, so the argmax window finalizes it like
+    // any matched row). Every purchase appears exactly once, which is
+    // the contract a training-ingest enrichment actually needs —
+    // matched-only (q162) silently drops the cold-start cohort. The
+    // batch dual is one LEFT JOIN: each rk=1 partition is either
+    // all-matched or the single null row, so the oracle needs no null
+    // ordering care.
+    Q.sql(
+      "q163_stream_asof_outer",
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS ns
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS ns
+        |  FROM events WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT p.user_id, p.event_id AS left_id, p.ns AS left_ns,
+        |    v.event_id AS right_id, v.ns AS right_ns,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |                       ORDER BY v.ns DESC, v.event_id DESC) AS rk
+        |  FROM p LEFT JOIN v ON v.user_id = p.user_id
+        |   AND v.ns <= p.ns AND v.ns >= p.ns - 3600000000000)
+        |SELECT user_id, left_id, left_ns, right_id, right_ns
+        |FROM j WHERE rk = 1
+        |ORDER BY left_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val src = stagedEvents(s, d)
+      val ss = streamSession(s)
+      val out = EventStream.asofEnrich(
+        eventStream(ss, src).toDF()
+          .filter(col("event_type").isin("purchase", SentinelType)),
+        eventStream(ss, src).toDF()
+          .filter(col("event_type").isin("view", SentinelType)),
+        "user_id", horizon = "60 minutes", joinType = "left_outer")
+      runToParquet(ss, out, "gq_stream_asof_outer")
+        .filter($"left_id" =!= -1L)
+        .select($"user_id", $"left_id",
+          (unix_micros($"left_ts") * 1000L).as("left_ns"),
+          $"right_id", (unix_micros($"right_ts") * 1000L).as("right_ns"))
+        .orderBy($"left_id")
     }
   )
 }

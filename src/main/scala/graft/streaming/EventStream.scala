@@ -98,10 +98,20 @@ object EventStream {
     * State on both operators is watermark-bounded: join rows older
     * than watermark + horizon are evicted, and each finalize window
     * emits once the (join-delayed) watermark passes it, so the
-    * operator runs indefinitely on an infinite stream. Matched-only
-    * (inner as-of): a left event with no right row in its horizon
-    * emits nothing — compose with [[intervalJoin]]'s left_outer for
-    * the unmatched stream.
+    * operator runs indefinitely on an infinite stream.
+    *
+    * `joinType = "inner"` (default) is matched-only: a left event
+    * with no right row in its horizon emits nothing. `"left_outer"`
+    * is the full as-of: such a left event emits ONCE with null right
+    * columns, when its join state expires (the watermark has proved
+    * no match can arrive) — the delayed outer row still carries the
+    * left event time, so the downstream argmax window finalizes it
+    * like any matched row, and `max(struct(null, null))` under a
+    * lone null candidate passes the nulls through. A left event
+    * with matches never sees a null candidate (stream-stream outer
+    * joins emit the null row only for match-less state), so the
+    * argmax is unaffected on the matched path. Proven end to end in
+    * AsOfStreamSpec; the q163 oracle replays it as a batch LEFT JOIN.
     */
   def asofEnrich(
       left: DataFrame,
@@ -109,14 +119,15 @@ object EventStream {
       key: String,
       horizon: String = "60 minutes",
       watermark: String = "10 minutes",
-      finalizeWindow: String = "1 minute"): DataFrame = {
+      finalizeWindow: String = "1 minute",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermark).alias("l")
     val r = right.withWatermark("ts", watermark).alias("r")
     l.join(r,
         col(s"l.$key") === col(s"r.$key") &&
           col("r.ts") <= col("l.ts") &&
           col("r.ts") >= col("l.ts") - expr(s"INTERVAL $horizon"),
-        "inner")
+        joinType)
       .groupBy(
         org.apache.spark.sql.functions.window(col("l.ts"), finalizeWindow),
         col(s"l.$key").as(key),

@@ -45,6 +45,65 @@ class AsOfStreamSpec extends SparkSpec {
     assert(!got.contains(12L), s"viewless purchase emitted: $got")
   }
 
+  test("asofEnrich left_outer emits every left row exactly once, nulls for the match-less") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val query = EventStream.asofEnrich(
+      buys.toDF(), views.toDF(), "user_id",
+      horizon = "15 minutes", watermark = "5 minutes", joinType = "left_outer")
+      .writeStream.format("memory").queryName("asof_outer").outputMode("append").start()
+    views.addData(
+      Event(100, ts(0), 1, "view", 0.0),
+      Event(101, ts(4), 1, "view", 0.0), // the latest prior for u1's buy
+      Event(103, ts(0), 2, "view", 0.0)) // >15 min before u2's buy → out of horizon
+    buys.addData(
+      Event(10, ts(5), 1, "buy", 9.0),   // matched
+      Event(11, ts(20), 2, "buy", 9.0),  // horizon-expired view → NULL enrichment
+      Event(12, ts(5), 3, "buy", 9.0))   // no views at all → NULL enrichment
+    query.processAllAvailable()
+    views.addData(Event(900, ts(59), 9, "view", 0.0))
+    buys.addData(Event(901, ts(59), 9, "buy", 0.0))
+    query.processAllAvailable()
+    val got = spark.table("asof_outer")
+      .select($"left_id", $"right_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    query.stop()
+    assert(got.get(10L).contains(Some(101L)), s"matched row wrong: $got")
+    assert(got.get(11L).contains(None), s"out-of-horizon buy must emit with nulls: $got")
+    assert(got.get(12L).contains(None), s"viewless buy must emit with nulls: $got")
+    // exactly-once: three real left rows, three output rows (the
+    // watermark pusher's self-match may add its own later row)
+    assert(Set(10L, 11L, 12L).subsetOf(got.keySet) &&
+      got.keySet.forall(Set(10L, 11L, 12L, 901L)), s"unexpected rows: $got")
+  }
+
+  test("asofEnrich left_outer agrees with inner on the matched subset") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val query = EventStream.asofEnrich(
+      buys.toDF(), views.toDF(), "user_id",
+      horizon = "15 minutes", watermark = "5 minutes", joinType = "left_outer")
+      .writeStream.format("memory").queryName("asof_outer_match").outputMode("append").start()
+    views.addData(
+      Event(200, ts(3), 1, "view", 0.0),
+      Event(201, ts(3), 1, "view", 0.0), // same ts → larger id wins, like inner
+      Event(202, ts(5), 1, "view", 0.0)) // simultaneous → inclusive, like inner
+    buys.addData(Event(20, ts(5), 1, "buy", 9.0))
+    query.processAllAvailable()
+    views.addData(Event(900, ts(59), 9, "view", 0.0))
+    buys.addData(Event(901, ts(59), 9, "buy", 0.0))
+    query.processAllAvailable()
+    val got = spark.table("asof_outer_match")
+      .select($"left_id", $"right_id").as[(Long, Long)].collect().toMap
+    query.stop()
+    // the matched path is untouched by the outer dial: the null
+    // candidate only exists for match-less state, so the argmax and
+    // its tie-break are identical to the inner chain's
+    assert(got.get(20L).contains(202L), s"got=$got")
+  }
+
   test("asofEnrich ties on timestamp break to the larger right id, deterministically") {
     implicit val sqlCtx = spark.sqlContext
     val views = MemoryStream[Event]

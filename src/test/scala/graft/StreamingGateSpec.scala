@@ -233,4 +233,25 @@ class StreamingGateSpec extends SparkSpec {
     assert(got.filter($"user_id" === -1L).isEmpty)
     assertSameRows(got, want)
   }
+
+  test("q163: left-outer streaming as-of equals the batch LEFT JOIN dual, one row per purchase") {
+    val got = run("q163_stream_asof_outer")
+    assertFileBacked(got)
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("left_id"), $"ts_ns".as("left_ns"))
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id".as("vu"), $"event_id".as("right_id"), $"ts_ns".as("right_ns"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"left_id").orderBy($"right_ns".desc, $"right_id".desc)
+    val want = p.join(v, $"user_id" === $"vu" &&
+        $"right_ns" <= $"left_ns" &&
+        $"right_ns" >= $"left_ns" - 3600000000000L, "left")
+      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"user_id", $"left_id", $"left_ns", $"right_id", $"right_ns")
+    // the outer contract: EVERY purchase appears exactly once
+    assert(got.count() == p.count(), "one output row per purchase")
+    assert(got.filter($"right_id".isNull).count() > 0, "the null-enriched cohort exists at this sf")
+    assertSameRows(got, want)
+  }
 }
