@@ -90,6 +90,7 @@ class PlanPinSpec extends SparkSpec {
     // replica; a refactor back would return identical rows and only
     // break the cost model.
     import graft.operators.Similarity
+    graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, sf)
     val cand = emb.select(col("vec_id"), col("embedding").as("_v"))
       .select(col("vec_id"),
