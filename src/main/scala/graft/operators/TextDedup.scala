@@ -193,7 +193,16 @@ object TextDedup {
     // would leak into concurrently-planning queries, e.g. Verify's
     // thread pool). The result is config-sized, so it re-binds to the
     // caller's session by a plain collect.
-    graft.plans.ConfScope.withMinPartitionSize(df, "16KB") { dfc =>
+    // preferSortMergeJoin=false (scoped to the clone): where no
+    // broadcast applies, the verify joins pick SHUFFLED HASH instead of
+    // sort-merge — an SMJ there sorts the pair × shingle-array
+    // intermediate, which spilled past the thin disk at the 5M-doc
+    // replica. At small scale Spark still auto-broadcasts the
+    // signature side, so this costs nothing (a shuffle_hash HINT would
+    // defeat that broadcast and measurably slowed sf0.1 ~2x).
+    graft.plans.ConfScope.withConfs(df, Map(
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "16KB",
+      "spark.sql.join.preferSortMergeJoin" -> "false")) { dfc =>
       GraftFunctions.register(dfc.sparkSession)
       val sh = dfc.select(
         col(idCol).as("doc_id"),
@@ -227,15 +236,35 @@ object TextDedup {
         .filter(col("id_a") < col("id_b"))
         .select(col("cfg"), col("id_a"), col("id_b")).distinct()
         .localCheckpoint(true)
+      // hash joins (via the scoped preferSortMergeJoin=false), never
+      // sort-merge: an SMJ here sorts the pair × shingle-array
+      // intermediate (each row carries an ~800 B array once sh_a is
+      // attached), and that sort spilled past the thin disk at the
+      // 5M-doc replica (SPILL_OUT_OF_MEMORY, round 15). A hash join
+      // builds on the row-linear signature side and STREAMS the wide
+      // pair rows — nothing pair-sized is ever sorted.
       val verdicts = cand.select(col("id_a"), col("id_b")).distinct()
         .join(shOnly.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
         .join(shOnly.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
         .select(col("id_a"), col("id_b"),
           (round(jaccard(col("sh_a"), col("sh_b")), 4) >= threshold).as("_ok"))
-      val perCfg = cand.join(verdicts, Seq("id_a", "id_b"))
-        .groupBy(col("cfg"))
-        .agg(count(lit(1)).as("n_candidates"),
-          count_if(col("_ok")).as("n_verified"))
+      // join back only the VERIFIED pairs (near-dup-sized, orders of
+      // magnitude below the candidate stream) and count candidates
+      // from cand alone: the old cand ⋈ all-verdicts join processed
+      // the full candidate stream a second time — at the 5M-doc
+      // replica cfg (6,2) alone holds ~157M candidates. With the
+      // verified side this small it usually broadcasts; failing that
+      // the scoped preferSortMergeJoin=false keeps it a hash join.
+      val okPairs = verdicts.filter(col("_ok")).select(col("id_a"), col("id_b"))
+      val perCfg = cand.groupBy(col("cfg"))
+        .agg(count(lit(1)).as("n_candidates"))
+        .join(
+          cand.join(okPairs, Seq("id_a", "id_b"))
+            .groupBy(col("cfg"))
+            .agg(count(lit(1)).as("n_verified")),
+          Seq("cfg"), "left")
+        .select(col("cfg"), col("n_candidates"),
+          coalesce(col("n_verified"), lit(0L)).as("n_verified"))
       // left join onto the literal config list so a zero-candidate
       // config still emits its row
       val cfgRows = configs.map { case (b, r) => (b, b.toLong, r.toLong) }

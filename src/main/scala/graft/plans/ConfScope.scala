@@ -34,9 +34,16 @@ object ConfScope {
     "spark.sql.adaptive.coalescePartitions.minPartitionSize"
 
   def withMinPartitionSize[T](df: DataFrame, size: String)(
+      body: DataFrame => T): T =
+    withConfs(df, Map(MinPartitionSizeKey -> size))(body)
+
+  /** Run `body` over a cloned session carrying arbitrary SQLConf
+    * overrides — same re-binding contract as [[withMinPartitionSize]].
+    */
+  def withConfs[T](df: DataFrame, confs: Map[String, String])(
       body: DataFrame => T): T = {
     val ss = df.sparkSession.newSession()
-    ss.conf.set(MinPartitionSizeKey, size)
+    confs.foreach { case (k, v) => ss.conf.set(k, v) }
     val view = "gq_confscope_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     df.createOrReplaceGlobalTempView(view)
