@@ -19,18 +19,27 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # per-query min-of-N, mirroring graft.Bench's round-15 protocol —
+    # a symmetric pair needs the same noise stripping on both engines
+    reps = max(1, int(os.environ.get("GRAFT_DUCKDB_REPS", "2")))
     timings = {}
     for name, sql in sorted(oracle.items()):
-        t0 = time.time()
-        try:
-            con.execute(sql).fetchall()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:
-            timings[name] = None
-            print(f"FAIL {name}: {e}", file=sys.stderr)
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            try:
+                con.execute(sql).fetchall()
+            except Exception as e:
+                best = None
+                print(f"FAIL {name}: {e}", file=sys.stderr)
+                break
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3) if best is not None else None
     total = sum(v for v in timings.values() if v is not None)
     print(json.dumps({"metric": "duckdb_total", "value": round(total, 2),
-                      "unit": "sec", "queries": timings, "sf": sf_dir}))
+                      "unit": "sec", "queries": timings, "reps": reps,
+                      "sf": sf_dir}))
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2])
