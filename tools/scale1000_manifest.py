@@ -56,13 +56,13 @@ REPO = Path(__file__).resolve().parent.parent
 # 88 MB, not the "~41 GB" earlier rounds assumed).
 
 INFEASIBLE_ORACLE = {
-    "q72_cc_stars": "24-round pointer-jumping CTE oracle (16 s at sf0.1; multi-hour at 1000x); 100x-certified",
-    "q73_cluster_reps": "same pointer-jumping oracle family as q72; 100x-certified",
-    "q140_naive_bayes": "oracle token-grid replay >80 GB at the 1000x corpus; 100x-certified",
+    "q72_cc_stars": "24-round pointer-jumping CTE oracle (16 s at sf0.1; multi-hour at 1000x); Spark side MEASURED green at the 5M-doc replica (round 15); 100x-certified",
+    "q73_cluster_reps": "same pointer-jumping oracle family as q72; Spark side MEASURED green at the 5M-doc replica (round 15); 100x-certified",
+    "q140_naive_bayes": "oracle token-grid replay >80 GB at the 1000x corpus; Spark side MEASURED green at the 5M-doc replica (round 15); 100x-certified",
     "q78_semantic_dedup": "n-proportional oracle pair grid; bucketed family member q152 certified at 100x, q151 AND q152 Spark-side green at 1000x",
     "q88_kmeans_lloyd": "k grows with n in the oracle grid; family member q151 Spark-side MEASURED green at 1000x (~7 min, native sqdist)",
     "q103_mrl_recall": "n-proportional recall grid on both sides; family member q148 certified at 1000x",
-    "q150_semdedup_bucketed": "n-proportional oracle grid; bucketed family certified via q151/q152 at 100x",
+    "q150_semdedup_bucketed": "n-proportional oracle grid (the PINNED planes=4 replay dial, on both sides by construction); the auto-dial scale path is q152, Spark-side green at 2M vectors",
     "ann_topk_ivf": "n x n/50 centroid-assignment grid on BOTH sides (8e10 64-dim sims at 2M vectors, >35 min on 32 cores before kill); 100x-certified",
     "q95_knn_classify": "pairwise kNN oracle OOMs single-node DuckDB (83.8 GiB pin failure MEASURED at the 2M-vector replica); Spark side MEASURED green at 2M vectors (round 15); 100x-certified",
     "q152_semdedup_sqrtk": "Spark side MEASURED green at 2M vectors (351 s sbt-total, round-15 narrow-argmax assignment; 1578 survivors, two independent plan shapes agree) — the old wide window-argmax's SPILL_OUT_OF_MEMORY is fixed; the oracle side (n*sqrt(n) LSH/pair grid + 24-round pointer-jumping CTE) is the same single-node class as q151's measured IO Error; 100x-certified",
