@@ -161,4 +161,43 @@ class AsOfStreamSpec extends SparkSpec {
     query.stop()
     assert(got == expect, s"got=$got want=$expect")
   }
+
+  test("asofEnrich left_outer matches the batch LEFT reference, seeded random data") {
+    implicit val sqlCtx = spark.sqlContext
+    for (seed <- Seq(3, 11, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val viewRows = Seq.tabulate(30)(i =>
+        Event(100L + i, ts(rnd.nextInt(50)), 1L + rnd.nextInt(3), "view", 0.0))
+      val buyRows = Seq.tabulate(15)(i =>
+        Event(10L + i, ts(rnd.nextInt(50)), 1L + rnd.nextInt(5), "buy", 9.0))
+      // batch reference: EVERY buy appears; match-less ones map to None
+      val expect: Map[Long, Option[Long]] = buyRows.map { b =>
+        val cands = viewRows.filter(v => v.user_id == b.user_id &&
+          !v.ts.after(b.ts) && v.ts.getTime >= b.ts.getTime - 15 * 60000L)
+        b.event_id -> (if (cands.isEmpty) None
+                       else Some(cands.maxBy(v => (v.ts.getTime, v.event_id)).event_id))
+      }.toMap
+      val views = MemoryStream[Event]
+      val buys = MemoryStream[Event]
+      val query = EventStream.asofEnrich(
+        buys.toDF(), views.toDF(), "user_id",
+        horizon = "15 minutes", watermark = "5 minutes", joinType = "left_outer")
+        .writeStream.format("memory").queryName(s"asof_ofuzz_$seed")
+        .outputMode("append").start()
+      views.addData(viewRows: _*)
+      buys.addData(buyRows: _*)
+      query.processAllAvailable()
+      val far = Timestamp.valueOf("2024-01-01 03:00:00")
+      views.addData(Event(900, far, 9, "view", 0.0))
+      buys.addData(Event(901, far, 9, "buy", 0.0))
+      query.processAllAvailable()
+      val got = spark.table(s"asof_ofuzz_$seed")
+        .filter($"left_id" < 900L) // drop the watermark pusher's own row
+        .select($"left_id", $"right_id").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      query.stop()
+      assert(got == expect, s"seed=$seed got=$got want=$expect")
+    }
+  }
 }
