@@ -53,7 +53,15 @@ object Bench {
     //    and emitted in the JSON, so a poisoned sample is
     //    self-identifying next to the ~33 a saturated-but-quiet
     //    local[32] run reports
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
+    // toIntOption: a malformed dial must not kill the run after the
+    // multi-minute warmup — fall back to the default, loudly
+    val reps = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap { v =>
+        val p = v.toIntOption
+        if (p.isEmpty) System.err.println(
+          s"[bench] WARNING: ignoring malformed SPARK_GRAFT_BENCH_REPS='$v'")
+        p
+      }.getOrElse(2))
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadAvg()

@@ -97,12 +97,18 @@ object SpanShapeAB {
     // symmetric-difference count, not a row-count compare — equal
     // counts with differing span contents must not read as MATCH.
     if (sys.env.getOrElse("SPARK_GRAFT_AB_CHECK", "1") != "0") {
-      val a = viaWindow(docs, 8)
-      val b = viaSemiJoin(docs, 8)
-      val onlyA = a.exceptAll(b).count()
-      val onlyB = b.exceptAll(a).count()
-      println(s"[ab] span diff window-only=$onlyA semijoin-only=$onlyB " +
-        (if (onlyA == 0 && onlyB == 0) "MATCH" else "MISMATCH"))
+      // persist both sides first: each exceptAll direction consumes
+      // both frames, so unpersisted inputs would execute each heavy
+      // pipeline TWICE (4 full runs instead of 2 at the big replicas
+      // the skip flag exists for)
+      val a = viaWindow(docs, 8).persist()
+      val b = viaSemiJoin(docs, 8).persist()
+      try {
+        val onlyA = a.exceptAll(b).count()
+        val onlyB = b.exceptAll(a).count()
+        println(s"[ab] span diff window-only=$onlyA semijoin-only=$onlyB " +
+          (if (onlyA == 0 && onlyB == 0) "MATCH" else "MISMATCH"))
+      } finally { a.unpersist(); b.unpersist(); () }
     } else println("[ab] equivalence check skipped (SPARK_GRAFT_AB_CHECK=0)")
     time("window", viaWindow(docs, 8))
     time("semijoin", viaSemiJoin(docs, 8))

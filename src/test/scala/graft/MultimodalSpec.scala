@@ -119,14 +119,17 @@ class MultimodalSpec extends SparkSpec {
     assert(java.nio.file.Files.isDirectory(pkgDir),
       s"multimodal class dir moved: $pkgDir — re-anchor this pin")
     import scala.jdk.CollectionConverters._
-    val offenders = java.nio.file.Files.list(pkgDir).iterator().asScala
-      .filter(_.toString.endsWith(".class"))
-      .filter { p =>
-        new String(java.nio.file.Files.readAllBytes(p),
-          java.nio.charset.StandardCharsets.ISO_8859_1)
-          .contains("javax/sound/sampled/AudioSystem")
-      }
-      .map(_.getFileName.toString).toList
+    val stream = java.nio.file.Files.list(pkgDir)
+    val offenders =
+      try stream.iterator().asScala
+        .filter(_.toString.endsWith(".class"))
+        .filter { p =>
+          new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+            .contains("javax/sound/sampled/AudioSystem")
+        }
+        .map(_.getFileName.toString).toList
+      finally stream.close()
     assert(offenders.isEmpty,
       s"classes referencing the synchronized AudioSystem facade: $offenders — " +
         "use the cached wavReaders/wavWriter SPI path instead")

@@ -82,7 +82,6 @@ def classify():
     # (lexicographic order would put r100 before r99)
     latest = max(REPO.glob("CORRECTNESS_r[0-9]*.json"),
                  key=lambda p: int(re.search(r"_r(\d+)", p.name).group(1)))
-    all_q = sorted(json.load(open(latest)).keys())
     cert = json.load(open(REPO / "CORRECTNESS_scale1000.json"))
     oracle_path = REPO / "tools" / "oracle_sql_snapshot.json"
     if not oracle_path.exists():
@@ -93,6 +92,12 @@ def classify():
             sys.exit("no oracle_sql.json snapshot; run graft.Verify first")
         oracle_path = cands[-1]
     oracle = json.load(open(oracle_path))
+    # the universe is the UNION of the last gate round and the current
+    # oracle snapshot: a query added since the last driver run (e.g.
+    # round 15's q163 against the r14 gate file) must still hit the
+    # UNCLASSIFIED check — a gate-file-only universe is blind to
+    # exactly the queries most likely to lack a certificate
+    all_q = sorted(set(json.load(open(latest)).keys()) | set(oracle.keys()))
 
     rows = []
     for q in all_q:
