@@ -503,6 +503,14 @@ object Similarity {
     * treats a null _sim as smallest, like desc-nulls-last, and
     * equal-ordering candidates carry the same cell, so the argmax is
     * deterministic.
+    *
+    * Precondition: `idCol` is unique in `emb`. The re-join keys the
+    * vector lookup on id alone, so a duplicate id would emit one
+    * assigned row PER duplicate (and duplicated pairs downstream)
+    * where the replaced row_number window emitted exactly one — every
+    * caller feeds a primary-keyed corpus (`vec_id`), and
+    * [[semanticDedupBucketed]]'s candidate stream is built from the
+    * same frame, so the join is 1:1 by construction.
     */
   private[graft] def bestCell(
       cand: DataFrame,

@@ -204,6 +204,14 @@ object StreamingQueries {
     // measured, SPARK_GRAFT_ONLY iteration loops) must not accumulate
     // corpus-sized dirs until exit on a thin-provisioned disk
     val key = tag + "#out"
+    // serialize same-tag runs on the interned key: the get/put/put
+    // displaced-dir registration below is not atomic, and two
+    // concurrent same-tag runs (Verify's thread pool is the motivating
+    // concurrency) could interleave so one run's fresh dir leaves the
+    // primary key without ever reaching the side key — a leaked
+    // corpus-sized dir on the thin disk. Different tags intern to
+    // different monitors, so cross-tag replays stay parallel.
+    key.intern.synchronized {
     val dir = java.nio.file.Files.createTempDirectory("gq_stream_out").toString
     // the displaced dir must stay registered until its rmdir actually
     // completes — an abnormal exit anywhere in this method must still
@@ -238,6 +246,7 @@ object StreamingQueries {
     // q161's join) must come back as an empty frame, not as parquet's
     // "Unable to infer schema" error
     ss.read.schema(out.schema).parquet(dir)
+    }
   }
 
   /** Run one bounded streaming replay over the shared staged corpus. */

@@ -20,8 +20,16 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     # per-query min-of-N, mirroring graft.Bench's round-15 protocol —
-    # a symmetric pair needs the same noise stripping on both engines
-    reps = max(1, int(os.environ.get("GRAFT_DUCKDB_REPS", "2")))
+    # a symmetric pair needs the same noise stripping on both engines;
+    # a malformed value warns and falls back like Bench's toIntOption
+    # (aborting here would break the pair asymmetrically)
+    try:
+        reps = int(os.environ.get("GRAFT_DUCKDB_REPS", "2"))
+    except ValueError:
+        print(f"WARN: bad GRAFT_DUCKDB_REPS="
+              f"{os.environ['GRAFT_DUCKDB_REPS']!r}, using 2", file=sys.stderr)
+        reps = 2
+    reps = max(1, reps)
     timings = {}
     for name, sql in sorted(oracle.items()):
         best = None
