@@ -200,42 +200,15 @@ object TextDedup {
     // replica. At small scale Spark still auto-broadcasts the
     // signature side, so this costs nothing (a shuffle_hash HINT would
     // defeat that broadcast and measurably slowed sf0.1 ~2x).
-    graft.plans.ConfScope.withConfs(df, Map(
-      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "16KB",
-      "spark.sql.join.preferSortMergeJoin" -> "false")) { dfc =>
-      GraftFunctions.register(dfc.sparkSession)
-      val sh = dfc.select(
-        col(idCol).as("doc_id"),
-        GraftFunctions.hashedShingles(col(textCol), shingleN).as("sh"))
-        .filter(size(col("sh")) > 0)
-        .withColumn("sig", GraftFunctions.minhashSig(col("sh"), numHashes))
-        .persist()
+    graft.plans.ConfScope.withConfs(df, tuningConfs) { dfc =>
+      val sh = tuningSignatures(dfc, idCol, textCol, shingleN, numHashes)
       // try/finally: any failing action below (the cloned session runs
       // every action of this table) must still release the persisted
       // signature blocks — a bare success-path unpersist leaks them
       // for the JVM lifetime
       try {
       val shOnly = sh.select(col("doc_id"), col("sh"))
-      // all configs' band rows in one explode: (doc_id, cfg, band, bkey)
-      val banded = sh.select(
-        col("doc_id"),
-        explode(array(configs.flatMap { case (b, r) =>
-          (0 until b).map { bd =>
-            struct(lit(b).as("cfg"), lit(bd).as("band"),
-              md5(concat_ws("_",
-                (0 until r).map(rr => element_at(col("sig"), bd * r + rr + 1)): _*))
-                .as("bkey"))
-          }
-        }: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.cfg"), col("bb.band"), col("bb.bkey"))
-      // one bucket self-join covers every config; checkpointed because
-      // the per-config counts AND the verify pass both consume it
-      val cand = banded.select(col("cfg"), col("band"), col("bkey"), col("doc_id").as("id_a"))
-        .join(banded.select(col("cfg"), col("band"), col("bkey"), col("doc_id").as("id_b")),
-          Seq("cfg", "band", "bkey"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("cfg"), col("id_a"), col("id_b")).distinct()
-        .localCheckpoint(true)
+      val cand = tuningCandidates(sh, configs)
       // hash joins (via the scoped preferSortMergeJoin=false), never
       // sort-merge: an SMJ here sorts the pair × shingle-array
       // intermediate (each row carries an ~800 B array once sh_a is
@@ -282,6 +255,149 @@ object TextDedup {
       val local = outRows.collect()
       df.sparkSession.createDataFrame(
         java.util.Arrays.asList(local: _*), schema)
+      } finally sh.unpersist()
+    }
+  }
+
+  /** Shared AQE/join overrides for the tuning tables. Both heavy
+    * stages break AQE's bytes≈cost assumption (the bucket join's
+    * output is quadratic per bucket; the verify is array-CPU-bound)
+    * and coalesce to one task under the default 1MB floor;
+    * preferSortMergeJoin=false keeps the non-broadcast verify joins
+    * SHUFFLED HASH so nothing pair×array-sized is ever sorted (the
+    * sort spilled past the thin disk at the 5M-doc replica, round 15).
+    */
+  private val tuningConfs = Map(
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "16KB",
+    "spark.sql.join.preferSortMergeJoin" -> "false")
+
+  /** Persisted `(doc_id, sh, sig)` signature frame the tuning tables
+    * share — the caller owns the unpersist (try/finally).
+    */
+  private def tuningSignatures(
+      dfc: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int): DataFrame = {
+    GraftFunctions.register(dfc.sparkSession)
+    dfc.select(
+      col(idCol).as("doc_id"),
+      GraftFunctions.hashedShingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", GraftFunctions.minhashSig(col("sh"), numHashes))
+      .persist()
+  }
+
+  /** All-config candidate stream `(cfg, id_a, id_b)`: every config's
+    * band rows carry a config tag into ONE bucket self-join on
+    * (cfg, band, bkey); checkpointed because the per-config counts
+    * AND the verify pass both consume it.
+    */
+  private def tuningCandidates(
+      sh: DataFrame, configs: Seq[(Int, Int)]): DataFrame = {
+    // all configs' band rows in one explode: (doc_id, cfg, band, bkey)
+    val banded = sh.select(
+      col("doc_id"),
+      explode(array(configs.flatMap { case (b, r) =>
+        (0 until b).map { bd =>
+          struct(lit(b).as("cfg"), lit(bd).as("band"),
+            md5(concat_ws("_",
+              (0 until r).map(rr => element_at(col("sig"), bd * r + rr + 1)): _*))
+              .as("bkey"))
+        }
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.cfg"), col("bb.band"), col("bb.bkey"))
+    banded.select(col("cfg"), col("band"), col("bkey"), col("doc_id").as("id_a"))
+      .join(banded.select(col("cfg"), col("band"), col("bkey"), col("doc_id").as("id_b")),
+        Seq("cfg", "band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("cfg"), col("id_a"), col("id_b")).distinct()
+      .localCheckpoint(true)
+  }
+
+  /** [[lshTuningTable]] with a SAMPLED verify — the tuning table's
+    * scale path. The exact-count formulation is measured infeasible
+    * on any engine at the fourth decade (cfg (6,2) over-candidates
+    * ~600× at the 5M-doc replica → ~157M exact-verify pairs × ~1.2KB
+    * shingle arrays; BENCH_NOTES Round-15e), and a production tuning
+    * run samples its verify anyway: per-config CANDIDATE counts stay
+    * exact (narrow rows, linear traffic), while the expensive
+    * jaccard verify runs only on a deterministic hash-sample of the
+    * distinct candidate pairs — accept pair (a,b) iff
+    * `hash60(seed:a_b) / 2^60 < sampleRate`, the RNG-free
+    * [[Curation.importanceSample]] scheme, so the sampled set is
+    * EXACT on any engine/layout and the oracle replays it verbatim.
+    * Sampling keys on pair identity, not (cfg, pair): a pair
+    * surfacing under 3 of 4 bandings is verified once and its
+    * verdict reused, and every config's estimate shares one sample
+    * frame. The verify's traffic is rate-bounded by construction:
+    * at the 5M-doc replica, rate 0.02 × ~157M pairs ≈ 3M verifies
+    * (~7 GB of array traffic) where the exact table needed hundreds.
+    *
+    * Output per config: exact `n_candidates`, the sample size
+    * `n_sampled`, `n_verified_sampled`, and
+    * `precision_est = n_verified_sampled / max(n_sampled, 1)` —
+    * the estimator's denominator is in the row, so a reader can
+    * attach binomial error bars.
+    */
+  def lshTuningTableSampled(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 2, threshold: Double = 0.8, numHashes: Int = 12,
+      configs: Seq[(Int, Int)] = Seq((2, 6), (3, 4), (4, 3), (6, 2)),
+      sampleRate: Double = 0.02, sampleSeed: String = "lts5"): DataFrame = {
+    require(configs.nonEmpty && configs.forall { case (b, r) => b * r == numHashes },
+      s"every (bands, rowsPerBand) config must multiply to numHashes=$numHashes")
+    require(configs.map(_._1).distinct.size == configs.size,
+      "band counts must be distinct (bands is the config key)")
+    require(sampleRate > 0.0 && sampleRate <= 1.0,
+      s"sampleRate must be in (0, 1], got $sampleRate")
+    graft.plans.ConfScope.withConfs(df, tuningConfs) { dfc =>
+      val sh = tuningSignatures(dfc, idCol, textCol, shingleN, numHashes)
+      try {
+        val shOnly = sh.select(col("doc_id"), col("sh"))
+        val cand = tuningCandidates(sh, configs)
+        // deterministic pair sample BEFORE any shingle array attaches:
+        // the filter runs on narrow (id_a, id_b) rows, so the full
+        // candidate stream crosses this stage at ~24 B/row and only
+        // the rate-bounded survivors ever join the array side
+        val u = hash60(concat(lit(sampleSeed), lit(":"),
+          col("id_a").cast("string"), lit("_"), col("id_b").cast("string")))
+          .cast("double") / lit(1152921504606846976.0) // 2^60
+        val samp = cand.select(col("id_a"), col("id_b")).distinct()
+          .filter(u < sampleRate)
+        val verdicts = samp
+          .join(shOnly.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+          .join(shOnly.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            (round(jaccard(col("sh_a"), col("sh_b")), 4) >= threshold).as("_ok"))
+        // verdicts are sample-sized (rate × candidates): the join back
+        // onto the full candidate stream broadcasts at any measured
+        // scale, and the scoped preferSortMergeJoin=false keeps it a
+        // hash join beyond that
+        val sampledPerCfg = cand.join(verdicts, Seq("id_a", "id_b"))
+          .groupBy(col("cfg"))
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(when(col("_ok"), 1L).otherwise(0L)).as("n_verified_sampled"))
+        val perCfg = cand.groupBy(col("cfg"))
+          .agg(count(lit(1)).as("n_candidates"))
+          .join(sampledPerCfg, Seq("cfg"), "left")
+        // left join onto the literal config list so a zero-candidate
+        // config still emits its row
+        val cfgRows = configs.map { case (b, r) => (b, b.toLong, r.toLong) }
+        val cfgDf = dfc.sparkSession.createDataFrame(cfgRows)
+          .toDF("cfg", "bands", "rows_per_band")
+        val outRows = cfgDf.join(perCfg, Seq("cfg"), "left")
+          .select(col("bands"), col("rows_per_band"),
+            coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+            coalesce(col("n_verified_sampled"), lit(0L)).as("n_verified_sampled"),
+            round(coalesce(col("n_verified_sampled"), lit(0L)).cast("double") /
+              greatest(coalesce(col("n_sampled"), lit(0L)), lit(1L)), 6)
+              .as("precision_est"))
+        // collect (one row per config) releases the clone and the
+        // persisted signature frame before returning
+        val schema = outRows.schema
+        val local = outRows.collect()
+        df.sparkSession.createDataFrame(
+          java.util.Arrays.asList(local: _*), schema)
       } finally sh.unpersist()
     }
   }

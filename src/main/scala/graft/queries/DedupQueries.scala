@@ -666,6 +666,77 @@ object DedupQueries {
         .orderBy($"bands")
     },
 
+    // the tuning table's SCALE path: exact per-config candidate
+    // counts, verify on a deterministic hash-sample of the distinct
+    // candidate pairs (hash60(seed:a_b)/2^60 < 0.02 — RNG-free, so
+    // DuckDB replays the same sampled set exactly), precision
+    // estimated with the sample size in the row. The exact-count
+    // q125 is measured infeasible on both engines at the 5M-doc
+    // replica; this is what a production tuning run executes there.
+    Q.sql(
+      "q164_lsh_tuning_sampled",
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]),
+        |      s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT))) AS sh
+        |  FROM tok WHERE len(w) >= 2),
+        |sig AS MATERIALIZED (
+        |  SELECT doc_id, sh,
+        |    list_transform(range(0, 12), j ->
+        |      list_min(list_transform(sh, h ->
+        |        ((xor(h, CAST(('0x'||substr(md5('a#'||j),1,15)) AS BIGINT))
+        |          + CAST(('0x'||substr(md5('b#'||j),1,15)) AS BIGINT))
+        |         & 1152921504606846975)))) AS sig
+        |  FROM sh),
+        |banded AS (
+        |  SELECT 2 AS cfg, doc_id, b, md5(CAST(sig[b*6+1] AS VARCHAR) || '_' || CAST(sig[b*6+2] AS VARCHAR) || '_' || CAST(sig[b*6+3] AS VARCHAR) || '_' || CAST(sig[b*6+4] AS VARCHAR) || '_' || CAST(sig[b*6+5] AS VARCHAR) || '_' || CAST(sig[b*6+6] AS VARCHAR)) AS bkey
+        |  FROM sig, range(0, 2) t(b)
+        |  UNION ALL
+        |  SELECT 3, doc_id, b, md5(CAST(sig[b*4+1] AS VARCHAR) || '_' || CAST(sig[b*4+2] AS VARCHAR) || '_' || CAST(sig[b*4+3] AS VARCHAR) || '_' || CAST(sig[b*4+4] AS VARCHAR))
+        |  FROM sig, range(0, 3) t(b)
+        |  UNION ALL
+        |  SELECT 4, doc_id, b, md5(CAST(sig[b*3+1] AS VARCHAR) || '_' || CAST(sig[b*3+2] AS VARCHAR) || '_' || CAST(sig[b*3+3] AS VARCHAR))
+        |  FROM sig, range(0, 4) t(b)
+        |  UNION ALL
+        |  SELECT 6, doc_id, b, md5(CAST(sig[b*2+1] AS VARCHAR) || '_' || CAST(sig[b*2+2] AS VARCHAR))
+        |  FROM sig, range(0, 6) t(b)),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.cfg, a.doc_id AS id_a, x.doc_id AS id_b
+        |  FROM banded a JOIN banded x
+        |    ON a.cfg = x.cfg AND a.b = x.b AND a.bkey = x.bkey AND a.doc_id < x.doc_id),
+        |samp AS MATERIALIZED (
+        |  SELECT DISTINCT id_a, id_b FROM cand
+        |  WHERE ('0x' || substr(md5('lts5:' || CAST(id_a AS VARCHAR) || '_' || CAST(id_b AS VARCHAR)), 1, 15))::BIGINT::DOUBLE
+        |        / 1152921504606846976::DOUBLE < 0.02),
+        |ver AS MATERIALIZED (
+        |  SELECT s.id_a, s.id_b,
+        |    (round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh)), 4) >= 0.8) AS ok
+        |  FROM samp s
+        |  JOIN sig sa ON sa.doc_id = s.id_a
+        |  JOIN sig sb ON sb.doc_id = s.id_b),
+        |agg AS (
+        |  SELECT c.cfg, CAST(count(*) AS BIGINT) AS n_candidates,
+        |    CAST(count(v.ok) AS BIGINT) AS n_sampled,
+        |    CAST(sum(CASE WHEN v.ok THEN 1 ELSE 0 END) AS BIGINT) AS n_verified_sampled
+        |  FROM cand c LEFT JOIN ver v ON v.id_a = c.id_a AND v.id_b = c.id_b
+        |  GROUP BY c.cfg),
+        |cfgs AS (SELECT * FROM (VALUES (2), (3), (4), (6)) c(cfg))
+        |SELECT CAST(f.cfg AS BIGINT) AS bands, CAST((12 // f.cfg) AS BIGINT) AS rows_per_band,
+        |  CAST(coalesce(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+        |  CAST(coalesce(a.n_sampled, 0) AS BIGINT) AS n_sampled,
+        |  CAST(coalesce(a.n_verified_sampled, 0) AS BIGINT) AS n_verified_sampled,
+        |  round(CAST(coalesce(a.n_verified_sampled, 0) AS DOUBLE) / greatest(coalesce(a.n_sampled, 0), 1), 6) AS precision_est
+        |FROM cfgs f LEFT JOIN agg a ON a.cfg = f.cfg
+        |ORDER BY bands""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      TextDedup.lshTuningTableSampled(Tables.documents(s, d), "doc_id", "text")
+        .orderBy($"bands")
+    },
+
     // dedup economics: the near-dup cluster SIZE distribution — how
     // many families of each size exist and how many rows deduping to
     // one-per-family would remove; two aggregations over the

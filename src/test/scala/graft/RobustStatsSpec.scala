@@ -121,6 +121,35 @@ class RobustStatsSpec extends SparkSpec {
     assert(t.map(_._3).toSeq == t.map(_._3).sorted.toSeq)
   }
 
+  test("lshTuningTableSampled: rate 1.0 reproduces the exact table; rates bound the sample") {
+    val same = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (0L, same), (1L, same),
+      (2L, "completely different tokens appear in this text here"),
+      (3L, "yet another entirely unrelated document body goes here")
+    ).toDF("doc_id", "text")
+    val exact = TextDedup.lshTuningTable(docs, "doc_id", "text")
+      .orderBy($"bands").as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // rate 1.0 samples every distinct pair: the estimate IS the exact
+    // table (n_sampled == n_candidates, verified and precision equal)
+    val full = TextDedup.lshTuningTableSampled(docs, "doc_id", "text",
+      sampleRate = 1.0)
+      .orderBy($"bands").as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(full.map(r => (r._1, r._2, r._3, r._5, r._6)) == exact)
+    assert(full.forall(r => r._4 == r._3))
+    // a tiny rate keeps per-config sample within [0, candidates] and
+    // verified within [0, sampled]; config rows still all emit
+    val thin = TextDedup.lshTuningTableSampled(docs, "doc_id", "text",
+      sampleRate = 1e-9)
+      .orderBy($"bands").as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(thin.length == 4)
+    assert(thin.map(r => (r._1, r._2, r._3)) == exact.map(r => (r._1, r._2, r._3)))
+    assert(thin.forall(r => r._4 == 0L && r._5 == 0L && r._6 == 0.0))
+    assert(intercept[IllegalArgumentException](
+      TextDedup.lshTuningTableSampled(docs, "doc_id", "text", sampleRate = 0.0))
+      .getMessage.contains("sampleRate"))
+  }
+
   test("cross-group dup matrix and dup rate agree with a planted fixture") {
     val t1 = "alpha beta gamma delta epsilon zeta eta theta"
     val t2 = "one two three four five six seven eight"
