@@ -30,6 +30,7 @@ def main(sf_dir, out_dir):
               f"{os.environ['GRAFT_DUCKDB_REPS']!r}, using 2", file=sys.stderr)
         reps = 2
     reps = max(1, reps)
+    load_start = os.getloadavg()[0]
     timings = {}
     for name, sql in sorted(oracle.items()):
         best = None
@@ -44,10 +45,26 @@ def main(sf_dir, out_dir):
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3) if best is not None else None
+    load_end = os.getloadavg()[0]
     total = sum(v for v in timings.values() if v is not None)
-    print(json.dumps({"metric": "duckdb_total", "value": round(total, 2),
-                      "unit": "sec", "queries": timings, "reps": reps,
-                      "sf": sf_dir}))
+    record = {"metric": "duckdb_total", "value": round(total, 2),
+              "unit": "sec", "queries": timings, "reps": reps,
+              "load_avg": [round(load_start, 2), round(load_end, 2)],
+              "sf": sf_dir}
+    # per-query record mirroring Spark's BENCH_DETAIL.json, so a
+    # symmetric pair diffs per-query without log archaeology.
+    # GRAFT_DUCKDB_DETAIL_PATH redirects it (third-party runs must not
+    # clobber the official artifact — same rule as the Spark side's
+    # SPARK_GRAFT_DETAIL_PATH).
+    detail_path = os.environ.get("GRAFT_DUCKDB_DETAIL_PATH",
+                                 os.path.join(os.path.dirname(os.path.dirname(
+                                     os.path.abspath(__file__))), "DUCKDB_DETAIL.json"))
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+    except OSError as e:
+        print(f"WARN: detail write failed: {e}", file=sys.stderr)
+    print(json.dumps(record))
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2])
