@@ -222,4 +222,76 @@ class PlanPinSpec extends SparkSpec {
         s"the argmax must be a stateful streaming aggregation, got:\n$plan")
     } finally q.stop()
   }
+
+  test("LEFT OUTER streaming as-of: outer join keeps cleanup predicates, outer rows traverse the argmax (q163 shape)") {
+    // q163 is q162's joinType dial turned to left_outer — the
+    // production full-enrichment contract (every purchase emits
+    // exactly once; cold-start purchases emit with null enrichment).
+    // Its correctness hinges on the join's DELAYED OUTER ROW: when a
+    // match-less left row's state expires, Spark emits it with null
+    // right columns, still carrying the left event time, so the
+    // downstream argmax window finalizes it like any matched row. A
+    // Spark upgrade that changes outer-row emission (drops a side's
+    // cleanup predicate, or emits outer rows past the aggregation)
+    // must fail HERE, not at the 100x RocksDB cert. Three structural
+    // pins: (1) the one streaming join is LeftOuter, (2) both sides
+    // still derive state-cleanup predicates (outer joins only emit
+    // delayed rows off evicted state — lose eviction and outer rows
+    // never surface AND state never bounds), (3) the argmax is still
+    // a stateful streaming agg (StateStoreSave) downstream of the
+    // join, so the null-enriched row honors the same finalize-once
+    // append contract. The cold-start user below proves the delayed
+    // row actually traverses the chain end to end.
+    import spark.implicits._
+    val dir = tmpDir("pin_asof_outer")
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 10L, "view", 0.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 10L, "purchase", 2.0),
+      // cold-start: user 12 purchases with NO prior view — must emit
+      // exactly once with null enrichment via the delayed outer row
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 10:06:00"), 12L, "purchase", 5.0),
+      // a late sentinel far past the others advances BOTH sides'
+      // watermarks (an outer row only materializes once the watermark
+      // proves no match can arrive — the round-15 probe lesson)
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 14:00:00"), 11L, "view", 0.0),
+      (5L, java.sql.Timestamp.valueOf("2024-01-01 14:00:00"), 11L, "purchase", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    rows.write.parquet(s"$dir/ev")
+    val src = spark.readStream.schema(rows.schema).parquet(s"$dir/ev")
+    val out = graft.streaming.EventStream.asofEnrich(
+      src.filter($"event_type" === "purchase"),
+      src.filter($"event_type" === "view"),
+      "user_id", horizon = "60 minutes", watermark = "10 minutes",
+      joinType = "left_outer")
+    val ckpt = tmpDir("pin_asof_outer_ckpt")
+    val q = out.writeStream.format("memory").queryName("pin_asof_outer")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val plan = lastExecutedPlan(q)
+      val joins = plan.collect {
+        case p if p.nodeName.contains("StreamingSymmetricHashJoin") => p
+      }
+      assert(joins.size == 1, s"expected one streaming symmetric hash join, got:\n$plan")
+      assert(joins.head.toString.contains("LeftOuter"),
+        s"the as-of join lost its LeftOuter type — cold-start rows silently drop:\n${joins.head}")
+      val swp = stateCleanupWitness(joins.head)
+      for (side <- Seq("left", "right"))
+        assert(swp.contains(s"$side value predicate:") || swp.contains(s"$side key predicate:"),
+          s"the $side side lost its state cleanup predicate — unbounded retention " +
+            s"AND no delayed outer rows: $swp")
+      val saves = plan.collect {
+        case p if p.nodeName.contains("StateStoreSave") => p
+      }
+      assert(saves.nonEmpty,
+        s"the argmax must stay a stateful streaming aggregation, got:\n$plan")
+      // end-to-end witness: the cold-start purchase surfaced exactly
+      // once, null-enriched, through the argmax
+      val got = spark.table("pin_asof_outer")
+        .select($"user_id", $"left_id", $"right_id").collect()
+      val cold = got.filter(_.getLong(0) == 12L)
+      assert(cold.length == 1 && cold.head.isNullAt(2),
+        s"cold-start purchase must emit once with null enrichment, got: ${got.mkString(", ")}")
+    } finally q.stop()
+  }
 }
