@@ -68,7 +68,7 @@ INFEASIBLE_ORACLE = {
     "q152_semdedup_sqrtk": "Spark side MEASURED green at 2M vectors (351 s sbt-total, round-15 narrow-argmax assignment; 1578 survivors, two independent plan shapes agree) — the old wide window-argmax's SPILL_OUT_OF_MEMORY is fixed; the oracle side (n*sqrt(n) LSH/pair grid + 24-round pointer-jumping CTE) is the same single-node class as q151's measured IO Error; 100x-certified",
 }
 INFEASIBLE_HARNESS = {
-    "q125_lsh_tuning": "BOTH sides measured at the 5M-doc replica (round 15): the (6,2) config legitimately over-candidates ~600x (its precision row is the tuning table's point) -> ~157M exact-verify pairs x ~1.2KB shingle arrays = hundreds of GB of pair-array traffic on ANY engine — Spark's verify shuffle exceeds the thin disk (No space, measured twice, incl. after the round-15 shuffle_hash/narrow-join rewrite that removed every candidate-stream sort), and DuckDB's oracle replay IO-errors the same way; a production tuning run samples the verify, the exact-count formulation exists for the oracle contract; 100x-certified",
+    "q125_lsh_tuning": "BOTH sides measured at the 5M-doc replica (round 15): the (6,2) config legitimately over-candidates ~600x (its precision row is the tuning table's point) -> ~157M exact-verify pairs x ~1.2KB shingle arrays = hundreds of GB of pair-array traffic on ANY engine — Spark's verify shuffle exceeds the thin disk (No space, measured twice, incl. after the round-15 shuffle_hash/narrow-join rewrite that removed every candidate-stream sort), and DuckDB's oracle replay IO-errors the same way; a production tuning run samples the verify — that operator is q164_lsh_tuning_sampled (round 16), FULLY hash-certified at this same 5M-doc replica on BOTH engines (exact candidate counts, rate-bounded sampled verify), so the family has a fourth-decade member; the exact-count formulation stays for the oracle contract; 100x-certified",
     "q74_edit1_join": "output ~480M pair rows at the 1000x vocabulary (x12 per decade) exceeds the pandas-hash compare harness; Spark side MEASURED at 1000x (510 s, per-decade slope 5.9) and hash-certified through 100x",
     "q151_kmeans_sqrtk": "Spark side MEASURED green at 1000x (~7 min, native sqdist kernel); the n*sqrt(n) oracle grid spills past the thin disk's real free blocks even at a 105 GB memlimit (IO Error MEASURED); 100x-certified",
     "q143_mmr": "oracle spill exceeds the thin disk's real free blocks (IO Error MEASURED at the 2M-vector replica); Spark side MEASURED green at 2M vectors (round 15); 100x-certified",
