@@ -112,7 +112,8 @@ object Bench {
           detailPath.getOrElse("/root/repo/BENCH_DETAIL.json"))
         java.nio.file.Files.write(out, detail.getBytes("UTF-8"))
       } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$topQs,"failed":$failed,"n_queries":${results.size},$guard,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    val detailLabel = detailPath.getOrElse("BENCH_DETAIL.json")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$topQs,"failed":$failed,"n_queries":${results.size},$guard,"detail":"$detailLabel","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{CdcChunks, CosineSim, Hash60Array, HashedShingles, HyperplaneBuckets, MinHashSig, SimHash60, SquaredDist, WinnowFingerprints}
+import graft.plans.{BestCentroid, CdcChunks, CosineSim, Hash60Array, HashedShingles, HyperplaneBuckets, MinHashSig, SimHash60, SquaredDist, WinnowFingerprints}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -39,6 +39,7 @@ object GraftFunctions {
       es(0), intArg(es(1), "graft_lsh_buckets"), intArg(es(2), "graft_lsh_buckets"))),
     "graft_cosine" -> (es => CosineSim(es(0), es(1))),
     "graft_sqdist" -> (es => SquaredDist(es(0), es(1))),
+    "graft_best_centroid" -> (es => BestCentroid(es(0), es(1))),
     "graft_winnow_fp" -> (es => WinnowFingerprints(
       es(0), intArg(es(1), "graft_winnow_fp"), intArg(es(2), "graft_winnow_fp"))),
     "graft_cdc_chunks" -> (es => CdcChunks(
@@ -89,6 +90,14 @@ object GraftFunctions {
     */
   def sqDistFast(a: Column, b: Column): Column =
     call_function("graft_sqdist", a, b)
+
+  /** Fused nearest-centroid argmin over a broadcast codebook — the
+    * min of the composed per-centroid struct(negsim, cell) under
+    * struct ordering (== Similarity.ivfSearch's keep=1 assignment,
+    * bit-for-bit; see graft.plans.BestCentroid).
+    */
+  def bestCentroid(vec: Column, cents: Column): Column =
+    call_function("graft_best_centroid", vec, cents)
 
   /** Winnowing fingerprints: distinct window-minima of char-k-gram
     * hashes (sorted ascending).

@@ -131,18 +131,26 @@ object Similarity {
       multiProbe: Boolean = true): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     // one native pass computes every table's bucket (plane matrix
-    // precomputed; == lshBucket per table), then posexplode to rows
+    // precomputed; == lshBucket per table), then posexplode to rows.
+    // NARROW from here on (the dim-768 witness lesson, round 16, and
+    // q152's round-15 spill lesson applied to ANN): the bucketed rows
+    // carry only (id, tbl, bucket) — the old shape posexploded the
+    // VECTOR into all `tables` bucket rows and shuffled candidate
+    // pairs through dropDuplicates carrying BOTH vectors, which is
+    // ~6 KB/row at dim 768 and measured 20.7× slower at 12× width
+    // (ann_topk_lsh 5.7 s → 117 s, 2M×64 → 2M×768) where the
+    // compute-bound brute path moved 1.5×.
     def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(
-        col(id), col(vec),
+        col(id),
         posexplode(GraftFunctions.lshBuckets(col(vec), tables, planesPerTable)))
         .withColumnRenamed("pos", "tbl")
         .withColumnRenamed("col", "bucket")
 
-    val n = bucketed(
-      emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")), "neighbor_id", "nv")
-    val qBase = bucketed(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv")
+    val nvSide = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val qvSide = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val n = bucketed(nvSide, "neighbor_id", "nv")
+    val qBase = bucketed(qvSide, "query_id", "qv")
     val probes = if (multiProbe) {
       val flips = array((-1 until planesPerTable).map {
         case -1 => col("bucket")
@@ -151,12 +159,24 @@ object Similarity {
       qBase.withColumn("bucket", explode(flips))
     } else qBase
 
+    // candidate pairs stay ~16 B/row through the bucket join AND the
+    // dedup exchange; vectors re-attach afterwards — once per DISTINCT
+    // pair (row-linear on the corpus, with the query side broadcast:
+    // the query set is small by contract)
+    val cand = n.join(broadcast(probes.select(col("tbl"), col("bucket"), col("query_id"))),
+        Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand
+      .join(nvSide, Seq("neighbor_id"))
+      .join(broadcast(qvSide), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(GraftFunctions.cosineFast(col("qv"), col("nv")), 6).as("sim"))
+
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    n.join(broadcast(probes), Seq("tbl", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("sim", round(GraftFunctions.cosineFast(col("qv"), col("nv")), 6))
+    scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
@@ -255,11 +275,26 @@ object Similarity {
         coalesce(when(isnan(s), lit(Double.NegativeInfinity)).otherwise(-s),
           lit(Double.PositiveInfinity))
       }
-      df.crossJoin(broadcast(centArr))
-        .withColumn("_p", explode(slice(array_sort(transform(col("_cs"), c =>
-          struct(negsim(col(vec), c.getField("cv")).as("negsim"),
-            c.getField("cell").as("cell")))), 1, keep)))
-        .select(col(id), col(vec), col("_p.cell").as("cell"))
+      // keep == 1 (the corpus-wide inversion) runs the fused native
+      // argmin (graft.plans.BestCentroid): no per-row C-element struct
+      // array is materialized or sorted, and the row vector's norm is
+      // accumulated once instead of once per centroid — the two costs
+      // that made the 2M-vector assignment (n × n/50 cosines) the
+      // measured feasibility wall (round 16; same value bit-for-bit,
+      // asserted against the composed form in TextOpsSpec). The
+      // isNotNull filter replays the composed explode's drop of rows
+      // with an empty/null codebook.
+      if (keep == 1)
+        df.crossJoin(broadcast(centArr))
+          .withColumn("_b", GraftFunctions.bestCentroid(col(vec), col("_cs")))
+          .filter(col("_b").isNotNull)
+          .select(col(id), col(vec), col("_b.cell").as("cell"))
+      else
+        df.crossJoin(broadcast(centArr))
+          .withColumn("_p", explode(slice(array_sort(transform(col("_cs"), c =>
+            struct(negsim(col(vec), c.getField("cv")).as("negsim"),
+              c.getField("cell").as("cell")))), 1, keep)))
+          .select(col(id), col(vec), col("_p.cell").as("cell"))
     }
 
     val inverted = assign(

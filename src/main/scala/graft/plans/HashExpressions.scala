@@ -455,3 +455,106 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)
 }
+
+/** Nearest-centroid argmin over a broadcast codebook, fused: for one
+  * corpus vector and the collected `array<struct<cell, cv>>`, returns
+  * `struct(negsim, cell)` = the MIN of the composed per-centroid
+  * `struct(coalesce(when(isnan(s), -Inf).otherwise(-s), +Inf), cell)`
+  * under struct ordering — exactly what
+  * `explode(slice(array_sort(transform(_cs, ...)), 1, 1))` computed in
+  * `Similarity.ivfSearch`'s keep=1 assignment, with two costs removed
+  * that made the 2M-vector IVF assignment infeasible (round 16):
+  * the per-row materialization + O(C log C) sort of a C-element
+  * struct array, and the C redundant recomputations of the ROW
+  * vector's norm (CosineSim recomputes |v| per call; here it is
+  * accumulated once and reused across all centroids).
+  *
+  * Bit-for-bit contract with the composed form: per centroid the
+  * cosine is `dot / sqrt(nv) / sqrt(nc)` in index order (identical
+  * IEEE sequence to CosineSim — hoisting |v| changes WHERE it is
+  * computed, not any operand or operation order); a null vector /
+  * null cv / dimension mismatch / null element maps to +Inf negsim
+  * (the composed null → coalesce path), NaN (zero norm) to -Inf; ties
+  * on negsim resolve to the smaller cell. Null/empty codebook returns
+  * null so the caller's explode-drop semantics can be replayed with a
+  * filter. Null ELEMENTS inside the codebook array cannot occur (it
+  * is built by collect_list) and are skipped defensively.
+  */
+case class BestCentroid(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("negsim", DoubleType, nullable = false),
+    StructField("cell", LongType, nullable = false)))
+  override def prettyName: String = "graft_best_centroid"
+
+  // the composed form is not null-short-circuiting on the VECTOR side
+  // (a null vector still yields (+Inf, smallest cell)), so eval is
+  // overridden instead of nullSafeEval
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val centsAny = right.eval(input)
+    if (centsAny == null) return null
+    val cents = centsAny.asInstanceOf[ArrayData]
+    val m = cents.numElements()
+    if (m == 0) return null
+    val vecAny = left.eval(input)
+    val vec = if (vecAny == null) null else vecAny.asInstanceOf[ArrayData]
+    // |v|² once per row — identical VALUE to CosineSim's per-call na
+    // accumulation (same index order from 0.0); NaN-free by IEEE (sums
+    // of squares), may be 0 (zero vector → 0/0 = NaN cosine → -Inf)
+    var nv = 0.0
+    var vecHasNull = false
+    if (vec != null) {
+      val n = vec.numElements()
+      var i = 0
+      while (i < n && !vecHasNull) {
+        if (vec.isNullAt(i)) vecHasNull = true
+        else { val x = vec.getFloat(i).toDouble; nv += x * x }
+        i += 1
+      }
+    }
+    var bestNeg = Double.PositiveInfinity
+    var bestCell = Long.MaxValue
+    var any = false
+    var c = 0
+    while (c < m) {
+      if (!cents.isNullAt(c)) {
+        val row = cents.getStruct(c, 2)
+        val cell = row.getLong(0)
+        var neg = Double.PositiveInfinity
+        if (vec != null && !vecHasNull && !row.isNullAt(1)) {
+          val cv = row.getArray(1)
+          val n = vec.numElements()
+          if (cv.numElements() == n) {
+            var dot = 0.0; var nc = 0.0
+            var i = 0
+            var nullElem = false
+            while (i < n && !nullElem) {
+              if (cv.isNullAt(i)) nullElem = true
+              else {
+                val x = vec.getFloat(i).toDouble
+                val y = cv.getFloat(i).toDouble
+                dot += x * y; nc += y * y
+              }
+              i += 1
+            }
+            if (!nullElem) {
+              val s = dot / math.sqrt(nv) / math.sqrt(nc)
+              neg = if (java.lang.Double.isNaN(s)) Double.NegativeInfinity else -s
+            }
+          }
+        }
+        if (!any || neg < bestNeg || (neg == bestNeg && cell < bestCell)) {
+          bestNeg = neg; bestCell = cell; any = true
+        }
+      }
+      c += 1
+    }
+    if (!any) return null
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestNeg, bestCell))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): BestCentroid =
+    copy(left = newLeft, right = newRight)
+}

@@ -168,13 +168,41 @@ object ScaleBench {
 
     if (on("embeddings")) {
       val vecShift = shiftOf(read("embeddings"), "vec_id")
-      write(replicate(read("embeddings"))
+      val replicated = replicate(read("embeddings"))
         .withColumn("vec_id", col("vec_id") + i * vecShift)
         .withColumn("embedding", when(i === 0, col("embedding")).otherwise(
           transform(col("embedding"), (x, j) =>
             (x * when(pmod(xxhash64(i, j), lit(2)) === 0, 1.0d).otherwise(-1.0d))
               .cast("float"))))
-        .drop("_i"), "embeddings")
+      // SPARK_GRAFT_EMB_DIM=768 — the high-dimension scale witness
+      // (round 16): every vector certificate otherwise rides dim 64
+      // (~88 MB at 2M vectors) while real embedding corpora are 768+,
+      // where a vector is 3 KB and candidate-stream width dominates.
+      // Widening TILES the base vector with a deterministic
+      // per-(tile, dim) sign flip SHARED BY ALL ROWS: each pairwise
+      // dot product scales by exactly `tiles` and every norm by
+      // sqrt(tiles), so COSINE STRUCTURE IS BIT-EXACT — the widened
+      // corpus drives the same candidate sets and survivor counts
+      // through the bucketed operators, only with tiles× the bytes
+      // per vector. (Exact only when the target is a multiple of the
+      // base dim; a partial last tile truncates and merely
+      // approximates — 64 → 768 is exact.)
+      val widened = sys.env.get("SPARK_GRAFT_EMB_DIM").map(_.toInt) match {
+        case Some(d) =>
+          val baseDim = read("embeddings")
+            .select(size(col("embedding"))).head().getInt(0)
+          require(d >= baseDim, s"SPARK_GRAFT_EMB_DIM=$d < base dim $baseDim")
+          val tiles = (d + baseDim - 1) / baseDim
+          replicated.withColumn("embedding",
+            slice(flatten(array((0 until tiles).map { t =>
+              if (t == 0) col("embedding")
+              else transform(col("embedding"), (x, j) =>
+                (x * when(pmod(xxhash64(lit(t), j), lit(2)) === 0, 1.0d)
+                  .otherwise(-1.0d)).cast("float"))
+            }: _*)), 1, d))
+        case None => replicated
+      }
+      write(widened.drop("_i"), "embeddings")
     }
     println(s"[scale] generated ${factor}x of $baseDir at $outDir")
   }

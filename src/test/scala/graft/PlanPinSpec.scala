@@ -106,6 +106,53 @@ class PlanPinSpec extends SparkSpec {
       s"a window argmax reappeared in the assignment plan:\n$plan")
   }
 
+  test("LSH top-k: candidate generation and dedup stay vector-free (dim-768 witness shape)") {
+    // the round-16 rewrite's scale property: the bucket rows, the
+    // bucket join, and the pair-dedup exchange all carry NARROW
+    // (id, tbl, bucket) / (query_id, neighbor_id) rows; vectors
+    // re-attach once per distinct pair afterwards. The old shape
+    // posexploded the vector into all 8 bucket rows and shuffled the
+    // dedup with BOTH vectors aboard — measured 20.7× slower at 12×
+    // vector width (ann_topk_lsh 5.7 s → 117 s at 2M×768) where the
+    // compute-bound brute path moved 1.5×. Pin: the dedup aggregate
+    // groups on exactly (query_id, neighbor_id) and no aggregate or
+    // its exchange carries an array column; the only array-bearing
+    // join is the row-linear re-attach.
+    import graft.operators.Similarity
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.lshTopK(
+      emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+    // unwrap AQE: the adaptive root's collect doesn't descend into the
+    // not-yet-executed plan; the input plan carries the full tree
+    val plan = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    def hasArrayOutput(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.output.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+    val aggs = plan.collect {
+      case p if p.nodeName.contains("Aggregate") => p
+    }
+    val dedup = aggs.filter { p =>
+      val s = p.toString
+      s.contains("query_id") && s.contains("neighbor_id") && s.contains("keys=")
+    }
+    assert(dedup.nonEmpty, s"expected a pair-dedup aggregate in:\n$plan")
+    assert(dedup.forall(!hasArrayOutput(_)),
+      s"a vector column crossed the pair-dedup aggregate (wide exchange):\n$plan")
+    val exchanges = plan.collect {
+      case p if p.nodeName.contains("Exchange") => p
+    }
+    // exactly the vector re-attach exchanges may carry arrays — the
+    // dedup's hash exchange (partitioning on the pair) must not
+    val wideEx = exchanges.filter(p => hasArrayOutput(p) &&
+      p.toString.contains("hashpartitioning(query_id") &&
+      p.toString.contains("neighbor_id"))
+    assert(wideEx.isEmpty,
+      s"the pair exchange carries a vector column again:\n${wideEx.mkString("\n")}")
+  }
+
   /** The streaming query handle wraps a StreamExecution whose last
     * micro-batch plan is the physical witness; both are private[sql],
     * so reach them reflectively (runtime methods are public bytecode).

@@ -80,6 +80,67 @@ class TextOpsSpec extends SparkSpec {
     assert(approx.forall { case (q, n) => q != n })
   }
 
+  test("BestCentroid kernel is bit-for-bit the composed argmin, incl. degenerate inputs") {
+    import graft.functions.GraftFunctions
+    import org.apache.spark.sql.functions.{array_sort, coalesce, collect_list, isnan, slice, struct, transform, when, explode, broadcast}
+    GraftFunctions.register(spark)
+    // codebook with a zero-norm centroid (NaN cosine), a
+    // dim-mismatched centroid (null cosine), a null-element centroid,
+    // and two identical centroids (negsim tie → smaller cell wins)
+    val cents = Seq(
+      (3L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.5f, 0.5f, 0.0f)),
+      (2L, Seq(0.5f, 0.5f, 0.0f)),       // tie with cell 1
+      (4L, Seq(0.0f, 0.0f, 0.0f)),       // zero norm → NaN → -Inf negsim
+      (5L, Seq(1.0f, 0.0f)),             // dim mismatch → +Inf
+      (6L, Seq(1.0f, null.asInstanceOf[Float], 0.0f))
+    ).toDF("cell", "cv")
+      // re-introduce a REAL null element (Scala Float can't hold one)
+      .withColumn("cv", transform($"cv", (x, i) =>
+        when($"cell" === 6L && i === 1,
+          org.apache.spark.sql.functions.lit(null).cast("float")).otherwise(x)))
+    // vectors: normal, zero-norm (NaN against every finite centroid),
+    // null vector, null element
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.2f, 0.0f)),
+      (1L, Seq(0.0f, 0.0f, 0.0f)),
+      (2L, null.asInstanceOf[Seq[Float]]),
+      (3L, Seq(1.0f, 1.0f, 1.0f))
+    ).toDF("vec_id", "v")
+    val centArr = cents.agg(array_sort(collect_list(struct($"cell", $"cv"))).as("_cs"))
+    def negsim(v: org.apache.spark.sql.Column, cv: org.apache.spark.sql.Column) = {
+      val s = GraftFunctions.cosineFast(v, cv)
+      coalesce(when(isnan(s), Double.NegativeInfinity).otherwise(-s),
+        org.apache.spark.sql.functions.lit(Double.PositiveInfinity))
+    }
+    val composed = vecs.crossJoin(broadcast(centArr))
+      .withColumn("_p", explode(slice(array_sort(transform($"_cs", c =>
+        struct(negsim($"v", c.getField("cv")).as("negsim"),
+          c.getField("cell").as("cell")))), 1, 1)))
+      .select($"vec_id", $"_p.negsim".as("negsim"), $"_p.cell".as("cell"))
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    val fused = vecs.crossJoin(broadcast(centArr))
+      .withColumn("_b", GraftFunctions.bestCentroid($"v", $"_cs"))
+      .filter($"_b".isNotNull)
+      .select($"vec_id", $"_b.negsim".as("negsim"), $"_b.cell".as("cell"))
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(fused == composed, s"fused=$fused composed=$composed")
+    // per-vector semantics: finite vectors (0, 3) see the zero-norm
+    // centroid's NaN → -Inf negsim win; the zero-norm vector (1) is
+    // NaN against EVERY intact centroid (-Inf tie → smallest cell 1);
+    // the null vector (2) is +Inf against everything (tie → cell 1)
+    assert(fused.map(r => r._1 -> r._3).toMap ==
+      Map(0L -> 4L, 1L -> 1L, 2L -> 1L, 3L -> 4L))
+    // empty codebook → null → filtered, matching the composed
+    // explode's row drop
+    val empty = cents.filter($"cell" < 0)
+      .agg(collect_list(struct($"cell", $"cv")).as("_cs"))
+    val dropped = vecs.crossJoin(broadcast(empty))
+      .withColumn("_b", GraftFunctions.bestCentroid($"v", $"_cs"))
+      .filter($"_b".isNotNull)
+    assert(dropped.count() == 0)
+  }
+
   test("IVF ANN recall vs brute force is usable (sf0.001)") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter($"vec_id" < 10)
