@@ -105,7 +105,7 @@ object Bench {
     // BENCH_DETAIL.json — round 15's independent judge run did exactly
     // that. An explicit path wins even for filtered runs (the caller
     // asked for that file); the default path keeps the no-clobber rule.
-    val detailPath = sys.env.get("SPARK_GRAFT_DETAIL_PATH")
+    val detailPath = sys.env.get("SPARK_GRAFT_DETAIL_PATH").filter(_.trim.nonEmpty)
     if (detailPath.nonEmpty || only.isEmpty) // a filtered iteration run must not clobber the full record
       try {
         val out = java.nio.file.Paths.get(

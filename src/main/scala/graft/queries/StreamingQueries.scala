@@ -131,8 +131,15 @@ object StreamingQueries {
     // (the Round-16 fixed-cost table) — results are state-partition-
     // invariant either way, the dial only moves per-batch store
     // setup/commit cost
+    // toIntOption: a malformed dial must not kill a replay mid-gate —
+    // warn and keep the default, like Bench's reps parsing
     ss.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+      sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").flatMap { v =>
+        val p = v.toIntOption.filter(_ > 0)
+        if (p.isEmpty) System.err.println(
+          s"[stream] WARNING: ignoring malformed SPARK_GRAFT_STREAM_PARTITIONS='$v'")
+        p
+      }.getOrElse(8).toString)
     // SPARK_GRAFT_STATESTORE=rocksdb swaps the per-partition state
     // store for RocksDB — state spills to local disk instead of being
     // bounded by executor heap, which is the configuration a 100 TB
