@@ -9,8 +9,11 @@ certificate is principled rather than opportunistic:
                       an unrolled 24-round pointer-jumping CTE (16 s at
                       sf0.1 already, multi-hour at 1000x), q140's oracle
                       grid is >80 GB, the n-proportional oracle grids
-                      (q78/q88/q103/q150 families, ann_topk_ivf's n*n/50
-                      cells) blow up on BOTH engines' formulation, and
+                      (q78/q88/q103/q150 families) blow up on BOTH
+                      engines' formulation (ann_topk_ivf's n*n/50 grid
+                      graduated to certified in round 16: the fused
+                      BestCentroid kernel made the Spark side 19 min and
+                      the min(STRUCT) oracle completed in ~25 min), and
                       q95's pairwise kNN oracle OOMs single-node DuckDB
                       (83.8 GiB pin failure measured at 2M vectors) —
                       each family keeps a 100x-certified member
@@ -63,7 +66,6 @@ INFEASIBLE_ORACLE = {
     "q88_kmeans_lloyd": "k grows with n in the oracle grid; family member q151 Spark-side MEASURED green at 1000x (~7 min, native sqdist)",
     "q103_mrl_recall": "n-proportional recall grid on both sides; family member q148 certified at 1000x",
     "q150_semdedup_bucketed": "n-proportional oracle grid (the PINNED planes=4 replay dial, on both sides by construction); the auto-dial scale path is q152, Spark-side green at 2M vectors",
-    "ann_topk_ivf": "n x n/50 centroid-assignment grid on BOTH sides (8e10 64-dim sims at 2M vectors, >35 min on 32 cores before kill); 100x-certified",
     "q95_knn_classify": "pairwise kNN oracle OOMs single-node DuckDB (83.8 GiB pin failure MEASURED at the 2M-vector replica); Spark side MEASURED green at 2M vectors (round 15); 100x-certified",
     "q152_semdedup_sqrtk": "Spark side MEASURED green at 2M vectors (351 s sbt-total, round-15 narrow-argmax assignment; 1578 survivors, two independent plan shapes agree) — the old wide window-argmax's SPILL_OUT_OF_MEMORY is fixed; the oracle side (n*sqrt(n) LSH/pair grid + 24-round pointer-jumping CTE) is the same single-node class as q151's measured IO Error; 100x-certified",
 }
