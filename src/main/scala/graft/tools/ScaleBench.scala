@@ -28,8 +28,12 @@ import java.nio.file.{Files, Paths}
   *
   * Usage: runMain graft.tools.ScaleBench [factor] [baseDir] [outDir]
   * (defaults 10, /root/testdata/sf0.1, /tmp/graft_scale_x<factor>).
-  * SPARK_GRAFT_ONLY=q1,q2 restricts the timed query list. Generation
-  * is skipped when outDir/_SCALE_DONE exists.
+  * SPARK_GRAFT_ONLY=q1,q2 restricts the timed query list;
+  * SPARK_GRAFT_TABLES=... restricts generated fact tables;
+  * SPARK_GRAFT_EMB_DIM=768 widens embeddings cosine-exactly (the
+  * dim-768 witness — see the generation-site comment). Generation
+  * is skipped when outDir/_SCALE_DONE exists, so a width comparison
+  * is two pre-generated dirs passed as [baseDir] [outDir].
   */
 object ScaleBench {
 
