@@ -98,8 +98,17 @@ object Bench {
       .mkString("{", ",", "}")
     val guard =
       s""""reps":$reps,"load_avg":[${fmt(loadStart)},${fmt(loadEnd)}]"""
+    // JSON-escape env-supplied strings (detail path, sf dir): a value
+    // containing a quote or backslash must not emit a malformed
+    // summary line to downstream JSON consumers
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"failed":$failed,"n_queries":${results.size},$guard,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"failed":$failed,"n_queries":${results.size},$guard,"sf":${jstr(sfDir)}}"""
     // SPARK_GRAFT_DETAIL_PATH redirects the per-query record so a
     // third-party bench (judge, CI) never clobbers the repo's official
     // BENCH_DETAIL.json — round 15's independent judge run did exactly
@@ -112,8 +121,8 @@ object Bench {
           detailPath.getOrElse("/root/repo/BENCH_DETAIL.json"))
         java.nio.file.Files.write(out, detail.getBytes("UTF-8"))
       } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    val detailLabel = detailPath.getOrElse("BENCH_DETAIL.json")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$topQs,"failed":$failed,"n_queries":${results.size},$guard,"detail":"$detailLabel","sf":"$sfDir"}""")
+    val detailLabel = jstr(detailPath.getOrElse("BENCH_DETAIL.json"))
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$topQs,"failed":$failed,"n_queries":${results.size},$guard,"detail":$detailLabel,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

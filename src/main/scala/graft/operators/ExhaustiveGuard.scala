@@ -24,4 +24,21 @@ private[operators] object ExhaustiveGuard {
           "pre-filter the input to a bounded id range, raise maxRows deliberately, or " +
           "use the bucketed scale path (minhashLshPairs / simhashPairs / lshTopK) instead")
   }
+
+  /** Same limit-probe, different contract: `df` is about to ride a
+    * `broadcast()` hint, so a corpus-sized frame would OOM the driver
+    * (or every executor) instead of merely running long. Fail loud
+    * with the dial rather than letting the broadcast build die with
+    * an opaque OOM at 100×.
+    */
+  def requireBroadcastable(df: DataFrame, maxRows: Long, op: String): Unit = {
+    require(maxRows > 0 && maxRows < Int.MaxValue, s"$op: maxBroadcastQueries must be in (0, 2^31)")
+    val probe = df.limit(maxRows.toInt + 1).count()
+    if (probe > maxRows)
+      throw new IllegalArgumentException(
+        s"$op broadcasts its query side by contract and the query frame exceeds " +
+          s"maxBroadcastQueries=$maxRows; pre-filter the query set, raise the bound " +
+          "deliberately if the broadcast fits executor memory, or swap the roles " +
+          "(the corpus side streams, only queries are broadcast)")
+  }
 }

@@ -119,6 +119,19 @@ object Similarity {
     * smaller buckets (cheaper, lower recall), more tables/probes →
     * higher recall. On strongly clustered embeddings few tables
     * suffice; near-uniform vectors (worst case) need wide probing.
+    *
+    * Preconditions (both fail-fast-guarded or documented, not silent):
+    *  - the QUERY side is broadcast-small by contract — its probe rows
+    *    and vectors ride broadcasts, so a corpus-sized `queries` frame
+    *    would OOM the driver. Guarded by a limit probe on
+    *    `maxBroadcastQueries` (raise deliberately if your executors
+    *    can take the broadcast).
+    *  - `idCol` is UNIQUE on both sides: the narrow candidate stream
+    *    re-attaches vectors by joining on id alone (the round-16
+    *    wide-carry fix), so a duplicate id in `emb` or `queries`
+    *    multiplies rows after the pair dedup where the old
+    *    vector-carrying shape emitted one row per bucket meeting.
+    *    Every call site feeds a primary-keyed corpus (`vec_id`).
     */
   def lshTopK(
       emb: DataFrame,
@@ -128,8 +141,10 @@ object Similarity {
       k: Int,
       tables: Int = 8,
       planesPerTable: Int = 6,
-      multiProbe: Boolean = true): DataFrame = {
+      multiProbe: Boolean = true,
+      maxBroadcastQueries: Long = 100000): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
+    ExhaustiveGuard.requireBroadcastable(queries, maxBroadcastQueries, "lshTopK")
     // one native pass computes every table's bucket (plane matrix
     // precomputed; == lshBucket per table), then posexplode to rows.
     // NARROW from here on (the dim-768 witness lesson, round 16, and
@@ -428,6 +443,37 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("neighbor_id").asc)))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("adc"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Deterministic fixed-size query sample: the `numQueries` rows
+    * whose seeded 60-bit hash `hash60(seed:id)` ranks smallest (ties
+    * by id). RNG-free and engine-replayable — DuckDB regenerates the
+    * identical set via `row_number() OVER (ORDER BY md5-hash, id)` —
+    * so an exact-over-sampled-queries formulation certifies
+    * cross-engine at any scale (the q164 sampled-verify pattern,
+    * applied to the QUERY side of the kNN-shaped operators).
+    *
+    * Hash-RANK rather than a q164-style rate cut on purpose: a fixed
+    * rate keeps the sample a constant FRACTION (pair sampling wants
+    * that — the pair universe itself grows), but a query×corpus grid
+    * needs a constant COUNT so the grid is K·n at every decade — at
+    * 1000× the exact q95 oracle's 50-query grid materializes ~84 GB
+    * in DuckDB (measured pin failure) while K=20 hash-ranked queries
+    * with a narrow materialized score stage replay fine. Plan shape:
+    * `orderBy(hash).limit(K)` is TakeOrderedAndProject — per-partition
+    * top-K, K×partitions rows to the driver, no global sort.
+    */
+  def sampleQueriesByHashRank(
+      df: DataFrame,
+      idCol: String,
+      seed: String,
+      numQueries: Int): DataFrame = {
+    require(numQueries >= 1, "need at least one sampled query")
+    df.withColumn("_qh",
+        hash60(concat(lit(seed), lit(":"), col(idCol).cast("string"))))
+      .orderBy(col("_qh"), col(idCol))
+      .limit(numQueries)
+      .drop("_qh")
   }
 
   /** k-NN majority-vote classification: each query's label is the

@@ -488,6 +488,13 @@ case class BestCentroid(left: Expression, right: Expression)
     StructField("cell", LongType, nullable = false)))
   override def prettyName: String = "graft_best_centroid"
 
+  // null is produced for a null/EMPTY codebook even when both children
+  // are non-nullable (collect_list output is non-nullable), so the
+  // inherited left.nullable || right.nullable would let the optimizer
+  // fold the caller's IsNotNull replay-filter to true and leak a null
+  // struct where the composed explode dropped the row
+  override def nullable: Boolean = true
+
   // the composed form is not null-short-circuiting on the VECTOR side
   // (a null vector still yields (+Inf, smallest cell)), so eval is
   // overridden instead of nullSafeEval

@@ -594,6 +594,52 @@ object SimilarityQueries {
         .orderBy($"query_id")
     },
 
+    // q95's SCALE path (the q164 sampled-verify pattern on the QUERY
+    // side): exact 5-NN majority vote for a deterministic hash-RANKED
+    // 20-query sample — hash60('knnq5:'||id) smallest-20, RNG-free,
+    // so DuckDB regenerates the identical query set — bounding the
+    // query×corpus grid to 20·n by construction at every decade. The
+    // exact q95's fixed-50-query oracle materializes ~84 GB in DuckDB
+    // at the 2M-vector replica (measured pin failure); this oracle
+    // also stages the scores as a narrow MATERIALIZED CTE so the
+    // window never re-derives pair vectors.
+    Q.sql(
+      "q165_knn_classify_sampled",
+      """WITH e AS MATERIALIZED (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS MATERIALIZED (
+        |  SELECT vec_id, v FROM (
+        |    SELECT vec_id, v, row_number() OVER (ORDER BY
+        |      ('0x'||substr(md5('knnq5:'||CAST(vec_id AS VARCHAR)),1,15))::BIGINT, vec_id) AS _qrn
+        |    FROM e) WHERE _qrn <= 20),
+        |scored AS MATERIALIZED (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.v, n.v)/sqrt(list_dot_product(q.v, q.v))/sqrt(list_dot_product(n.v, n.v)), 6) AS sim
+        |  FROM e n JOIN q ON q.vec_id <> n.vec_id),
+        |nn AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |    FROM scored) WHERE rank <= 5),
+        |votes AS (
+        |  SELECT nn.query_id, CAST(e.label AS BIGINT) AS lbl, CAST(count(*) AS BIGINT) AS votes
+        |  FROM nn JOIN e ON e.vec_id = nn.neighbor_id
+        |  GROUP BY nn.query_id, e.label),
+        |win AS (
+        |  SELECT query_id, lbl, votes,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, lbl) AS rn
+        |  FROM votes)
+        |SELECT w.query_id, CAST(e.label AS BIGINT) AS true_label, w.lbl AS pred_label, w.votes
+        |FROM win w JOIN e ON e.vec_id = w.query_id
+        |WHERE w.rn = 1
+        |ORDER BY w.query_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val q = Similarity.sampleQueriesByHashRank(emb, "vec_id", "knnq5", 20)
+      Similarity.knnClassify(emb, q, "vec_id", "embedding", "label", k = 5)
+        .orderBy($"query_id")
+    },
+
     // nearest-centroid (Rocchio) classification: per-label round-6
     // mean centroids, round-6 squared-distance assignment, confusion
     // matrix — broadcast centroids × one corpus scan
@@ -701,6 +747,56 @@ object SimilarityQueries {
       Similarity.truncationRecall(
         emb, emb.filter($"vec_id" % 50 === 0), "vec_id", "embedding",
         prefixDims = 16, k = 10)
+        .orderBy($"query_id")
+    },
+
+    // q103's SCALE path: the same recall@10 probe over a
+    // deterministic hash-RANKED 20-query sample (seed 'mrlq5') — the
+    // exact q103's `vec_id % 50` query side grows WITH the corpus
+    // (n/50 queries × n corpus = n²/50 on both engines), while the
+    // fixed-count sample bounds both brute-force grids to 20·n at
+    // every decade; exact answers over the sampled set, and both
+    // score stages staged narrow-MATERIALIZED so DuckDB's windows
+    // never re-derive pair vectors.
+    Q.sql(
+      "q166_mrl_recall_sampled",
+      """WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS MATERIALIZED (
+        |  SELECT vec_id, v FROM (
+        |    SELECT vec_id, v, row_number() OVER (ORDER BY
+        |      ('0x'||substr(md5('mrlq5:'||CAST(vec_id AS VARCHAR)),1,15))::BIGINT, vec_id) AS _qrn
+        |    FROM e) WHERE _qrn <= 20),
+        |sf AS MATERIALIZED (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.v, n.v)/sqrt(list_dot_product(q.v, q.v))/sqrt(list_dot_product(n.v, n.v)), 6) AS sim
+        |  FROM e n JOIN q ON q.vec_id <> n.vec_id),
+        |fl AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |    FROM sf) WHERE rnk <= 10),
+        |et AS (SELECT vec_id, v[1:16] AS v FROM e),
+        |qt AS (SELECT vec_id, v[1:16] AS v FROM q),
+        |st AS MATERIALIZED (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.v, n.v)/sqrt(list_dot_product(q.v, q.v))/sqrt(list_dot_product(n.v, n.v)), 6) AS sim
+        |  FROM et n JOIN qt q ON q.vec_id <> n.vec_id),
+        |tr AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |    FROM st) WHERE rnk <= 10)
+        |SELECT fl.query_id AS query_id, CAST(count(tr.neighbor_id) AS BIGINT) AS n_common,
+        |  round(CAST(count(tr.neighbor_id) AS DOUBLE) / 10, 6) AS recall
+        |FROM fl LEFT JOIN tr ON fl.query_id = tr.query_id AND fl.neighbor_id = tr.neighbor_id
+        |GROUP BY fl.query_id
+        |ORDER BY query_id""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val q = Similarity.sampleQueriesByHashRank(emb, "vec_id", "mrlq5", 20)
+      Similarity.truncationRecall(
+        emb, q, "vec_id", "embedding", prefixDims = 16, k = 10)
         .orderBy($"query_id")
     },
 

@@ -185,13 +185,22 @@ object ScaleBench {
       // Widening TILES the base vector with a deterministic
       // per-(tile, dim) sign flip SHARED BY ALL ROWS: each pairwise
       // dot product scales by exactly `tiles` and every norm by
-      // sqrt(tiles), so COSINE STRUCTURE IS BIT-EXACT — the widened
-      // corpus drives the same candidate sets and survivor counts
-      // through the bucketed operators, only with tiles× the bytes
-      // per vector. (Exact only when the target is a multiple of the
-      // base dim; a partial last tile truncates and merely
-      // approximates — 64 → 768 is exact.)
-      val widened = sys.env.get("SPARK_GRAFT_EMB_DIM").map(_.toInt) match {
+      // sqrt(tiles), so cosine VALUES are preserved in real
+      // arithmetic (double accumulation over tiles× more terms can
+      // differ in ulps below the round-6 cut; the round-16 spot check
+      // agreed to 6 dp on sampled pairs). The dim-768 hyperplanes are
+      // DIFFERENT projections, so LSH candidate sets are
+      // statistically similar at the wider dim, not identical.
+      // (Value-preservation holds exactly only when the target is a
+      // multiple of the base dim; a partial last tile truncates and
+      // merely approximates — 64 → 768 is a whole number of tiles.)
+      val embDim = sys.env.get("SPARK_GRAFT_EMB_DIM").flatMap { v =>
+        val parsed = v.trim.toIntOption
+        if (parsed.isEmpty)
+          System.err.println(s"[scale] ignoring malformed SPARK_GRAFT_EMB_DIM='$v' (want an int)")
+        parsed
+      }
+      val widened = embDim match {
         case Some(d) =>
           val baseDim = read("embeddings")
             .select(size(col("embedding"))).head().getInt(0)

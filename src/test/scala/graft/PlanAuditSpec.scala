@@ -66,7 +66,11 @@ class PlanAuditSpec extends SparkSpec {
     // export_roundtrip cross-joins its two 1-row checksum frames
     // (export count+md5 x error count+md5) — same 1-row-broadcast
     // shape as q146's source-count frame
-    "export_roundtrip")
+    "export_roundtrip",
+    // q165/q166 are q95/q103's hash-rank-sampled scale paths and ride
+    // the same bruteForceTopK broadcast-query-set shape (the sample
+    // is 20 rows by construction at ANY scale)
+    "q165_knn_classify_sampled", "q166_mrl_recall_sampled")
 
   test("no query plans a CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -53,4 +53,44 @@ class SeriesRecallSpec extends SparkSpec {
       prefixDims = 1, k = 1).as[(Long, Long, Double)].head()
     assert(pre == ((0L, 0L, 0.0)))
   }
+
+  test("sampleQueriesByHashRank: deterministic fixed-K sample; K >= n is the identity; " +
+    "sampled kNN == exact kNN restricted to the sample") {
+    val emb = vecs((0L to 19L).map(i =>
+      i -> Seq(math.cos(i * 0.7), math.sin(i * 0.7), (i % 5).toDouble)): _*)
+      .withColumn("label", pmod($"vec_id", lit(3)))
+    val s1 = Similarity.sampleQueriesByHashRank(emb, "vec_id", "t5", 6)
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    val s2 = Similarity.sampleQueriesByHashRank(emb, "vec_id", "t5", 6)
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(s1 == s2 && s1.size == 6)
+    // a different seed draws a different set (not a degenerate prefix)
+    val s3 = Similarity.sampleQueriesByHashRank(emb, "vec_id", "other", 6)
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(s1 != (0L until 6L).toSeq || s3 != s1)
+    // K >= n keeps every row — the sampled formulation degrades to exact
+    val all = Similarity.sampleQueriesByHashRank(emb, "vec_id", "t5", 100)
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(all == (0L to 19L).toSeq)
+    // exact-over-sampled-queries == the full run filtered to the sample
+    val sampled = Similarity.knnClassify(
+        emb, Similarity.sampleQueriesByHashRank(emb, "vec_id", "t5", 6),
+        "vec_id", "embedding", "label", k = 3)
+      .orderBy($"query_id").collect().toSeq
+    val restricted = Similarity.knnClassify(emb, emb, "vec_id", "embedding", "label", k = 3)
+      .filter($"query_id".isin(s1: _*))
+      .orderBy($"query_id").collect().toSeq
+    assert(sampled == restricted)
+  }
+
+  test("lshTopK refuses a corpus-sized query frame (broadcast contract guard)") {
+    val emb = vecs((0L to 30L).map(i => i -> Seq(i.toDouble, 1.0)): _*)
+    val e = intercept[IllegalArgumentException](
+      Similarity.lshTopK(emb, emb, "vec_id", "embedding", k = 2,
+        maxBroadcastQueries = 10))
+    assert(e.getMessage.contains("maxBroadcastQueries"))
+    // under the bound the guard is silent and results flow
+    assert(Similarity.lshTopK(emb, emb.filter($"vec_id" < 3), "vec_id", "embedding",
+      k = 2, maxBroadcastQueries = 10).count() >= 0L)
+  }
 }

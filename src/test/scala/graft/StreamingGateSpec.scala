@@ -254,4 +254,100 @@ class StreamingGateSpec extends SparkSpec {
     assert(got.filter($"right_id".isNull).count() > 0, "the null-enriched cohort exists at this sf")
     assertSameRows(got, want)
   }
+
+  /** Crash-recovery witness for the two-stateful-operator chain (the
+    * first question a production operator asks of q162/q163): the
+    * q163 as-of chain is killed after its first micro-batch commits,
+    * restarted from the SAME checkpoint and sink, and the drained
+    * output must be row-identical to an uninterrupted run — no lost
+    * purchases, no duplicated outer rows — under BOTH state-store
+    * providers (in-heap default and the production RocksDB). The
+    * corpus is staged as three mod-time-ordered files so
+    * maxFilesPerTrigger=1 makes the replay genuinely multi-batch (the
+    * gate's single-batch staging has no mid-corpus crash point).
+    */
+  test("crash recovery: q163 chain restarted from checkpoint drains to the " +
+    "uninterrupted output under both state-store providers") {
+    import graft.streaming.EventStream
+    import graft.streaming.EventStream.Event
+    val enc = org.apache.spark.sql.Encoders.product[Event]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // users 1-4: views then purchases inside the horizon; user 5 is
+    // the cold-start cohort (purchase precedes every view) so the
+    // outer path carries real rows across the crash
+    def slice(rows: Seq[Event]) = spark.createDataset(rows)(enc).toDF()
+    val hourA = (1L to 4L).flatMap { u =>
+      Seq(Event(100 + u, ts(s"2024-03-01 10:0$u:00"), u, "view", 1.0),
+        Event(120 + u, ts(s"2024-03-01 10:3$u:00"), u, "purchase", 5.0))
+    } :+ Event(150L, ts("2024-03-01 10:10:00"), 5L, "purchase", 9.0)
+    val hourB = (1L to 4L).flatMap { u =>
+      Seq(Event(200 + u, ts(s"2024-03-01 11:0$u:00"), u, "view", 1.0),
+        Event(220 + u, ts(s"2024-03-01 11:4$u:00"), u, "purchase", 7.0))
+    } :+ Event(250L, ts("2024-03-01 11:50:00"), 5L, "view", 1.0)
+    val sentinel = Seq(Event(-1L, ts("2030-01-01 00:00:00"), -1L, "__sentinel", 0.0))
+
+    val srcDir = java.nio.file.Files.createTempDirectory("gq_crash_src").toString
+    def append(rows: Seq[Event], stamp: Long): Unit = {
+      val before = Option(new java.io.File(srcDir).listFiles())
+        .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+      slice(rows).coalesce(1).write.mode("append").parquet(srcDir)
+      // stamp arrival order explicitly: FileStreamSource picks files
+      // oldest-mod-time-first under maxFilesPerTrigger
+      new java.io.File(srcDir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !before(f.getName))
+        .foreach(_.setLastModified(stamp))
+    }
+    val t0 = System.currentTimeMillis() - 600000
+    append(hourA, t0); append(hourB, t0 + 60000); append(sentinel, t0 + 120000)
+
+    def chain(ss: org.apache.spark.sql.SparkSession): DataFrame = {
+      def src = ss.readStream.schema(enc.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      EventStream.asofEnrich(
+        src.filter($"event_type".isin("purchase", "__sentinel")),
+        src.filter($"event_type".isin("view", "__sentinel")),
+        "user_id", horizon = "60 minutes", joinType = "left_outer")
+    }
+    def normalize(df: DataFrame): DataFrame = df
+      .filter($"left_id" =!= -1L)
+      .select($"user_id", $"left_id", $"left_ts", $"right_id", $"right_ts")
+    def drainAll(ss: org.apache.spark.sql.SparkSession, sink: String, ckpt: String): Unit = {
+      val q = chain(ss).writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // uninterrupted reference (default provider)
+    val refSink = java.nio.file.Files.createTempDirectory("gq_crash_ref").toString
+    val refCkpt = java.nio.file.Files.createTempDirectory("gq_crash_refck").toString
+    drainAll(spark, refSink, refCkpt)
+    val outSchema = chain(spark).schema
+    val want = normalize(spark.read.schema(outSchema).parquet(refSink))
+    // 9 purchases total (4 in hour A + user 5's cold-start + 4 in hour B)
+    assert(want.count() == 9L, "one output row per purchase")
+    assert(want.filter($"right_id".isNull).count() == 1L, "the cold-start outer row exists")
+
+    for (provider <- Seq("default", "rocksdb")) {
+      val ss = spark.newSession()
+      if (provider == "rocksdb")
+        ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val sink = java.nio.file.Files.createTempDirectory(s"gq_crash_$provider").toString
+      val ckpt = java.nio.file.Files.createTempDirectory(s"gq_crash_ck_$provider").toString
+      // run 1: kill after the first micro-batch commits
+      val q1 = chain(ss).writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      val deadline = System.currentTimeMillis() + 120000
+      while (q1.lastProgress == null && System.currentTimeMillis() < deadline)
+        Thread.sleep(25)
+      assert(q1.lastProgress != null, "first micro-batch must commit before the kill")
+      q1.stop()
+      val midRows = ss.read.schema(outSchema).parquet(sink).count()
+      // run 2: restart from the same checkpoint + sink, drain fully
+      drainAll(ss, sink, ckpt)
+      val got = normalize(ss.read.schema(outSchema).parquet(sink))
+      assert(got.count() > midRows,
+        s"[$provider] the restart must finalize real work (mid=$midRows)")
+      assertSameRows(got, want)
+    }
+  }
 }
