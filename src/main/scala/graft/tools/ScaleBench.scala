@@ -30,10 +30,24 @@ import java.nio.file.{Files, Paths}
   * (defaults 10, /root/testdata/sf0.1, /tmp/graft_scale_x<factor>).
   * SPARK_GRAFT_ONLY=q1,q2 restricts the timed query list;
   * SPARK_GRAFT_TABLES=... restricts generated fact tables;
-  * SPARK_GRAFT_EMB_DIM=768 widens embeddings cosine-exactly (the
+  * SPARK_GRAFT_EMB_DIM=768 widens embeddings cosine-preserving (the
   * dim-768 witness — see the generation-site comment). Generation
   * is skipped when outDir/_SCALE_DONE exists, so a width comparison
   * is two pre-generated dirs passed as [baseDir] [outDir].
+  *
+  * Realistic-width CERTIFICATE recipe (CORRECTNESS_scale_d768.json,
+  * round 17 — hash-certified, not just slope-witnessed):
+  *   SPARK_GRAFT_EMB_DIM=768 SPARK_GRAFT_TABLES=embeddings \
+  *     sbt "runMain graft.tools.ScaleBench 100 /root/testdata/sf0.1 \
+  *          /tmp/graft_scale_emb100d768"        # 200K x 768, ~93 MB
+  *   SPARK_GRAFT_ONLY=<dimension-agnostic embedding readers> \
+  *     sbt "runMain graft.Verify /tmp/graft_scale_emb100d768 /tmp/vs_d768"
+  *   python3 tools/check_oracle.py /tmp/graft_scale_emb100d768 \
+  *     /tmp/vs_d768 CORRECTNESS_scale_d768.json
+  * Excluded by construction: q151/q96 (oracles pin range(1,65)) and
+  * q76 (oracle pins the 4x16 PQ grid) — dimension-PINNED fixtures,
+  * not width-scalable claims; every other embedding reader replays
+  * via len(v)/size(vec) on both engines.
   */
 object ScaleBench {
 
@@ -48,9 +62,22 @@ object ScaleBench {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val baseDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(2).getOrElse(s"/tmp/graft_scale_x$factor")
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS sizes the shuffle for the replica
+    // being probed — the dial a cluster turns with the data. The
+    // pinned 32 is right through the fourth decade; a fifth-decade
+    // window/sort (1B rows / 32 partitions = 31M-row per-task sorts)
+    // needs more partitions exactly as it would on a real cluster.
+    // Warn-and-fallback parsing, like the streaming partitions dial.
+    val shufflePartitions = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .flatMap { v =>
+        val p = v.trim.toIntOption.filter(_ > 0)
+        if (p.isEmpty) System.err.println(
+          s"[scale] ignoring malformed SPARK_GRAFT_SHUFFLE_PARTITIONS='$v'")
+        p
+      }.getOrElse(32)
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

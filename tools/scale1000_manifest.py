@@ -64,9 +64,9 @@ INFEASIBLE_ORACLE = {
     "q140_naive_bayes": "oracle token-grid replay >80 GB at the 1000x corpus; Spark side MEASURED green at the 5M-doc replica (round 15); 100x-certified",
     "q78_semantic_dedup": "n-proportional oracle pair grid; bucketed family member q152 certified at 100x, q151 AND q152 Spark-side green at 1000x",
     "q88_kmeans_lloyd": "k grows with n in the oracle grid; family member q151 Spark-side MEASURED green at 1000x (~7 min, native sqdist)",
-    "q103_mrl_recall": "n-proportional recall grid on both sides; family member q148 certified at 1000x",
+    "q103_mrl_recall": "n-proportional recall grid on both sides (vec_id % 50 query set grows with the corpus); its hash-rank-sampled scale path q166_mrl_recall_sampled (round 17: 20 hash-ranked queries bound both engines' grids to 20*n) is hash-certified at sf0.01/10x/100x AND the 2M-vector 1000x replica; family member q148 also certified at 1000x",
     "q150_semdedup_bucketed": "n-proportional oracle grid (the PINNED planes=4 replay dial, on both sides by construction); the auto-dial scale path is q152, Spark-side green at 2M vectors",
-    "q95_knn_classify": "pairwise kNN oracle OOMs single-node DuckDB (83.8 GiB pin failure MEASURED at the 2M-vector replica); Spark side MEASURED green at 2M vectors (round 15); 100x-certified",
+    "q95_knn_classify": "pairwise kNN oracle OOMs single-node DuckDB (83.8 GiB pin failure MEASURED at the 2M-vector replica); Spark side MEASURED green at 2M vectors (round 15); 100x-certified; its hash-rank-sampled scale path q165_knn_classify_sampled (round 17: 20 hash-ranked queries + narrow-MATERIALIZED score stage) is hash-certified at sf0.01/10x/100x AND the 2M-vector 1000x replica on BOTH engines",
     "q152_semdedup_sqrtk": "Spark side MEASURED green at 2M vectors (351 s sbt-total, round-15 narrow-argmax assignment; 1578 survivors, two independent plan shapes agree) — the old wide window-argmax's SPILL_OUT_OF_MEMORY is fixed; the oracle side (n*sqrt(n) LSH/pair grid + 24-round pointer-jumping CTE) is the same single-node class as q151's measured IO Error; 100x-certified",
 }
 INFEASIBLE_HARNESS = {
