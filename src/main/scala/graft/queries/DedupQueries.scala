@@ -174,19 +174,25 @@ object DedupQueries {
     // DIAMETER rules out label propagation), certified against the
     // same recursive-CTE transitive closure — here over the MinHash
     // near-dup pair graph of the documents table, so the whole
-    // shingle→signature→band→verify→cluster chain is replayed in SQL
+    // shingle→signature→band→verify→cluster chain is replayed in SQL.
+    // The chain CTEs are MATERIALIZED: DuckDB otherwise inlines them
+    // into the recursive term and re-runs the full LSH chain once per
+    // closure round (measured 18.0→2.5 s at sf0.1, identical rows —
+    // and the difference between a multi-hour wall and minutes at the
+    // 5M-doc replica, since rounds × chain is quadratic-ish there
+    // while chain-once + the small per-family closure is linear)
     Q.sql(
       "q72_cc_stars",
       """WITH RECURSIVE
-        |tok AS (
+        |tok AS MATERIALIZED (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        |sh AS (
+        |sh AS MATERIALIZED (
         |  SELECT doc_id,
         |    list_distinct(list_transform(
         |      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]),
         |      s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT))) AS sh
         |  FROM tok WHERE len(w) >= 2),
-        |sig AS (
+        |sig AS MATERIALIZED (
         |  SELECT doc_id, sh,
         |    list_transform(range(0, 12), j ->
         |      list_min(list_transform(sh, h ->
@@ -194,21 +200,21 @@ object DedupQueries {
         |          + CAST(('0x'||substr(md5('b#'||j),1,15)) AS BIGINT))
         |         & 1152921504606846975)))) AS sig
         |  FROM sh),
-        |bands AS (
+        |bands AS MATERIALIZED (
         |  SELECT doc_id, sh, b,
         |    md5(CAST(sig[b*3+1] AS VARCHAR) || '_' || CAST(sig[b*3+2] AS VARCHAR)
         |        || '_' || CAST(sig[b*3+3] AS VARCHAR)) AS bkey
         |  FROM sig, range(0,4) r(b)),
-        |cand AS (
+        |cand AS MATERIALIZED (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-        |p AS (
+        |p AS MATERIALIZED (
         |  SELECT c.id_a, c.id_b
         |  FROM cand c
         |  JOIN sh sa ON sa.doc_id = c.id_a
         |  JOIN sh sb ON sb.doc_id = c.id_b
         |  WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh)), 4) >= 0.8),
-        |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
         |walk AS (
         |  SELECT a AS node, a AS label FROM edges
         |  UNION
@@ -230,15 +236,15 @@ object DedupQueries {
     Q.sql(
       "q73_cluster_reps",
       """WITH RECURSIVE
-        |tok AS (
+        |tok AS MATERIALIZED (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        |sh AS (
+        |sh AS MATERIALIZED (
         |  SELECT doc_id,
         |    list_distinct(list_transform(
         |      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]),
         |      s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT))) AS sh
         |  FROM tok WHERE len(w) >= 2),
-        |sig AS (
+        |sig AS MATERIALIZED (
         |  SELECT doc_id, sh,
         |    list_transform(range(0, 12), j ->
         |      list_min(list_transform(sh, h ->
@@ -246,28 +252,28 @@ object DedupQueries {
         |          + CAST(('0x'||substr(md5('b#'||j),1,15)) AS BIGINT))
         |         & 1152921504606846975)))) AS sig
         |  FROM sh),
-        |bands AS (
+        |bands AS MATERIALIZED (
         |  SELECT doc_id, sh, b,
         |    md5(CAST(sig[b*3+1] AS VARCHAR) || '_' || CAST(sig[b*3+2] AS VARCHAR)
         |        || '_' || CAST(sig[b*3+3] AS VARCHAR)) AS bkey
         |  FROM sig, range(0,4) r(b)),
-        |cand AS (
+        |cand AS MATERIALIZED (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-        |p AS (
+        |p AS MATERIALIZED (
         |  SELECT c.id_a, c.id_b
         |  FROM cand c
         |  JOIN sh sa ON sa.doc_id = c.id_a
         |  JOIN sh sb ON sb.doc_id = c.id_b
         |  WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(sa.sh || sb.sh)), 4) >= 0.8),
-        |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
         |walk AS (
         |  SELECT a AS node, a AS label FROM edges
         |  UNION
         |  SELECT e2.a AS node, w2.label AS label FROM edges e2 JOIN walk w2 ON w2.node = e2.b
         |),
-        |comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node),
-        |lab AS (
+        |comp AS MATERIALIZED (SELECT node, min(label) AS component FROM walk GROUP BY node),
+        |lab AS MATERIALIZED (
         |  SELECT d.doc_id, d.n_chars, CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component
         |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
         |SELECT component, doc_id AS rep_id, n_members FROM (
