@@ -347,26 +347,36 @@ object TextQueries {
     // multinomial Naive Bayes source classifier with add-one
     // smoothing, trained and resubstitution-scored relationally —
     // the model is the |vocab| x K logprob frame, never collected;
-    // output is the source confusion matrix
+    // output is the source confusion matrix. The oracle scores off
+    // per-doc token MULTIPLICITIES (sum cnt·ll == sum-over-instances
+    // in real arithmetic; round-6 absorbs the fp order — same move
+    // the Spark side's scoreAndConfuse makes) with the reused frames
+    // MATERIALIZED: the instance-level scoring join replayed >80 GB
+    // at the 5M-doc corpus, the multiplicity join is |distinct
+    // doc-token pairs| × K. Verified row-identical to the
+    // instance-level form at sf0.01 and sf0.1.
     Q.sql(
       "q140_naive_bayes",
-      """WITH toks AS (SELECT doc_id AS id, source AS cls,
+      """WITH toks AS MATERIALIZED (SELECT doc_id AS id, source AS cls,
         |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents),
+        |tm AS MATERIALIZED (SELECT id, cls, tok, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks GROUP BY 1, 2, 3),
         |clsdocs AS (SELECT source AS cls, CAST(count(*) AS BIGINT) AS nd
         |  FROM documents GROUP BY 1),
         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
         |prior AS (SELECT cls, ln(nd * 1.0 / n) AS lprior FROM clsdocs CROSS JOIN nn),
-        |tokcls AS (SELECT tok, cls, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
-        |clstok AS (SELECT cls, CAST(count(*) AS BIGINT) AS tt FROM toks GROUP BY 1),
-        |vocab AS (SELECT DISTINCT tok FROM toks),
+        |tokcls AS MATERIALIZED (SELECT tok, cls, CAST(sum(cnt) AS BIGINT) AS c
+        |  FROM tm GROUP BY 1, 2),
+        |clstok AS (SELECT cls, CAST(sum(c) AS BIGINT) AS tt FROM tokcls GROUP BY 1),
+        |vocab AS (SELECT DISTINCT tok FROM tokcls),
         |vn AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
-        |grid AS (SELECT vocab.tok, clstok.cls AS scls,
+        |grid AS MATERIALIZED (SELECT vocab.tok, clstok.cls AS scls,
         |    ln((coalesce(tokcls.c, 0) + 1.0) / (clstok.tt + vn.v)) AS ll
         |  FROM vocab CROSS JOIN clstok
         |  LEFT JOIN tokcls ON tokcls.tok = vocab.tok AND tokcls.cls = clstok.cls
         |  CROSS JOIN vn),
-        |scores AS (SELECT toks.id, toks.cls, grid.scls, sum(grid.ll) AS s
-        |  FROM toks JOIN grid ON grid.tok = toks.tok GROUP BY 1, 2, 3),
+        |scores AS (SELECT tm.id, tm.cls, grid.scls, sum(tm.cnt * grid.ll) AS s
+        |  FROM tm JOIN grid ON grid.tok = tm.tok GROUP BY 1, 2, 3),
         |sc2 AS (SELECT scores.id, scores.cls, scores.scls,
         |    round(scores.s + prior.lprior, 6) AS score
         |  FROM scores JOIN prior ON prior.cls = scores.scls)
