@@ -393,24 +393,24 @@ object SimilarityQueries {
     // lists per grid row, which OOMs)
     Q.sql(
       "q151_kmeans_sqrtk",
-      """WITH e AS (
+      """WITH e AS MATERIALIZED (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |s AS (SELECT greatest(CAST(floor(sqrt(count(*))) AS BIGINT), 1) AS step FROM embeddings),
-        |c0 AS (SELECT CAST(vec_id // s.step AS BIGINT) AS cell, v AS cv FROM e, s WHERE vec_id % s.step = 0),
-        |d1 AS (SELECT e.vec_id, c.cell,
+        |s AS MATERIALIZED (SELECT greatest(CAST(floor(sqrt(count(*))) AS BIGINT), 1) AS step FROM embeddings),
+        |c0 AS MATERIALIZED (SELECT CAST(vec_id // s.step AS BIGINT) AS cell, v AS cv FROM e, s WHERE vec_id % s.step = 0),
+        |d1 AS MATERIALIZED (SELECT e.vec_id, c.cell,
         |    round(list_sum(list_transform(range(1,65), i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))), 6) AS d
         |  FROM e, c0 c),
-        |a1 AS (SELECT vec_id, cell FROM (
+        |a1 AS MATERIALIZED (SELECT vec_id, cell FROM (
         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
         |  FROM d1) WHERE rn = 1),
-        |c1 AS (SELECT cell, list(m ORDER BY dim) AS cv FROM (
+        |c1 AS MATERIALIZED (SELECT cell, list(m ORDER BY dim) AS cv FROM (
         |  SELECT a1.cell, dim, round(avg(e.v[dim]), 6) AS m
         |  FROM a1 JOIN e ON e.vec_id = a1.vec_id, range(1,65) r(dim)
         |  GROUP BY a1.cell, dim) GROUP BY cell),
-        |d2 AS (SELECT e.vec_id, c.cell,
+        |d2 AS MATERIALIZED (SELECT e.vec_id, c.cell,
         |    round(list_sum(list_transform(range(1,65), i -> (e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]))), 6) AS d
         |  FROM e, c1 c),
-        |a2 AS (SELECT vec_id, cell, d FROM (
+        |a2 AS MATERIALIZED (SELECT vec_id, cell, d FROM (
         |  SELECT vec_id, cell, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
         |  FROM d2) WHERE rn = 1)
         |SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
@@ -565,8 +565,8 @@ object SimilarityQueries {
     // label) — the weak-supervision/label-propagation primitive
     Q.sql(
       "q95_knn_classify",
-      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |nn AS (
+      """WITH e AS MATERIALIZED (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |nn AS MATERIALIZED (
         |  SELECT query_id, neighbor_id FROM (
         |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -574,11 +574,11 @@ object SimilarityQueries {
         |        n.vec_id) AS rank
         |    FROM e q JOIN e n ON q.vec_id <> n.vec_id
         |    WHERE q.vec_id < 50) WHERE rank <= 5),
-        |votes AS (
+        |votes AS MATERIALIZED (
         |  SELECT nn.query_id, CAST(e.label AS BIGINT) AS lbl, CAST(count(*) AS BIGINT) AS votes
         |  FROM nn JOIN e ON e.vec_id = nn.neighbor_id
         |  GROUP BY nn.query_id, e.label),
-        |win AS (
+        |win AS MATERIALIZED (
         |  SELECT query_id, lbl, votes,
         |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, lbl) AS rn
         |  FROM votes)
@@ -1382,10 +1382,10 @@ object SimilarityQueries {
     // redundancy cut a dedup-heavy corpus needs at retrieval time
     Q.sql(
       "q143_mmr",
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      """WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
-        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 6),
-        |cand AS (SELECT query_id, cand_id,
+        |q AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id < 6),
+        |cand AS MATERIALIZED (SELECT query_id, cand_id,
         |    CAST(round(rel * 1000000) AS BIGINT) AS reli FROM (
         |  SELECT q.vec_id AS query_id, n.vec_id AS cand_id,
         |    round(list_dot_product(q.v, n.v) / sqrt(list_dot_product(q.v, q.v))
@@ -1394,39 +1394,39 @@ object SimilarityQueries {
         |      round(list_dot_product(q.v, n.v) / sqrt(list_dot_product(q.v, q.v))
         |            / sqrt(list_dot_product(n.v, n.v)), 6) DESC, n.vec_id) AS rk
         |  FROM e n JOIN q ON q.vec_id <> n.vec_id) WHERE rk <= 10),
-        |sym AS (SELECT c1.query_id, c1.cand_id AS a, c2.cand_id AS b,
+        |sym AS MATERIALIZED (SELECT c1.query_id, c1.cand_id AS a, c2.cand_id AS b,
         |    CAST(round(round(list_dot_product(ea.v, eb.v) / sqrt(list_dot_product(ea.v, ea.v))
         |          / sqrt(list_dot_product(eb.v, eb.v)), 6) * 1000000) AS BIGINT) AS svi
         |  FROM cand c1 JOIN cand c2
         |    ON c1.query_id = c2.query_id AND c1.cand_id <> c2.cand_id
         |  JOIN e ea ON ea.vec_id = c1.cand_id
         |  JOIN e eb ON eb.vec_id = c2.cand_id),
-        |s1 AS (SELECT query_id, cand_id, 1 AS step, score FROM (
+        |s1 AS MATERIALIZED (SELECT query_id, cand_id, 1 AS step, score FROM (
         |  SELECT query_id, cand_id, 7 * reli AS score,
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY 7 * reli DESC, cand_id) AS rk FROM cand)
         |  WHERE rk = 1),
-        |r1 AS (SELECT c.* FROM cand c LEFT JOIN s1
+        |r1 AS MATERIALIZED (SELECT c.* FROM cand c LEFT JOIN s1
         |  ON s1.query_id = c.query_id AND s1.cand_id = c.cand_id
         |  WHERE s1.cand_id IS NULL),
-        |m2 AS (SELECT r.query_id, r.cand_id, any_value(r.reli) AS reli, max(sym.svi) AS ms
+        |m2 AS MATERIALIZED (SELECT r.query_id, r.cand_id, any_value(r.reli) AS reli, max(sym.svi) AS ms
         |  FROM r1 r JOIN sym ON sym.query_id = r.query_id AND sym.a = r.cand_id
         |  JOIN s1 ON s1.query_id = sym.query_id AND s1.cand_id = sym.b
         |  GROUP BY 1, 2),
-        |s2 AS (SELECT query_id, cand_id, 2 AS step, score FROM (
+        |s2 AS MATERIALIZED (SELECT query_id, cand_id, 2 AS step, score FROM (
         |  SELECT query_id, cand_id, 7 * reli - 3 * ms AS score,
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY 7 * reli - 3 * ms DESC, cand_id) AS rk FROM m2)
         |  WHERE rk = 1),
-        |r2 AS (SELECT c.* FROM r1 c LEFT JOIN s2
+        |r2 AS MATERIALIZED (SELECT c.* FROM r1 c LEFT JOIN s2
         |  ON s2.query_id = c.query_id AND s2.cand_id = c.cand_id
         |  WHERE s2.cand_id IS NULL),
-        |sel2 AS (SELECT query_id, cand_id FROM s1 UNION ALL SELECT query_id, cand_id FROM s2),
-        |m3 AS (SELECT r.query_id, r.cand_id, any_value(r.reli) AS reli, max(sym.svi) AS ms
+        |sel2 AS MATERIALIZED (SELECT query_id, cand_id FROM s1 UNION ALL SELECT query_id, cand_id FROM s2),
+        |m3 AS MATERIALIZED (SELECT r.query_id, r.cand_id, any_value(r.reli) AS reli, max(sym.svi) AS ms
         |  FROM r2 r JOIN sym ON sym.query_id = r.query_id AND sym.a = r.cand_id
         |  JOIN sel2 ON sel2.query_id = sym.query_id AND sel2.cand_id = sym.b
         |  GROUP BY 1, 2),
-        |s3 AS (SELECT query_id, cand_id, 3 AS step, score FROM (
+        |s3 AS MATERIALIZED (SELECT query_id, cand_id, 3 AS step, score FROM (
         |  SELECT query_id, cand_id, 7 * reli - 3 * ms AS score,
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY 7 * reli - 3 * ms DESC, cand_id) AS rk FROM m3)
@@ -1463,43 +1463,43 @@ object SimilarityQueries {
     // positives, and the coverage it actually achieves on the odd half
     Q.sql(
       "q147_learned_gate",
-      """WITH f AS (
+      """WITH f AS MATERIALIZED (
         |  SELECT vec_id, CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END AS y,
         |    list_append(list_transform(embedding[1:64], x -> CAST(x AS DOUBLE)), 1.0) AS xs
         |  FROM embeddings),
-        |d AS (SELECT vec_id, y, CAST(unnest(range(0, len(xs))) AS BIGINT) AS dim,
+        |d AS MATERIALIZED (SELECT vec_id, y, CAST(unnest(range(0, len(xs))) AS BIGINT) AS dim,
         |  unnest(xs) AS x FROM f),
-        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
-        |w0 AS (SELECT DISTINCT dim, 0.0 AS w FROM d),
-        |p1 AS (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
+        |n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+        |w0 AS MATERIALIZED (SELECT DISTINCT dim, 0.0 AS w FROM d),
+        |p1 AS MATERIALIZED (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
         |  SELECT d.vec_id, any_value(d.y) AS y, round(sum(d.x * w0.w), 6) AS m
         |  FROM d JOIN w0 USING (dim) GROUP BY d.vec_id) m),
-        |g1 AS (SELECT d.dim, sum((p1.p - p1.y) * d.x) / n.n AS g
+        |g1 AS MATERIALIZED (SELECT d.dim, sum((p1.p - p1.y) * d.x) / n.n AS g
         |  FROM d JOIN p1 USING (vec_id) CROSS JOIN n GROUP BY d.dim, n.n),
-        |w1 AS (SELECT w0.dim, round(w0.w - 8.0 * g1.g, 6) AS w FROM w0 JOIN g1 USING (dim)),
-        |p2 AS (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
+        |w1 AS MATERIALIZED (SELECT w0.dim, round(w0.w - 8.0 * g1.g, 6) AS w FROM w0 JOIN g1 USING (dim)),
+        |p2 AS MATERIALIZED (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
         |  SELECT d.vec_id, any_value(d.y) AS y, round(sum(d.x * w1.w), 6) AS m
         |  FROM d JOIN w1 USING (dim) GROUP BY d.vec_id) m),
-        |g2 AS (SELECT d.dim, sum((p2.p - p2.y) * d.x) / n.n AS g
+        |g2 AS MATERIALIZED (SELECT d.dim, sum((p2.p - p2.y) * d.x) / n.n AS g
         |  FROM d JOIN p2 USING (vec_id) CROSS JOIN n GROUP BY d.dim, n.n),
-        |w2 AS (SELECT w1.dim, round(w1.w - 8.0 * g2.g, 6) AS w FROM w1 JOIN g2 USING (dim)),
-        |p3 AS (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
+        |w2 AS MATERIALIZED (SELECT w1.dim, round(w1.w - 8.0 * g2.g, 6) AS w FROM w1 JOIN g2 USING (dim)),
+        |p3 AS MATERIALIZED (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
         |  SELECT d.vec_id, any_value(d.y) AS y, round(sum(d.x * w2.w), 6) AS m
         |  FROM d JOIN w2 USING (dim) GROUP BY d.vec_id) m),
-        |g3 AS (SELECT d.dim, sum((p3.p - p3.y) * d.x) / n.n AS g
+        |g3 AS MATERIALIZED (SELECT d.dim, sum((p3.p - p3.y) * d.x) / n.n AS g
         |  FROM d JOIN p3 USING (vec_id) CROSS JOIN n GROUP BY d.dim, n.n),
-        |w3 AS (SELECT w2.dim, round(w2.w - 8.0 * g3.g, 6) AS w FROM w2 JOIN g3 USING (dim)),
-        |p4 AS (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
+        |w3 AS MATERIALIZED (SELECT w2.dim, round(w2.w - 8.0 * g3.g, 6) AS w FROM w2 JOIN g3 USING (dim)),
+        |p4 AS MATERIALIZED (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
         |  SELECT d.vec_id, any_value(d.y) AS y, round(sum(d.x * w3.w), 6) AS m
         |  FROM d JOIN w3 USING (dim) GROUP BY d.vec_id) m),
-        |scored AS (SELECT vec_id, round(1 - p, 6) AS sc FROM p4 WHERE y = 1.0),
-        |cal AS (SELECT sc FROM scored WHERE vec_id % 2 = 0),
-        |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
-        |qh AS (SELECT sc AS qhat FROM (
+        |scored AS MATERIALIZED (SELECT vec_id, round(1 - p, 6) AS sc FROM p4 WHERE y = 1.0),
+        |cal AS MATERIALIZED (SELECT sc FROM scored WHERE vec_id % 2 = 0),
+        |n2 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+        |qh AS MATERIALIZED (SELECT sc AS qhat FROM (
         |    SELECT sc, row_number() OVER (ORDER BY sc) AS rk FROM cal) r
         |  CROSS JOIN n2
         |  WHERE rk = least(n2.n_cal, CAST(ceil((n2.n_cal + 1) * 0.9) AS BIGINT))),
-        |t2 AS (SELECT sc FROM scored WHERE vec_id % 2 = 1)
+        |t2 AS MATERIALIZED (SELECT sc FROM scored WHERE vec_id % 2 = 1)
         |SELECT n2.n_cal AS n_cal, CAST(count(*) AS BIGINT) AS n_test,
         |  max(qh.qhat) AS qhat,
         |  round(avg(CASE WHEN t2.sc <= qh.qhat THEN 1.0 ELSE 0.0 END), 6) AS coverage
@@ -1588,39 +1588,39 @@ object SimilarityQueries {
     // uncertainty (data-inherent), over the same 50 bins
     Q.sql(
       "q149_brier",
-      """WITH f AS (
+      """WITH f AS MATERIALIZED (
         |  SELECT vec_id, CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END AS y,
         |    list_append(list_transform(embedding[1:64], x -> CAST(x AS DOUBLE)), 1.0) AS xs
         |  FROM embeddings),
-        |d AS (SELECT vec_id, y, CAST(unnest(range(0, len(xs))) AS BIGINT) AS dim,
+        |d AS MATERIALIZED (SELECT vec_id, y, CAST(unnest(range(0, len(xs))) AS BIGINT) AS dim,
         |  unnest(xs) AS x FROM f),
-        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
-        |w0 AS (SELECT DISTINCT dim, 0.0 AS w FROM d),
-        |p1 AS (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
+        |n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+        |w0 AS MATERIALIZED (SELECT DISTINCT dim, 0.0 AS w FROM d),
+        |p1 AS MATERIALIZED (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
         |  SELECT d.vec_id, any_value(d.y) AS y, round(sum(d.x * w0.w), 6) AS m
         |  FROM d JOIN w0 USING (dim) GROUP BY d.vec_id) m),
-        |g1 AS (SELECT d.dim, sum((p1.p - p1.y) * d.x) / n.n AS g
+        |g1 AS MATERIALIZED (SELECT d.dim, sum((p1.p - p1.y) * d.x) / n.n AS g
         |  FROM d JOIN p1 USING (vec_id) CROSS JOIN n GROUP BY d.dim, n.n),
-        |w1 AS (SELECT w0.dim, round(w0.w - 8.0 * g1.g, 6) AS w FROM w0 JOIN g1 USING (dim)),
-        |p2 AS (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
+        |w1 AS MATERIALIZED (SELECT w0.dim, round(w0.w - 8.0 * g1.g, 6) AS w FROM w0 JOIN g1 USING (dim)),
+        |p2 AS MATERIALIZED (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
         |  SELECT d.vec_id, any_value(d.y) AS y, round(sum(d.x * w1.w), 6) AS m
         |  FROM d JOIN w1 USING (dim) GROUP BY d.vec_id) m),
-        |g2 AS (SELECT d.dim, sum((p2.p - p2.y) * d.x) / n.n AS g
+        |g2 AS MATERIALIZED (SELECT d.dim, sum((p2.p - p2.y) * d.x) / n.n AS g
         |  FROM d JOIN p2 USING (vec_id) CROSS JOIN n GROUP BY d.dim, n.n),
-        |w2 AS (SELECT w1.dim, round(w1.w - 8.0 * g2.g, 6) AS w FROM w1 JOIN g2 USING (dim)),
-        |p3 AS (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
+        |w2 AS MATERIALIZED (SELECT w1.dim, round(w1.w - 8.0 * g2.g, 6) AS w FROM w1 JOIN g2 USING (dim)),
+        |p3 AS MATERIALIZED (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
         |  SELECT d.vec_id, any_value(d.y) AS y, round(sum(d.x * w2.w), 6) AS m
         |  FROM d JOIN w2 USING (dim) GROUP BY d.vec_id) m),
-        |g3 AS (SELECT d.dim, sum((p3.p - p3.y) * d.x) / n.n AS g
+        |g3 AS MATERIALIZED (SELECT d.dim, sum((p3.p - p3.y) * d.x) / n.n AS g
         |  FROM d JOIN p3 USING (vec_id) CROSS JOIN n GROUP BY d.dim, n.n),
-        |w3 AS (SELECT w2.dim, round(w2.w - 8.0 * g3.g, 6) AS w FROM w2 JOIN g3 USING (dim)),
-        |p4 AS (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
+        |w3 AS MATERIALIZED (SELECT w2.dim, round(w2.w - 8.0 * g3.g, 6) AS w FROM w2 JOIN g3 USING (dim)),
+        |p4 AS MATERIALIZED (SELECT m.vec_id, m.y, 1 / (1 + exp(-m.m)) AS p FROM (
         |  SELECT d.vec_id, any_value(d.y) AS y, round(sum(d.x * w3.w), 6) AS m
         |  FROM d JOIN w3 USING (dim) GROUP BY d.vec_id) m),
-        |scored AS (SELECT CAST(least(floor(p * 50), 49) AS BIGINT) AS bin, p, y FROM p4),
-        |b AS (SELECT round(avg(pow(p - y, 2)), 6) AS brier, avg(y) AS obar,
+        |scored AS MATERIALIZED (SELECT CAST(least(floor(p * 50), 49) AS BIGINT) AS bin, p, y FROM p4),
+        |b AS MATERIALIZED (SELECT round(avg(pow(p - y, 2)), 6) AS brier, avg(y) AS obar,
         |  CAST(count(*) AS BIGINT) AS n FROM scored),
-        |bs AS (SELECT bin, CAST(count(*) AS BIGINT) AS nk, avg(p) AS pbar,
+        |bs AS MATERIALIZED (SELECT bin, CAST(count(*) AS BIGINT) AS nk, avg(p) AS pbar,
         |  avg(y) AS obar_k FROM scored GROUP BY bin)
         |SELECT max(b.brier) AS brier,
         |  round(sum(bs.nk * pow(bs.pbar - bs.obar_k, 2)) / max(b.n), 6) AS reliability,
