@@ -55,17 +55,44 @@ object Quantiles {
       valCol: String,
       ps: Seq[(String, Double)]): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
+    percentilesFromHistogram(
+      valueHistogram(df, groupCols, valCol), groupCols, ps)
+  }
+
+  /** The fact-scale half of [[groupPercentiles]]: one row per distinct
+    * (group, value) with its count — the ONLY stage that sees
+    * fact-scale rows, and map-side partial aggregation collapses it
+    * before the shuffle. A null value forms its own histogram row (it
+    * must not vanish — an all-null group still owes an output row).
+    * Exposed separately so derived statistics (e.g. [[madOutliers]]'s
+    * deviation histogram) can be computed FROM the histogram instead
+    * of re-aggregating the fact table.
+    */
+  private[operators] def valueHistogram(
+      df: DataFrame, groupCols: Seq[String], valCol: String): DataFrame = {
+    val keys = groupCols.map(col)
+    df.select(keys :+ col(valCol).cast("double").as("_v"): _*)
+      .groupBy(keys :+ col("_v"): _*)
+      .agg(count(lit(1)).as("_hc"))
+  }
+
+  /** Rank-selection half of [[groupPercentiles]]: interpolated
+    * percentiles over a (groupCols, _v, _hc) value histogram.
+    * `repartitionKeys = false` skips the hash repartition when the
+    * caller knows the histogram is ALREADY partitioned by the group
+    * keys (a derived histogram downstream of this function's own
+    * windows), so no redundant exchange is planned.
+    */
+  private[operators] def percentilesFromHistogram(
+      hist: DataFrame,
+      groupCols: Seq[String],
+      ps: Seq[(String, Double)],
+      repartitionKeys: Boolean = true): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 },
       "percentiles must be in [0, 1]")
     val keys = groupCols.map(col)
-    // 1. value histogram: the ONLY stage that sees fact-scale rows,
-    //    and map-side partial aggregation collapses it before the
-    //    shuffle. A null value forms its own histogram row (it must
-    //    not vanish — an all-null group still owes an output row).
-    val counts = df
-      .select(keys :+ col(valCol).cast("double").as("_v"): _*)
-      .groupBy(keys :+ col("_v"): _*)
-      .agg(count(lit(1)).as("_hc"))
+    val counts = hist
     val sortW = Window.partitionBy(keys: _*).orderBy(col("_v").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cntW = Window.partitionBy(keys: _*)
@@ -77,13 +104,12 @@ object Quantiles {
     // repartition is exempt from coalescing, and hash-on-keys
     // satisfies the window's required distribution, so no second
     // exchange appears.
-    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val n = counts.sparkSession.sessionState.conf.numShufflePartitions
     val nonNullCnt = when(col("_v").isNotNull, col("_hc")).otherwise(0L)
     // 2. cumulative counts over the distinct sorted values: histogram
     //    row r covers sorted ranks (_cum - _hc, _cum]; `_n` = non-null
     //    total per group (count(_v) semantics — nulls ignored)
-    val ranked = counts
-      .repartition(n, keys: _*)
+    val ranked = (if (repartitionKeys) counts.repartition(n, keys: _*) else counts)
       .withColumn("_cum", sum(nonNullCnt).over(sortW))
       .withColumn("_n", sum(nonNullCnt).over(cntW))
     // 3. rank selection: the value at 1-based rank k is the histogram
@@ -203,13 +229,42 @@ object Quantiles {
       groupCol: String,
       valCol: String,
       k: Double = 3.0): DataFrame = {
-    val med = groupPercentiles(df, groupCol, valCol, Seq("med" -> 0.5))
+    // ONE fact-scale histogram serves both percentile passes: the
+    // deviation |v − med| of a value that occurs c times is one
+    // deviation occurring c times, so the dev histogram is a pure
+    // per-row transform + re-group of the (distinct-value-sized) value
+    // histogram — the old shape re-aggregated the whole fact table a
+    // second time for the identical multiset. Round-17 (guide §2.3/2.4:
+    // aggregate once, derive downstream stats from the small frame).
+    // The inner join on groupCol drops NULL-group rows exactly as the
+    // old `df.join(med)` inner join did.
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    // both percentile branches hang off the SAME repartition exchange,
+    // so ReuseExchange computes the fact aggregation once and the med
+    // and dev branches just re-read the shuffled histogram
+    val hist = valueHistogram(df, Seq(groupCol), valCol)
+      .repartition(n, col(groupCol))
+    val med = percentilesFromHistogram(hist, Seq(groupCol),
+      Seq("med" -> 0.5), repartitionKeys = false)
       .withColumn("med", round(col("med"), 6))
-    val withMed = df.join(broadcast(med), Seq(groupCol))
-      .withColumn("dev", round(abs(col(valCol).cast("double") - col("med")), 6))
-    val mad = groupPercentiles(withMed, groupCol, "dev", Seq("mad" -> 0.5))
+    // the dev histogram: same dev values (round-6 of |v − med| per
+    // distinct v == per row), counts merged where two values share a
+    // deviation. The histogram is already hash-partitioned by
+    // groupCol, and groupBy(groupCol, _v) plus the mad windows are
+    // both satisfied by that partitioning, so this whole derivation
+    // plans ZERO new exchanges.
+    val devHist = hist.join(broadcast(med), Seq(groupCol))
+      .select(col(groupCol),
+        round(abs(col("_v") - col("med")), 6).as("_v"),
+        col("_hc"))
+      .groupBy(col(groupCol), col("_v"))
+      .agg(sum(col("_hc")).as("_hc"))
+    val mad = percentilesFromHistogram(devHist, Seq(groupCol),
+      Seq("mad" -> 0.5), repartitionKeys = false)
       .withColumn("mad", round(col("mad"), 6))
-    withMed.join(broadcast(mad), Seq(groupCol))
+    df.join(broadcast(med), Seq(groupCol))
+      .withColumn("dev", round(abs(col(valCol).cast("double") - col("med")), 6))
+      .join(broadcast(mad), Seq(groupCol))
       .filter(col("dev") > lit(k) * col("mad"))
   }
 }
