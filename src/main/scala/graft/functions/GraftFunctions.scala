@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{BestCentroid, CdcChunks, CosineSim, Hash60Array, HashedShingles, HyperplaneBuckets, MinHashSig, SimHash60, SquaredDist, WinnowFingerprints}
+import graft.plans.{BestCentroid, CdcChunks, CosineSim, GramianAgg, Hash60Array, HashedShingles, HyperplaneBuckets, MinHashSig, SimHash60, SquaredDist, VecMeanAgg, WinnowFingerprints}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -43,7 +43,9 @@ object GraftFunctions {
     "graft_winnow_fp" -> (es => WinnowFingerprints(
       es(0), intArg(es(1), "graft_winnow_fp"), intArg(es(2), "graft_winnow_fp"))),
     "graft_cdc_chunks" -> (es => CdcChunks(
-      es(0), intArg(es(1), "graft_cdc_chunks"), longArg(es(2), "graft_cdc_chunks"))))
+      es(0), intArg(es(1), "graft_cdc_chunks"), longArg(es(2), "graft_cdc_chunks"))),
+    "graft_gramian" -> (es => GramianAgg(es(0))),
+    "graft_vec_mean" -> (es => VecMeanAgg(es(0))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>
@@ -110,4 +112,22 @@ object GraftFunctions {
     */
   def cdcChunksFast(text: Column, window: Int, mask: Long): Column =
     call_function("graft_cdc_chunks", text, lit(window), lit(mask))
+
+  /** Gramian aggregate: sums the outer product of a vector column
+    * across rows into one d²-bounded accumulator —
+    * `array<struct<i,j,s>>` of the non-null-product (i, j) sums
+    * (== the composed dim²-explode → groupBy(i,j).sum shape it
+    * replaces, up to round-6-absorbed addition order; see
+    * graft.plans.GramianAgg).
+    */
+  def gramian(vec: Column): Column =
+    call_function("graft_gramian", vec)
+
+  /** Per-index mean aggregate over a vector column (== the composed
+    * posexplode → per-dim avg → sorted re-assembly, up to
+    * round-6-absorbed addition order; NULL for a group with no
+    * non-empty vector — see graft.plans.VecMeanAgg).
+    */
+  def vecMean(vec: Column): Column =
+    call_function("graft_vec_mean", vec)
 }

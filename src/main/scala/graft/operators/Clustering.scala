@@ -93,13 +93,21 @@ object Clustering {
     * shuffle carries keys·dim rows, never the corpus. Returns
     * (keyCol, cv: array<double>).
     */
-  def centroidsByKey(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
-    df.select(col(keyCol), posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
-      .groupBy(col(keyCol), col("dim"))
-      .agg(round(avg(col("x")), 6).as("m"))
-      .groupBy(col(keyCol))
-      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("s"))
-      .select(col(keyCol), transform(col("s"), p => p.getField("m")).as("cv"))
+  def centroidsByKey(df: DataFrame, keyCol: String, vecCol: String): DataFrame = {
+    // one fused vector-mean aggregate instead of posexplode → per-dim
+    // avg → collect_list re-assembly (round 17, guide §2.3/§4): the
+    // map side does corpus vector-adds, not corpus×dim row generation,
+    // and the dim-keyed second exchange disappears. Identical cv up to
+    // round-6-absorbed addition order; a key whose every vector is
+    // null/empty evaluates to a NULL mean and is dropped, exactly as
+    // posexplode's emit-nothing kept it out of the old aggregation.
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.groupBy(col(keyCol))
+      .agg(graft.functions.GraftFunctions.vecMean(
+        col(vecCol).cast("array<double>")).as("_m"))
+      .filter(col("_m").isNotNull)
+      .select(col(keyCol), transform(col("_m"), x => round(x, 6)).as("cv"))
+  }
 
   /** `iters` Lloyd iterations from the stride init; returns the final
     * codebook (cell, cv) in the shape [[Similarity.ivfTopKCodebook]]
@@ -183,31 +191,38 @@ object Clustering {
       emb: DataFrame, idCol: String, vecCol: String, iters: Int = 3): DataFrame = {
     require(iters >= 1)
     val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
     val d = emb.select(col(idCol).as("_id"),
       posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "x")))
     val m = d.groupBy(col("i")).agg(avg(col("x")).as("mu"))
-    val n = d.agg(countDistinct(col("_id")).as("n"))
-    // covariance WITHOUT the row-keyed self-join: the dim means ride
-    // along as one broadcast sorted array, each row centers its vector
-    // and emits its d² outer-product terms in-row, and the (i, j)
-    // sums partial-aggregate map-side — the only shuffle is the
-    // dim²-sized final aggregate. Same (x−μᵢ)(x−μⱼ) values as the
-    // centered-join formulation (ragged rows: zip_with pads missing
-    // entries with null, whose products drop from the sums exactly as
-    // the join's missing rows did), so round-6 entries are unchanged.
+    // n == countDistinct(_id) over the exploded frame, computed on the
+    // UNEXPLODED rows: posexplode emits rows only for non-null,
+    // non-empty vectors, so the distinct-id set is that of rows whose
+    // cast array has size >= 1 (size() is null for a null array and
+    // the filter drops it, 0 for an empty one)
+    val n = emb
+      .filter(size(col(vecCol).cast("array<double>")) >= 1)
+      .agg(countDistinct(col(idCol)).as("n"))
+    // covariance WITHOUT the row-keyed self-join OR the per-row dim²
+    // struct explode: the dim means ride along as one broadcast sorted
+    // array, each row centers its vector, and GramianAgg sums the
+    // outer products straight into a d²-bounded per-partition
+    // accumulator (flat fused multiply-adds, no rows×d² Generate, and
+    // the shuffle carries one d² partial per map task — round 17,
+    // guide §2.3/§4). Same (x−μᵢ)(x−μⱼ) product multiset per (i, j)
+    // as the explode formulation (ragged rows: zip_with pads missing
+    // entries with null, whose products drop from the sums and never
+    // mark presence, exactly as the join's missing rows did); only
+    // the addition order differs, which the round-6 of cv absorbs just
+    // as it absorbs the Spark-vs-DuckDB order difference.
     val mu1 = m.agg(array_sort(collect_list(struct(col("i"), col("mu")))).as("_ms"))
     val cov = emb.select(col(vecCol).cast("array<double>").as("_v"))
       .crossJoin(broadcast(mu1))
       .select(zip_with(col("_v"), transform(col("_ms"), s => s.getField("mu")),
         (x, mu) => x - mu).as("_c"))
-      .select(explode(flatten(transform(col("_c"), (xi, i) =>
-        transform(col("_c"), (xj, j) =>
-          struct(i.as("i"), j.as("j"), (xi * xj).as("p")))))).as("_e"))
-      .groupBy(col("_e.i").as("i"), col("_e.j").as("j"))
-      .agg(sum(col("_e.p")).as("_s"))
-      // all-null (i, j) groups (ragged rows that never co-occur) were
-      // simply absent from the join formulation — keep them absent
-      .filter(col("_s").isNotNull)
+      .agg(graft.functions.GraftFunctions.gramian(col("_c")).as("_g"))
+      .select(explode(col("_g")).as("_e"))
+      .select(col("_e.i").as("i"), col("_e.j").as("j"), col("_e.s").as("_s"))
       .crossJoin(broadcast(n))
       .select(col("i"), col("j"), round(col("_s") / col("n"), 6).as("cv"))
     // the covariance matrix is dim²-bounded, never row-bounded: 100 TB
