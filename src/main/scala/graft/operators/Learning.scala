@@ -175,28 +175,46 @@ object Learning {
     * is never materialized.
     */
   def chi2Presence(pairs: DataFrame, clsTotals: DataFrame): DataFrame = {
-    val present = pairs.groupBy(col("item"), col("cls"))
+    // Round-17 reshape (guide §2.4): the old item-universe crossJoin →
+    // left-join → r1 re-aggregation → final chi2 aggregation walked
+    // the vocab-sized frame through FOUR more exchanges (distinct,
+    // join, r1, final groupBy) plus a vocab-sized r1 broadcast. The
+    // 2×K table of one item is K cells with K small — so after ONE
+    // (item, cls) count and ONE item-keyed fold of the per-class
+    // counts into a map, the chi2 is an IN-ROW fold over the broadcast
+    // K-row class totals (absent classes read o1 = 0 via the map
+    // lookup, exactly like the old coalesced left join). Same cell
+    // terms, same e1/e0 arithmetic; only the K-term addition order is
+    // fixed (class-sorted) instead of join-order-arbitrary, which
+    // round-6 absorbs exactly as it absorbs the DuckDB order. The
+    // class-semi-join keeps the old contract that only clsTotals'
+    // classes contribute (a null or unknown cls never reached the
+    // totals-crossed frame).
+    val present = pairs
+      .join(broadcast(clsTotals.select(col("cls"))), Seq("cls"))
+      .groupBy(col("item"), col("cls"))
       .agg(count(lit(1)).as("o1"))
-    // cross the per-item universe with the K-row class totals so
-    // classes where an item never occurs contribute o1 = 0 cells
-    val byItem = present.select(col("item")).distinct()
-      .crossJoin(broadcast(clsTotals))
-      .join(present, Seq("item", "cls"), "left")
-      .select(col("item"), col("cls"), col("n_cls"),
-        coalesce(col("o1"), lit(0L)).as("o1"))
-    val n = clsTotals.agg(sum(col("n_cls")).as("nn"))
-    val r1 = byItem.groupBy(col("item")).agg(sum(col("o1")).as("r1"))
-    byItem.join(broadcast(r1), Seq("item")).crossJoin(broadcast(n))
+    // K class totals + the grand total as ONE broadcast row
+    val tots = clsTotals.agg(
+      array_sort(collect_list(struct(col("cls"), col("n_cls")))).as("_ts"),
+      sum(col("n_cls")).as("nn"))
+    val cell = (acc: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column) => {
+      val nCls = t.getField("n_cls")
+      val o1 = coalesce(element_at(col("_m"), t.getField("cls")), lit(0L))
+      val e1 = nCls * col("r1") / col("nn")
+      val e0 = nCls * (col("nn") - col("r1")) / col("nn")
+      acc + pow(o1 - e1, 2) / e1 + pow(nCls - o1 - e0, 2) / e0
+    }
+    present.groupBy(col("item"))
+      .agg(
+        map_from_entries(collect_list(struct(col("cls"), col("o1")))).as("_m"),
+        sum(col("o1")).as("r1"))
+      .crossJoin(broadcast(tots))
       // an item present in EVERY document has e0 = 0 (chi2 undefined)
       .filter(col("r1") < col("nn"))
-      .select(col("item"), col("n_cls"), col("o1"), col("r1"), col("nn"),
-        (col("n_cls") * col("r1") / col("nn")).as("e1"),
-        (col("n_cls") * (col("nn") - col("r1")) / col("nn")).as("e0"))
-      .groupBy(col("item"))
-      .agg(round(sum(
-        pow(col("o1") - col("e1"), 2) / col("e1") +
-          pow(col("n_cls") - col("o1") - col("e0"), 2) / col("e0")), 6).as("chi2"),
-        max(col("r1")).as("doc_freq"))
+      .select(col("item"),
+        round(aggregate(col("_ts"), lit(0.0), cell), 6).as("chi2"),
+        col("r1").as("doc_freq"))
   }
 
   /** Entropy of a binary rate p, in nats, with the 0·ln0 = 0

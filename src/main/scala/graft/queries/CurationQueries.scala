@@ -25,9 +25,12 @@ object CurationQueries {
         |ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
       import s.implicits._
-      Curation.assignSplit(Tables.documents(s, d), "doc_id")
+      // split assignment after the sort: the orderBy sampling pass
+      // otherwise runs the md5 bucket hash twice per row, and the
+      // exchange carries just doc_id (round 17, guide §1.4/§2.3)
+      Curation.assignSplit(
+        Tables.documents(s, d).select($"doc_id").orderBy($"doc_id"), "doc_id")
         .select($"doc_id", $"split")
-        .orderBy($"doc_id")
     },
 
     // per-source document quota (keep lowest 50 ids per source)
@@ -83,13 +86,17 @@ object CurationQueries {
     ) { (s, d) =>
       import s.implicits._
       import graft.functions.TextFunctions
+      // redaction after the sort: two regexp_replace passes + md5 per
+      // row otherwise run twice under the orderBy's range-bounds
+      // sampling (round 17, guide §1.4/§2.3)
       Tables.documents(s, d)
+        .select($"doc_id", $"text")
+        .orderBy($"doc_id")
         .select($"doc_id", TextFunctions.redact($"text").as("r"))
         .select(
           $"doc_id",
           length($"r").cast("long").as("redacted_len"),
           TextFunctions.hash60($"r").as("redacted_hash"))
-        .orderBy($"doc_id")
     },
 
     // uniform mixture reweighting: per-source sampling weight that
@@ -154,10 +161,14 @@ object CurationQueries {
         |ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
       import s.implicits._
+      // JSON rendering after the sort (sampling otherwise renders
+      // every row twice, and the exchange carries the four raw fields
+      // instead of the wider JSON string)
       Tables.documents(s, d)
+        .select($"doc_id", $"lang", $"source", $"n_chars")
+        .orderBy($"doc_id")
         .select($"doc_id",
           to_json(struct($"doc_id", $"lang", $"source", $"n_chars")).as("doc_json"))
-        .orderBy($"doc_id")
     },
 
     // deterministic per-source sampling: src0 keeps 50%, src1 20%,
@@ -772,11 +783,19 @@ object CurationQueries {
         .withColumnRenamed("shard", "shard8")
         .transform(Curation.rendezvousShard(_, "doc_id", 9))
         .withColumnRenamed("shard", "shard9")
-      val c8 = assigned.groupBy($"shard8".as("shard"))
-        .agg(count(lit(1)).as("cnt8"))
-      val c9 = assigned.groupBy($"shard9".as("shard"))
-        .agg(count(lit(1)).as("cnt9"),
-          sum(when($"shard8" =!= $"shard9", 1L).otherwise(0L)).as("moved_in"))
+      // ONE corpus aggregation by the 8×9 (shard8, shard9) pairs; the
+      // two marginals come from the 72-row pair table, so the 17
+      // md5 weights per doc are computed once, not once per marginal
+      // (the old c8/c9 subtrees each re-ran `assigned` — round 17,
+      // guide §2.4: two aggregations keyed differently share the one
+      // pair-keyed exchange)
+      val pairs = assigned.groupBy($"shard8", $"shard9")
+        .agg(count(lit(1)).as("n"))
+      val c8 = pairs.groupBy($"shard8".as("shard"))
+        .agg(sum($"n").as("cnt8"))
+      val c9 = pairs.groupBy($"shard9".as("shard"))
+        .agg(sum($"n").as("cnt9"),
+          sum(when($"shard8" =!= $"shard9", $"n").otherwise(0L)).as("moved_in"))
       c9.join(c8, Seq("shard"), "left")
         .select($"shard", coalesce($"cnt8", lit(0L)).as("cnt8"), $"cnt9", $"moved_in")
         .orderBy($"shard")

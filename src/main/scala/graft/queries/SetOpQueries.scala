@@ -189,10 +189,17 @@ object SetOpQueries {
         |ORDER BY event_id""".stripMargin
     ) { (s, d) =>
       import s.implicits._
+      // JSON parse AFTER the sort: the final orderBy's range-bounds
+      // sampling re-executes its child in full, so an expensive
+      // projection below the sort is computed twice (sample pass +
+      // shuffle map). Above the sort it runs once, post-shuffle, on
+      // the range partitions (round 17, guide §1.4/§7.2) — identical
+      // rows, identical order.
       Tables.events(s, d)
+        .select($"event_id", $"props")
+        .orderBy($"event_id")
         .select($"event_id",
           get_json_object($"props", "$.k").cast("long").as("k"))
-        .orderBy($"event_id")
     },
 
     // string suite 2: reverse / translate / repeat / left-pad

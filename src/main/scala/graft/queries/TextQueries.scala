@@ -45,12 +45,20 @@ object TextQueries {
         |ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
       import s.implicits._
-      Tables.documents(s, d).select(
-        $"doc_id",
-        tokenCount($"text").as("n_tokens"),
-        size(regexTokens($"text")).cast("long").as("n_regex_tokens"),
-        size(array_distinct(tokens($"text"))).cast("long").as("n_distinct"))
+      // tokenize AFTER the sort: the final orderBy's range-bounds
+      // sampling re-executes its child in full, so the three regex
+      // tokenizations below the sort ran twice per row (sample pass +
+      // shuffle map); above it they run once, on the range partitions.
+      // Per-row regex work is µs-scale vs ns-scale for the extra text
+      // bytes through the exchange, so this wins at every scale
+      // (round 17, guide §1.4/§2.3).
+      Tables.documents(s, d).select($"doc_id", $"text")
         .orderBy($"doc_id")
+        .select(
+          $"doc_id",
+          tokenCount($"text").as("n_tokens"),
+          size(regexTokens($"text")).cast("long").as("n_regex_tokens"),
+          size(array_distinct(tokens($"text"))).cast("long").as("n_distinct"))
     },
 
     Q.sql(
@@ -67,12 +75,15 @@ object TextQueries {
         |ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
       import s.implicits._
-      Tables.documents(s, d).select(
-        $"doc_id",
-        round(avgWordLen($"text"), 4).as("avg_word_len"),
-        round(stopwordRatio($"text"), 4).as("stop_ratio"),
-        round(punctRatio($"text"), 4).as("punct_ratio"))
+      // quality scores after the sort — same move as text_tokens (the
+      // orderBy sampling pass re-ran every regex twice)
+      Tables.documents(s, d).select($"doc_id", $"text")
         .orderBy($"doc_id")
+        .select(
+          $"doc_id",
+          round(avgWordLen($"text"), 4).as("avg_word_len"),
+          round(stopwordRatio($"text"), 4).as("stop_ratio"),
+          round(punctRatio($"text"), 4).as("punct_ratio"))
     },
 
     Q.sql(
@@ -122,11 +133,14 @@ object TextQueries {
         |ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
       import s.implicits._
-      Tables.documents(s, d).select(
-        $"doc_id",
-        fingerprint($"text").as("fp"),
-        canonicalFingerprint($"text").as("canonical_fp"))
+      // fingerprints after the sort — same move as text_tokens (md5 +
+      // canonicalizing regex otherwise run twice under the sampling)
+      Tables.documents(s, d).select($"doc_id", $"text")
         .orderBy($"doc_id")
+        .select(
+          $"doc_id",
+          fingerprint($"text").as("fp"),
+          canonicalFingerprint($"text").as("canonical_fp"))
     },
 
     Q.sql(
