@@ -11,17 +11,6 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-      // Size post-shuffle partitions by BYTES, not by core count
-      // (guide §2.2/§9): parallelismFirst=true (the default) keeps
-      // tiny shuffles at defaultParallelism partitions purely for
-      // parallelism's sake — 32 near-empty tasks per stage here, and
-      // at scale it under-sizes partitions the moment data outgrows
-      // the core count. advisory bytes are env-tunable
-      // (SPARK_GRAFT_ADVISORY_BYTES); 64m locally, 256m is the
-      // documented production value for fast-disk clusters.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_BYTES", "64m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm codegen/JIT per query on the smallest scale first: the

@@ -18,10 +18,6 @@ object Verify {
       // Tables.events normalizes every shape either way.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      // byte-sized post-shuffle partitions, matching Bench (guide §2.2)
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_BYTES", "64m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // start from a clean slate: a leftover dump from a renamed or

@@ -460,7 +460,7 @@ object Curation {
     }
     val quality = stage("quality_floor", docs)(
       _.filter(graft.functions.TextFunctions.qualityScore(col(textCol)) >= minQuality))
-    val exact = stage("exact_dedup", quality)(d => TextDedup.exact(d, idCol, textCol)._1)
+    val exact = stage("exact_dedup", quality)(d => TextDedup.exactSurvivors(d, idCol, textCol))
     var releaseShingles: () => Unit = () => ()
     val near = stage("near_dedup", exact) { d =>
       val (pairs, release) =

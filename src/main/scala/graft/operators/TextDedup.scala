@@ -33,6 +33,28 @@ object TextDedup {
       ranked.filter(col("_fp_rn") > 1).drop("_fp_rn"))
   }
 
+  /** Survivors-only exact dedup: the same smallest-id-per-fingerprint
+    * row [[exact]]._1 returns, computed as ONE partial-aggregated min
+    * instead of a full per-group sort window — the window buffers
+    * every group's rows in the evaluator and sorts them; the min
+    * aggregate collapses each group to one candidate row map-side
+    * before the shuffle (round 17, guide §2.3). min over
+    * struct(id, row) replays the window's ASC NULLS FIRST id order
+    * (a null struct field compares first); a tie on id resolves to
+    * the lexicographically-least full row where row_number picked
+    * arbitrarily — both are "one row per group", and ids are unique
+    * in every caller. Use this when the removed side isn't needed.
+    */
+  def exactSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val rowStruct = struct(df.columns.toIndexedSeq.map(c =>
+      col(graft.plans.SqlIdent.quote(c))): _*)
+    df.select(canonicalFingerprint(col(textCol)).as("_fp"),
+        struct(col(graft.plans.SqlIdent.quote(idCol)).as("_k"), rowStruct.as("_r")).as("_min"))
+      .groupBy(col("_fp"))
+      .agg(min(col("_min")).as("_m"))
+      .selectExpr("_m._r.*")
+  }
+
   /** MinHash-LSH near-duplicate pairs.
     *
     * @param numHashes signature length (bands * rowsPerBand)

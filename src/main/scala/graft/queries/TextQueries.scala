@@ -154,9 +154,15 @@ object TextQueries {
         |ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
       import s.implicits._
-      val (survivors, _) = TextDedup.exact(Tables.documents(s, d), "doc_id", "text")
-      survivors.select(
-        $"doc_id", canonicalFingerprint($"text").as("canonical_fp"))
+      // survivors-only path: partial-aggregated min instead of the
+      // full per-group sort window (round 17, guide §2.3). Project to
+      // the two needed columns FIRST — exactSurvivors packs the full
+      // row into its min struct, which would otherwise defeat column
+      // pruning at the scan (PlanAuditSpec enforces this).
+      TextDedup.exactSurvivors(
+        Tables.documents(s, d).select($"doc_id", $"text"), "doc_id", "text")
+        .select(
+          $"doc_id", canonicalFingerprint($"text").as("canonical_fp"))
         .orderBy($"doc_id")
     },
 

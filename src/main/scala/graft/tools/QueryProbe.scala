@@ -19,9 +19,6 @@ object QueryProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_BYTES", "64m"))
     // ad-hoc conf overrides for hypothesis testing, e.g.
     // SPARK_GRAFT_CONF="spark.sql.adaptive.coalescePartitions.enabled=false"
     sys.env.get("SPARK_GRAFT_CONF").foreach { kvs =>
