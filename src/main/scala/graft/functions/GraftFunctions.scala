@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.plans.{BestCentroid, CdcChunks, CosineSim, GramianAgg, Hash60Array, HashedShingles, HyperplaneBuckets, MinHashSig, SimHash60, SquaredDist, VecMeanAgg, WinnowFingerprints}
+import graft.plans.{BestCentroid, CdcChunks, CosineSim, GramianAgg, Hash60Array, HashedShingles, HyperplaneBuckets, MinHashSig, SimHash60, SquaredDist, VecMeanAgg, VecWeightedSumAgg, WinnowFingerprints}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -45,7 +45,8 @@ object GraftFunctions {
     "graft_cdc_chunks" -> (es => CdcChunks(
       es(0), intArg(es(1), "graft_cdc_chunks"), longArg(es(2), "graft_cdc_chunks"))),
     "graft_gramian" -> (es => GramianAgg(es(0))),
-    "graft_vec_mean" -> (es => VecMeanAgg(es(0))))
+    "graft_vec_mean" -> (es => VecMeanAgg(es(0))),
+    "graft_vec_wsum" -> (es => VecWeightedSumAgg(es(0), es(1))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>
@@ -130,4 +131,11 @@ object GraftFunctions {
     */
   def vecMean(vec: Column): Column =
     call_function("graft_vec_mean", vec)
+
+  /** Weighted per-index vector sum aggregate (== the composed
+    * posexplode → per-dim sum(w·x), up to round-6-absorbed addition
+    * order; see graft.plans.VecWeightedSumAgg).
+    */
+  def vecWeightedSum(vec: Column, weight: Column): Column =
+    call_function("graft_vec_wsum", vec, weight)
 }

@@ -70,19 +70,30 @@ object Learning {
         .select(keepCols.map(col) ++ Seq(col("_y"), col("_xs"),
           (lit(1.0) / (lit(1.0) + exp(-col("m")))).as("p")): _*)
     }
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val w = Array.fill(nDims + 1)(0.0)
     for (_ <- 1 to iters) {
-      // gradient: posexplode the features under the per-row residual
-      // and partial-aggregate into nDims+1 groups — the shuffle
-      // carries one row per (dim, partition), nothing else
-      val grad = margins(w)
-        .select((col("p") - col("_y")).as("_r"), posexplode(col("_xs")).as(Seq("dim", "x")))
-        .groupBy(col("dim"))
-        .agg((sum(col("_r") * col("x")) / lit(n)).as("g"))
-        .collect()
-      grad.foreach { r =>
-        val dim = r.getInt(0)
-        w(dim) = rnd(w(dim) - lr * r.getDouble(1), 6)
+      // gradient: ONE fused weighted-vector-sum aggregate — corpus
+      // vector-FMAs into an (nDims+1)-double partial per partition
+      // instead of corpus×dims rows through posexplode + hash
+      // aggregation (round 17, guide §2.3/§4). Same per-dim product
+      // multiset and the same sum-then-divide arithmetic; addition
+      // order is absorbed by the round-6 weight update exactly as the
+      // engine-order difference already was. A dim whose every
+      // product is null keeps a null slot (the old all-null group) and
+      // is skipped, as the old collect loop never updated a dim it
+      // could not read.
+      val gRow = margins(w)
+        .select(col("_xs"), (col("p") - col("_y")).as("_r"))
+        .agg(graft.functions.GraftFunctions.vecWeightedSum(
+          col("_xs"), col("_r")).as("_g"))
+        .collect()(0)
+      if (!gRow.isNullAt(0)) {
+        gRow.getSeq[Any](0).zipWithIndex.foreach {
+          case (g, dim) if g != null && dim <= nDims =>
+            w(dim) = rnd(w(dim) - lr * (g.asInstanceOf[Double] / n), 6)
+          case _ => ()
+        }
       }
     }
     (margins, w)

@@ -311,3 +311,114 @@ case class VecMeanAgg(
   override protected def withNewChildInternal(newChild: Expression): VecMeanAgg =
     copy(child = newChild)
 }
+
+/** Weighted per-index sum of a vector column:
+  * `VecWeightedSumAgg(v, w)` returns `array<double>` of length
+  * max-row-length whose element i is `Σ rows w·vᵢ` over the non-null
+  * products (null where every product was null — a null weight or a
+  * null element contributes nothing), or NULL when no row contributed
+  * a non-empty array.
+  *
+  * Value-contract with the posexplode form it replaces
+  * (`select(w, posexplode(v)) → groupBy(dim).agg(sum(w * x))`):
+  * identical product multiset per index (null products vanish from
+  * `sum` exactly as here), addition order partition-local instead of
+  * hash-aggregate order — the callers' round-6 weight updates absorb
+  * it. The distributed-GD gradient is the canonical use: corpus
+  * vector-FMAs and one (nDims+1)-double partial per partition instead
+  * of corpus×dims generated rows through Generate + hash aggregation.
+  */
+case class VecWeightedSumAgg(
+    vec: Expression,
+    weight: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VecMeanBuffer]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  override def left: Expression = vec
+  override def right: Expression = weight
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (vec.dataType, weight.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_vec_wsum expects (array<double>, double), got $other")
+    }
+  override def prettyName: String = "graft_vec_wsum"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+
+  override def createAggregationBuffer(): VecMeanBuffer = new VecMeanBuffer()
+
+  override def update(buffer: VecMeanBuffer, input: InternalRow): VecMeanBuffer = {
+    val v = vec.eval(input)
+    if (v != null) {
+      val a = v.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      if (n > 0) {
+        buffer.ensure(n)
+        val wv = weight.eval(input)
+        if (wv != null) {
+          val w = wv.asInstanceOf[Double]
+          var i = 0
+          while (i < n) {
+            if (!a.isNullAt(i)) {
+              buffer.sums(i) += w * a.getDouble(i)
+              buffer.counts(i) += 1L
+            }
+            i += 1
+          }
+        }
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: VecMeanBuffer, other: VecMeanBuffer): VecMeanBuffer = {
+    buffer.mergeIn(other)
+    buffer
+  }
+
+  override def eval(buffer: VecMeanBuffer): Any = {
+    if (buffer.d == 0) return null
+    val out = new Array[Any](buffer.d)
+    var i = 0
+    while (i < buffer.d) {
+      out(i) =
+        if (buffer.counts(i) == 0L) null
+        else java.lang.Double.valueOf(buffer.sums(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: VecMeanBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * buffer.d)
+    bb.putInt(buffer.d)
+    buffer.sums.foreach(bb.putDouble)
+    buffer.counts.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): VecMeanBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val d = bb.getInt
+    val sums = new Array[Double](d)
+    var i = 0
+    while (i < d) { sums(i) = bb.getDouble; i += 1 }
+    val counts = new Array[Long](d)
+    i = 0
+    while (i < d) { counts(i) = bb.getLong; i += 1 }
+    new VecMeanBuffer(d, sums, counts)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecWeightedSumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecWeightedSumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecWeightedSumAgg =
+    copy(vec = newLeft, weight = newRight)
+}

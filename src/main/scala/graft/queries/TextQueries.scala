@@ -154,15 +154,16 @@ object TextQueries {
         |ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
       import s.implicits._
-      // survivors-only path: partial-aggregated min instead of the
-      // full per-group sort window (round 17, guide §2.3). Project to
-      // the two needed columns FIRST — exactSurvivors packs the full
-      // row into its min struct, which would otherwise defeat column
-      // pruning at the scan (PlanAuditSpec enforces this).
-      TextDedup.exactSurvivors(
-        Tables.documents(s, d).select($"doc_id", $"text"), "doc_id", "text")
-        .select(
-          $"doc_id", canonicalFingerprint($"text").as("canonical_fp"))
+      // survivors-only, and the only surviving payload is doc_id
+      // itself — so the keep-first window collapses to min(doc_id)
+      // per fingerprint: a plain HashAggregate, partial map-side, no
+      // per-group sort buffer anywhere (round 17, guide §2.3; the
+      // full-row variant is TextDedup.exactSurvivors)
+      Tables.documents(s, d)
+        .select(canonicalFingerprint($"text").as("canonical_fp"), $"doc_id")
+        .groupBy($"canonical_fp")
+        .agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id", $"canonical_fp")
         .orderBy($"doc_id")
     },
 
