@@ -460,6 +460,8 @@ object Curation {
     }
     val quality = stage("quality_floor", docs)(
       _.filter(graft.functions.TextFunctions.qualityScore(col(textCol)) >= minQuality))
+    // doc ids are unique here (ingest contract), so exactSurvivors'
+    // least-full-row tie rule for duplicate ids can never engage
     val exact = stage("exact_dedup", quality)(d => TextDedup.exactSurvivors(d, idCol, textCol))
     var releaseShingles: () => Unit = () => ()
     val near = stage("near_dedup", exact) { d =>

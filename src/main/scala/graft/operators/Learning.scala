@@ -184,6 +184,17 @@ object Learning {
     * chi2 = sum (O-E)^2/E via the class marginals — one groupBy over
     * the pairs plus a broadcast of the K-row totals; the full table
     * is never materialized.
+    *
+    * Contract (round 17 change): only pairs whose `cls` appears in
+    * `clsTotals` contribute, and an item whose occurrences are ALL in
+    * classes absent from `clsTotals` (including a null cls, which
+    * never equi-joins) emits NO row. The pre-round-17 shape emitted
+    * such items as an all-zero row (r1 = 0 → e1 = 0 → 0/0 = NaN chi2,
+    * doc_freq 0) because its item universe was built before class
+    * filtering; dropping them is the deliberate behavior — a NaN-chi2
+    * row carries no information and every engine formats NaN
+    * differently. Unreachable for q135 (pairs.cls and clsTotals.cls
+    * derive from the same `documents.source`).
     */
   def chi2Presence(pairs: DataFrame, clsTotals: DataFrame): DataFrame = {
     // Round-17 reshape (guide §2.4): the old item-universe crossJoin →
@@ -198,9 +209,10 @@ object Learning {
     // terms, same e1/e0 arithmetic; only the K-term addition order is
     // fixed (class-sorted) instead of join-order-arbitrary, which
     // round-6 absorbs exactly as it absorbs the DuckDB order. The
-    // class-semi-join keeps the old contract that only clsTotals'
-    // classes contribute (a null or unknown cls never reached the
-    // totals-crossed frame).
+    // class semi-join means only clsTotals' classes contribute — see
+    // the scaladoc for the one observable divergence from the old
+    // shape (items occurring ONLY under unknown/null classes are
+    // dropped instead of emitted as NaN rows).
     val present = pairs
       .join(broadcast(clsTotals.select(col("cls"))), Seq("cls"))
       .groupBy(col("item"), col("cls"))

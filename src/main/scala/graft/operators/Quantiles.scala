@@ -92,7 +92,6 @@ object Quantiles {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0 && p <= 1 },
       "percentiles must be in [0, 1]")
     val keys = groupCols.map(col)
-    val counts = hist
     val sortW = Window.partitionBy(keys: _*).orderBy(col("_v").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cntW = Window.partitionBy(keys: _*)
@@ -104,12 +103,12 @@ object Quantiles {
     // repartition is exempt from coalescing, and hash-on-keys
     // satisfies the window's required distribution, so no second
     // exchange appears.
-    val n = counts.sparkSession.sessionState.conf.numShufflePartitions
+    val n = hist.sparkSession.sessionState.conf.numShufflePartitions
     val nonNullCnt = when(col("_v").isNotNull, col("_hc")).otherwise(0L)
     // 2. cumulative counts over the distinct sorted values: histogram
     //    row r covers sorted ranks (_cum - _hc, _cum]; `_n` = non-null
     //    total per group (count(_v) semantics — nulls ignored)
-    val ranked = (if (repartitionKeys) counts.repartition(n, keys: _*) else counts)
+    val ranked = (if (repartitionKeys) hist.repartition(n, keys: _*) else hist)
       .withColumn("_cum", sum(nonNullCnt).over(sortW))
       .withColumn("_n", sum(nonNullCnt).over(cntW))
     // 3. rank selection: the value at 1-based rank k is the histogram

@@ -222,6 +222,22 @@ object TextDedup {
     // replica. At small scale Spark still auto-broadcasts the
     // signature side, so this costs nothing (a shuffle_hash HINT would
     // defeat that broadcast and measurably slowed sf0.1 ~2x).
+    refiningBase(configs) match {
+      case Some(base) =>
+        lshTuningFusedExact(df, idCol, textCol, shingleN, threshold, configs, base, numHashes)
+      case None =>
+        lshTuningAllPairsExact(df, idCol, textCol, shingleN, threshold, configs, numHashes)
+    }
+  }
+
+  /** Pre-round-18 exact tuning path, kept as the fallback for config
+    * sets with no refining base (see [[refiningBase]]): the all-config
+    * banded self-join + per-config distinct.
+    */
+  private[graft] def lshTuningAllPairsExact(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double,
+      configs: Seq[(Int, Int)], numHashes: Int): DataFrame = {
     graft.plans.ConfScope.withConfs(df, tuningConfs) { dfc =>
       val sh = tuningSignatures(dfc, idCol, textCol, shingleN, numHashes)
       // try/finally: any failing action below (the cloned session runs
@@ -335,6 +351,112 @@ object TextDedup {
       .localCheckpoint(true)
   }
 
+  /** The config whose candidate set provably CONTAINS every config's,
+    * if one exists: a pair matching some band B of config C also
+    * matches any band B' ⊆ B of another config, so when every band of
+    * every config contains at least one band of the finest config
+    * (the one with the most bands), the finest config's candidates
+    * are a superset of all. Holds for the default
+    * (2,6)/(3,4)/(4,3)/(6,2) split — and whenever the finest rows/band
+    * r0 satisfies r ≥ 2·r0 − 1 for every other config — and lets the
+    * tuning tables self-join ONE band set instead of all of them
+    * (round 18, guide §2.4): per-config candidacy is then decided
+    * in-row from the signature slices of the shared pair stream.
+    */
+  private[graft] def refiningBase(configs: Seq[(Int, Int)]): Option[(Int, Int)] = {
+    val base @ (b0, r0) = configs.maxBy(_._1)
+    val covered = configs.forall { case (b, r) =>
+      (0 until b).forall { j =>
+        (0 until b0).exists(i => j * r <= i * r0 && (i + 1) * r0 <= (j + 1) * r)
+      }
+    }
+    if (covered) Some(base) else None
+  }
+
+  /** Distinct candidate pairs of ONE banding config — the base
+    * config's self-join in the fused tuning path. Band keys are the
+    * same md5-of-signature-slice strings the all-config path builds,
+    * so the pair universe is identical to the old union across
+    * configs whenever [[refiningBase]] holds.
+    */
+  private def baseCandidates(sh: DataFrame, b0: Int, r0: Int): DataFrame = {
+    val banded = sh.select(
+      col("doc_id"),
+      explode(array((0 until b0).map { bd =>
+        struct(lit(bd).as("band"),
+          md5(concat_ws("_",
+            (0 until r0).map(rr => element_at(col("sig"), bd * r0 + rr + 1)): _*))
+            .as("bkey"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+    banded.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
+      .join(banded.select(col("band"), col("bkey"), col("doc_id").as("id_b")),
+        Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** In-row candidacy of a pair under config (b, r): some band's
+    * signature slice matches exactly. Equality of the raw slices
+    * stands in for equality of their md5 band keys — divergence needs
+    * an md5 collision between distinct slice strings (~2⁻¹²⁸, and no
+    * engine-visible input can exercise it), while the BASE config's
+    * candidacy stays md5-defined by construction (its pairs come from
+    * the band-key join itself).
+    */
+  private def bandMatch(b: Int, r: Int): org.apache.spark.sql.Column =
+    (0 until b).map { bd =>
+      slice(col("sig_a"), bd * r + 1, r) === slice(col("sig_b"), bd * r + 1, r)
+    }.reduce(_ || _)
+
+  /** Fused exact tuning table (round 18): ONE base-config self-join
+    * builds the shared distinct pair stream (bare ids through the
+    * quadratic stage — guide §8), the signature and shingle arrays
+    * attach once per side (row-linear hash joins), per-config
+    * candidacy and the jaccard verdict are computed in-row, and one
+    * global aggregate of conditional sums yields every config's
+    * counts — no per-config distinct, no checkpoint of the full
+    * (cfg, pair) stream, no verdict join-back.
+    */
+  private def lshTuningFusedExact(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double,
+      configs: Seq[(Int, Int)], base: (Int, Int), numHashes: Int): DataFrame = {
+    graft.plans.ConfScope.withConfs(df, tuningConfs) { dfc =>
+      val sh = tuningSignatures(dfc, idCol, textCol, shingleN, numHashes)
+      try {
+        val pairs = baseCandidates(sh, base._1, base._2)
+        val both = sh.select(col("doc_id"), col("sh"), col("sig"))
+        val sides = pairs
+          .join(both.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+            col("sig").as("sig_a")), Seq("id_a"))
+          .join(both.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+            col("sig").as("sig_b")), Seq("id_b"))
+          .withColumn("_ok",
+            round(jaccard(col("sh_a"), col("sh_b")), 4) >= threshold)
+        val flagged = sides.select(configs.zipWithIndex.flatMap { case ((b, r), i) =>
+          val m = if ((b, r) == base) lit(true) else bandMatch(b, r)
+          Seq(when(m, 1L).otherwise(0L).as(s"_m$i"),
+            when(m && col("_ok"), 1L).otherwise(0L).as(s"_v$i"))
+        }: _*)
+        val sums = configs.indices.flatMap(i =>
+          Seq(sum(col(s"_m$i")).as(s"_ms$i"), sum(col(s"_v$i")).as(s"_vs$i")))
+        // one row always (global aggregate); nulls = empty pair stream
+        val row = flagged.agg(sums.head, sums.tail: _*).head()
+        val outRows = configs.zipWithIndex.map { case ((b, r), i) =>
+          (b.toLong, r.toLong,
+            if (row.isNullAt(2 * i)) 0L else row.getLong(2 * i),
+            if (row.isNullAt(2 * i + 1)) 0L else row.getLong(2 * i + 1))
+        }
+        df.sparkSession.createDataFrame(outRows)
+          .toDF("bands", "rows_per_band", "n_candidates", "n_verified")
+          .withColumn("precision",
+            round(col("n_verified").cast("double") /
+              greatest(col("n_candidates"), lit(1L)), 6))
+      } finally sh.unpersist()
+    }
+  }
+
   /** [[lshTuningTable]] with a SAMPLED verify — the tuning table's
     * scale path. The exact-count formulation is measured infeasible
     * on any engine at the fourth decade (cfg (6,2) over-candidates
@@ -371,6 +493,120 @@ object TextDedup {
       "band counts must be distinct (bands is the config key)")
     require(sampleRate > 0.0 && sampleRate <= 1.0,
       s"sampleRate must be in (0, 1], got $sampleRate")
+    refiningBase(configs) match {
+      case Some(base) =>
+        lshTuningFusedSampled(df, idCol, textCol, shingleN, threshold,
+          configs, base, numHashes, sampleRate, sampleSeed)
+      case None =>
+        lshTuningAllPairsSampled(df, idCol, textCol, shingleN, threshold,
+          configs, numHashes, sampleRate, sampleSeed)
+    }
+  }
+
+  /** Fused sampled tuning table (round 18): the banded self-join runs
+    * on the BASE config's 6 band rows/doc instead of all 15 and
+    * carries the 12-long signature through, so per-config candidacy
+    * is decided in-row BEFORE the pair-identity distinct — the
+    * distinct then shuffles (id_a, id_b, 4 flag longs) only, the
+    * checkpointed stream is flags+ids (no cfg-tagged 15-band stream,
+    * no second pair-identity distinct for the sample), the exact
+    * per-config candidate counts are one conditional-sum aggregate
+    * over the flags, and the rate-bounded sample branch is the only
+    * consumer that ever touches the shingle arrays. Extra shuffle
+    * bytes vs the all-pairs path: the signature through the self-join
+    * — 2 × bands × ~100 B per doc, corpus-LINEAR — in exchange for
+    * dropping the pair-QUADRATIC cfg-tagged distinct + checkpoint +
+    * verdict join-back (guide §2.3/§2.4/§8).
+    */
+  private def lshTuningFusedSampled(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double,
+      configs: Seq[(Int, Int)], base: (Int, Int), numHashes: Int,
+      sampleRate: Double, sampleSeed: String): DataFrame = {
+    graft.plans.ConfScope.withConfs(df, tuningConfs) { dfc =>
+      val sh = tuningSignatures(dfc, idCol, textCol, shingleN, numHashes)
+      try {
+        val (b0, r0) = base
+        val banded = sh.select(
+          col("doc_id"), col("sig"),
+          explode(array((0 until b0).map { bd =>
+            struct(lit(bd).as("band"),
+              md5(concat_ws("_",
+                (0 until r0).map(rr => element_at(col("sig"), bd * r0 + rr + 1)): _*))
+                .as("bkey"))
+          }: _*)).as("bb"))
+          .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bkey"))
+        // flags computed on the raw (multiplicity-bearing) match stream,
+        // deterministic per pair, so distinct over (ids, flags) has pair
+        // cardinality; checkpointed because both count branches consume it
+        val flagCols = configs.zipWithIndex.map { case ((b, r), i) =>
+          (if ((b, r) == base) lit(1L)
+           else when(bandMatch(b, r), 1L).otherwise(0L)).as(s"_f$i")
+        }
+        val flagged = banded
+          .select(col("band"), col("bkey"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+          .join(banded
+            .select(col("band"), col("bkey"), col("doc_id").as("id_b"), col("sig").as("sig_b")),
+            Seq("band", "bkey"))
+          .filter(col("id_a") < col("id_b"))
+          .select(Seq(col("id_a"), col("id_b")) ++ flagCols: _*)
+          .distinct()
+          .localCheckpoint(true)
+        // exact per-config candidate counts: one global conditional-sum
+        val candDf = flagged.agg(
+          sum(col("_f0")).as("_c0"),
+          configs.indices.tail.map(i => sum(col(s"_f$i")).as(s"_c$i")): _*)
+        // deterministic pair sample on bare ids (rate-bounded), then the
+        // shingle arrays attach to the SAMPLE only
+        val u = hash60(concat(lit(sampleSeed), lit(":"),
+          col("id_a").cast("string"), lit("_"), col("id_b").cast("string")))
+          .cast("double") / lit(1152921504606846976.0) // 2^60
+        val shOnly = sh.select(col("doc_id"), col("sh"))
+        val sampled = flagged.filter(u < sampleRate)
+          .join(shOnly.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+          .join(shOnly.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+          .withColumn("_ok",
+            round(jaccard(col("sh_a"), col("sh_b")), 4) >= threshold)
+        val sampDf = sampled.agg(
+          sum(col("_f0")).as("_s0"),
+          (configs.indices.tail.map(i => sum(col(s"_f$i")).as(s"_s$i")) ++
+            configs.indices.map(i =>
+              sum(when(col("_ok"), col(s"_f$i")).otherwise(0L)).as(s"_v$i"))): _*)
+        // both branches read the checkpointed flags independently —
+        // overlap the two actions (guide §2.6) instead of paying two
+        // serial AQE job turnarounds
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val fCand = Future(candDf.head())
+        val fSamp = Future(sampDf.head())
+        val candRow = Await.result(fCand, Duration.Inf)
+        val sampRow = Await.result(fSamp, Duration.Inf)
+        val n = configs.size
+        val outRows = configs.zipWithIndex.map { case ((b, r), i) =>
+          (b.toLong, r.toLong,
+            if (candRow.isNullAt(i)) 0L else candRow.getLong(i),
+            if (sampRow.isNullAt(i)) 0L else sampRow.getLong(i),
+            if (sampRow.isNullAt(n + i)) 0L else sampRow.getLong(n + i))
+        }
+        df.sparkSession.createDataFrame(outRows)
+          .toDF("bands", "rows_per_band", "n_candidates", "n_sampled",
+            "n_verified_sampled")
+          .withColumn("precision_est",
+            round(col("n_verified_sampled").cast("double") /
+              greatest(col("n_sampled"), lit(1L)), 6))
+      } finally sh.unpersist()
+    }
+  }
+
+  /** Pre-round-18 sampled tuning path, kept as the fallback for config
+    * sets with no refining base (see [[refiningBase]]).
+    */
+  private[graft] def lshTuningAllPairsSampled(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double,
+      configs: Seq[(Int, Int)], numHashes: Int,
+      sampleRate: Double, sampleSeed: String): DataFrame = {
     graft.plans.ConfScope.withConfs(df, tuningConfs) { dfc =>
       val sh = tuningSignatures(dfc, idCol, textCol, shingleN, numHashes)
       try {

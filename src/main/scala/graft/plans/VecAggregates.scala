@@ -21,6 +21,13 @@ final class GramianBuffer(var d: Int, var sums: Array[Double], var seen: Array[L
 
   def ensure(newD: Int): Unit = {
     if (newD <= d) return
+    // d² doubles per task: past a few thousand dims the buffer is a
+    // per-task OOM (and newD*newD overflows Int at 46341) — fail with
+    // a diagnosable message instead of a NegativeArraySizeException
+    require(newD <= GramianBuffer.MaxDim,
+      s"graft_gramian: vector dimension $newD exceeds the supported " +
+        s"maximum ${GramianBuffer.MaxDim} (the d×d accumulator would " +
+        s"need ${newD.toLong * newD * 8 / (1 << 20)} MiB per task)")
     val ns = new Array[Double](newD * newD)
     val nb = new Array[Long]((newD * newD + 63) >> 6)
     var i = 0
@@ -90,6 +97,14 @@ final class GramianBuffer(var d: Int, var sums: Array[Double], var seen: Array[L
     }
     new GenericArrayData(out.toArray)
   }
+}
+
+object GramianBuffer {
+  /** 8192² doubles = 512 MiB per task — already past any sane local
+    * budget, but the point is a CLEAR failure for pathological widths
+    * rather than Int overflow at 46341.
+    */
+  val MaxDim = 8192
 }
 
 /** Distributed Gramian (un-normalized covariance) of a vector column:

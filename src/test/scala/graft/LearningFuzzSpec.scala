@@ -313,10 +313,14 @@ class LearningFuzzSpec extends SparkSpec {
       val nPerCls = classes.map(_ -> (4 + rnd.nextInt(8))).toMap
       val items = Seq("t1", "t2", "t3", "t4")
       // random presence: item i present in a doc with prob ~ classes-dependent
-      val pairs = for {
+      val pairs = (for {
         cls <- classes; d <- 0 until nPerCls(cls); it <- items
         if rnd.nextDouble() < (if (cls == "a") 0.7 else 0.3)
-      } yield (it, cls, d)
+      } yield (it, cls, d)) ++
+        // classes absent from clsTotals (incl. null) never contribute;
+        // an item seen ONLY under them emits no row (documented round-18
+        // contract) — t5 must not appear, t1's chi2 must not move
+        Seq(("t5", null, 0), ("t5", "zz", 1), ("t1", null, 0), ("t1", "zz", 2))
       val tot = nPerCls.toSeq.map { case (c, m) => (c, m.toLong) }
       val nn = nPerCls.values.sum.toDouble
       val ref = items.flatMap { it =>

@@ -150,6 +150,42 @@ class RobustStatsSpec extends SparkSpec {
       .getMessage.contains("sampleRate"))
   }
 
+  test("lsh tuning: fused refining-base path equals the all-pairs path (round 18)") {
+    // refiningBase itself: default split has one, a non-nesting split doesn't
+    assert(TextDedup.refiningBase(Seq((2, 6), (3, 4), (4, 3), (6, 2))) == Some((6, 2)))
+    assert(TextDedup.refiningBase(Seq((3, 4), (4, 3))).isEmpty)
+    assert(TextDedup.refiningBase(Seq((4, 3))) == Some((4, 3)))
+    // fixture with GRADED similarity so per-config candidacy genuinely
+    // differs: pairs at every substitution distance 0..7 over a
+    // 12-token base, plus unrelated chaff
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima".split(" ")
+    val docs = ((0 until 8).flatMap { k =>
+      val mutated = base.zipWithIndex.map { case (t, i) =>
+        if (i < k) s"sub${k}x$i" else t
+      }.mkString(" ")
+      Seq((k * 10L, base.mkString(" ")), (k * 10L + 1L, mutated))
+    } ++ (0 until 6).map(i =>
+      (900L + i, s"chaff$i totally unrelated words nr$i ${i * 7} end$i"))).toDF("doc_id", "text")
+    val cfgs = Seq((2, 6), (3, 4), (4, 3), (6, 2))
+    val exactFused = TextDedup.lshTuningTable(docs, "doc_id", "text")
+      .orderBy($"bands").collect().toSeq
+    val exactLegacy = TextDedup.lshTuningAllPairsExact(
+        docs, "doc_id", "text", 2, 0.8, cfgs, 12)
+      .orderBy($"bands").collect().toSeq
+    assert(exactFused == exactLegacy)
+    // sanity: the fixture exercises differing counts across configs
+    assert(exactFused.map(_.getLong(2)).distinct.size > 1)
+    val sampFused = TextDedup.lshTuningTableSampled(docs, "doc_id", "text",
+        sampleRate = 0.5)
+      .orderBy($"bands").collect().toSeq
+    val sampLegacy = TextDedup.lshTuningAllPairsSampled(
+        docs, "doc_id", "text", 2, 0.8, cfgs, 12, 0.5, "lts5")
+      .orderBy($"bands").collect().toSeq
+    assert(sampFused == sampLegacy)
+    // the half-rate sample must be a real subsample on this fixture
+    assert(sampFused.exists(r => r.getLong(3) < r.getLong(2)))
+  }
+
   test("cross-group dup matrix and dup rate agree with a planted fixture") {
     val t1 = "alpha beta gamma delta epsilon zeta eta theta"
     val t2 = "one two three four five six seven eight"
