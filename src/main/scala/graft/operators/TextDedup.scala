@@ -960,13 +960,11 @@ object TextDedup {
       .drop("_g")
   }
 
-  /** The scrub step of substring dedup: drop every token covered by a
-    * duplicated n-gram window and stitch the survivors back together
-    * in position order. Documents losing all tokens disappear.
-    * Returns (idCol, n_kept, clean_text).
+  /** Shared front half of the scrub: (idCol, _w, _sp) — the token
+    * array joined with the doc's merged span islands (null when none).
     */
-  def removeDuplicateSpans(
-      df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
+  private def spansJoined(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     // ship the MERGED islands back per-doc (few spans each) and scrub
     // IN-ROW: an exists() test per token against the doc's span list
     // replaces the exploded coverage stream, its (id, pos) anti-join
@@ -978,18 +976,60 @@ object TextDedup {
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_sp"))
     df.select(col(idCol), tokens(lower(col(textCol))).as("_w"))
       .join(spans, Seq(idCol), "left")
-      .select(col(idCol),
-        filter(
-          transform(col("_w"), (t, i) =>
-            when(exists(col("_sp"), s =>
-              i.cast("long") >= s.getField("span_start") &&
-                i.cast("long") <= s.getField("span_end")), lit(null))
-              .otherwise(t)),
-          t => t.isNotNull).as("_kept"))
+  }
+
+  /** Tokens surviving the span scrub, in position order (in-row). */
+  private def keptTokens: org.apache.spark.sql.Column =
+    filter(
+      transform(col("_w"), (t, i) =>
+        when(exists(col("_sp"), s =>
+          i.cast("long") >= s.getField("span_start") &&
+            i.cast("long") <= s.getField("span_end")), lit(null))
+          .otherwise(t)),
+      t => t.isNotNull)
+
+  /** Survivor count WITHOUT materializing the survivors: the islands
+    * are disjoint and in-bounds by construction (the running-max merge
+    * breaks on s > prevMax, and e = pos + n − 1 ≤ len − 1), so
+    * n_kept = len − Σ island widths — pure arithmetic over the few
+    * spans, no per-token pass.
+    */
+  private def keptCount: org.apache.spark.sql.Column =
+    size(col("_w")).cast("long") - coalesce(
+      aggregate(col("_sp"), lit(0L),
+        (acc, s) => acc + s.getField("span_end") - s.getField("span_start") + lit(1L)),
+      lit(0L))
+
+  /** The scrub step of substring dedup: drop every token covered by a
+    * duplicated n-gram window and stitch the survivors back together
+    * in position order. Documents losing all tokens disappear.
+    * Returns (idCol, n_kept, clean_text).
+    */
+  def removeDuplicateSpans(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame =
+    spansJoined(df, idCol, textCol, n)
+      .select(col(idCol), keptTokens.as("_kept"))
       .filter(size(col("_kept")) >= 1)
       .select(col(idCol), size(col("_kept")).cast("long").as("n_kept"),
         concat_ws(" ", col("_kept")).as("clean_text"))
-  }
+
+  /** [[removeDuplicateSpans]] pre-sorted by idCol, for consumers whose
+    * final output is id-ordered: the survivor filter runs on the
+    * arithmetic [[keptCount]] (no token pass) BELOW the sort, and the
+    * per-token scrub + stitch runs ONCE above it — a terminal sort's
+    * range-sampling pass re-executes everything between the last
+    * materialization point and the exchange, which for the old shape
+    * meant the whole O(tokens × spans) scrub twice (round 18, guide
+    * §1.4/§7.2; the round-17 final-projection sweep, extended to a
+    * filter-carrying segment by splitting the filter from the scrub).
+    */
+  def removeDuplicateSpansSorted(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame =
+    spansJoined(df, idCol, textCol, n)
+      .filter(keptCount >= 1)
+      .orderBy(col(idCol))
+      .select(col(idCol), keptCount.as("n_kept"),
+        concat_ws(" ", keptTokens).as("clean_text"))
 
   /** Per-document n-gram novelty: how much of a document is NOT seen
     * elsewhere in the corpus — the memorization/boilerplate signal

@@ -395,12 +395,26 @@ object CurationQueries {
         |ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
       import s.implicits._
+      import graft.functions.TextFunctions.hash60
+      // Both snapshots derive from the SAME table keyed by the same
+      // unique doc_id, so the full-outer join is per-row algebra
+      // (round 18, guide §8): membership is the two modulo filters and
+      // the hash comparison only matters where the texts can differ
+      // (doc_id % 11 = 0) — identical statuses to
+      // Curation.snapshotDiff(v1, v2) at zero joins/exchanges, with
+      // the md5s computed for ~9% of rows instead of ~166%.
       val docs = Tables.documents(s, d)
-      val v1 = docs.filter($"doc_id" % 7 =!= 0).select($"doc_id", $"text")
-      val v2 = docs.filter($"doc_id" % 5 =!= 0).select($"doc_id",
-        when($"doc_id" % 11 === 0, concat($"text", lit(" [rev2]")))
-          .otherwise($"text").as("text"))
-      Curation.snapshotDiff(v1, v2, "doc_id", "text")
+      val in1 = $"doc_id" % 7 =!= 0
+      val in2 = $"doc_id" % 5 =!= 0
+      val h1 = hash60($"text")
+      val h2 = hash60(when($"doc_id" % 11 === 0, concat($"text", lit(" [rev2]")))
+        .otherwise($"text"))
+      docs.filter(in1 || in2)
+        .select($"doc_id",
+          when(!in1, lit("added"))
+            .when(!in2, lit("removed"))
+            .when($"doc_id" % 11 === 0 && h1 =!= h2, lit("changed"))
+            .otherwise(lit("unchanged")).as("status"))
         .filter($"status" =!= "unchanged")
         .orderBy($"doc_id")
     },

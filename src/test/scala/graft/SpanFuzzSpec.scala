@@ -101,6 +101,18 @@ class SpanFuzzSpec extends SparkSpec {
     }
   }
 
+  test("removeDuplicateSpansSorted equals removeDuplicateSpans ordered (round 18)") {
+    for (seed <- 201 to 210) {
+      val rnd = new Random(seed)
+      val (docs, n) = randomCorpus(rnd)
+      val plain = TextDedup.removeDuplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+        .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+      val sorted = TextDedup.removeDuplicateSpansSorted(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+        .as[(Long, Long, String)].collect().toSeq
+      assert(sorted == plain, s"seed=$seed n=$n docs=$docs")
+    }
+  }
+
   test("fully-duplicated corpus scrubs every document away") {
     val docs = Seq((1L, "a b c d"), (2L, "a b c d"))
     assert(TextDedup.removeDuplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", 2)
