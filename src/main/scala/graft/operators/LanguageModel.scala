@@ -19,21 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object LanguageModel {
 
-  /** ONE tokenize pass feeding every LM statistic: the tokenized
-    * (doc, token-array) frame is materialized — one compact row per
-    * document — and each consumer re-derives the (doc, tok, next)
-    * stream with an in-flight explode (`next` is the following token,
-    * null for the last token of a document; `zip_with` pads the
-    * shifted slice). Every token instance is exactly one exploded
-    * row, so unigram counts, bigram counts (non-null `next`), and
-    * the per-document score join all come off this one checkpoint
-    * instead of re-tokenizing the corpus per consumer; the explode
-    * itself is pure CPU over checkpointed arrays, never re-parsed
-    * text.
+  /** The (doc, tok, next) stream feeding every LM statistic (`next`
+    * is the following token, null for the last token of a document;
+    * `zip_with` pads the shifted slice). Each consumer re-derives the
+    * stream with an in-flight explode off the shared scan exchange.
+    *
+    * Round 18: the corpus-sized localCheckpoint of the token arrays
+    * is GONE — it serialized the whole pipeline behind one eager
+    * write of the tokenized corpus to local disk (a ~0.5 s serial job
+    * at sf0.1 and a disk-pressure hazard at scale), purely to share
+    * the tokenize between the count aggregate and the score join.
+    * Without it both consumers hang off the same scan-side exchange
+    * (ReuseExchange), their map stages run CONCURRENTLY under AQE,
+    * and the tokenize runs twice as overlapped parallel CPU — the
+    * §1.2 trade: duplicated cheap per-task work beats a serial
+    * materialization of corpus-sized bytes.
     */
   private def tokenNextPairs(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), tokens(lower(col(textCol))).as("w"))
-      .localCheckpoint(true)
       .select(col(idCol), explode(zip_with(col("w"),
         slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
         (a, b) => struct(a.as("tok"), b.as("next")))).as("p"))
