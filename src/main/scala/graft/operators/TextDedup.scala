@@ -373,22 +373,34 @@ object TextDedup {
     if (covered) Some(base) else None
   }
 
-  /** Distinct candidate pairs of ONE banding config — the base
-    * config's self-join in the fused tuning path. Band keys are the
-    * same md5-of-signature-slice strings the all-config path builds,
-    * so the pair universe is identical to the old union across
-    * configs whenever [[refiningBase]] holds.
+  /** The fused paths' banded frame for ONE config: (doc_id[, sig],
+    * band, bkey) with an 8-byte `xxhash64` over the band's raw
+    * signature slice as the bucket key — 3× narrower through the
+    * self-join exchange than the legacy 32-char md5 string (round 18,
+    * guide §2.3: shuffle keys, not payloads). Slice-equal docs always
+    * share a key (hash of equal inputs); a hash COLLISION only ADDS a
+    * stream row, which the in-row [[bandMatch]] flags (now applied to
+    * EVERY config, base included) zero out of every count.
     */
-  private def baseCandidates(sh: DataFrame, b0: Int, r0: Int): DataFrame = {
-    val banded = sh.select(
-      col("doc_id"),
+  private def bandedKeys(sh: DataFrame, b0: Int, r0: Int, carrySig: Boolean): DataFrame = {
+    val cols = if (carrySig) Seq(col("doc_id"), col("sig")) else Seq(col("doc_id"))
+    sh.select(cols :+
       explode(array((0 until b0).map { bd =>
         struct(lit(bd).as("band"),
-          md5(concat_ws("_",
-            (0 until r0).map(rr => element_at(col("sig"), bd * r0 + rr + 1)): _*))
+          xxhash64(
+            (0 until r0).map(rr => element_at(col("sig"), bd * r0 + rr + 1)): _*)
             .as("bkey"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+      }: _*)).as("bb"): _*)
+      .select(cols ++ Seq(col("bb.band"), col("bb.bkey")): _*)
+  }
+
+  /** Distinct candidate pairs of ONE banding config — the base
+    * config's self-join in the fused exact tuning path, bare ids
+    * only. May contain hash-collision impostors (see [[bandedKeys]]);
+    * the caller's per-config [[bandMatch]] flags neutralize them.
+    */
+  private def baseCandidates(sh: DataFrame, b0: Int, r0: Int): DataFrame = {
+    val banded = bandedKeys(sh, b0, r0, carrySig = false)
     banded.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
       .join(banded.select(col("band"), col("bkey"), col("doc_id").as("id_b")),
         Seq("band", "bkey"))
@@ -398,11 +410,11 @@ object TextDedup {
 
   /** In-row candidacy of a pair under config (b, r): some band's
     * signature slice matches exactly. Equality of the raw slices
-    * stands in for equality of their md5 band keys — divergence needs
-    * an md5 collision between distinct slice strings (~2⁻¹²⁸, and no
-    * engine-visible input can exercise it), while the BASE config's
-    * candidacy stays md5-defined by construction (its pairs come from
-    * the band-key join itself).
+    * stands in for equality of the legacy path's md5 band keys —
+    * divergence needs an md5 collision between distinct slice strings
+    * (~2⁻¹²⁸, and no engine-visible input can exercise it). Applied
+    * to every config INCLUDING the base, so xxhash collisions in the
+    * fused pair stream count toward nothing.
     */
   private def bandMatch(b: Int, r: Int): org.apache.spark.sql.Column =
     (0 until b).map { bd =>
@@ -435,7 +447,7 @@ object TextDedup {
           .withColumn("_ok",
             round(jaccard(col("sh_a"), col("sh_b")), 4) >= threshold)
         val flagged = sides.select(configs.zipWithIndex.flatMap { case ((b, r), i) =>
-          val m = if ((b, r) == base) lit(true) else bandMatch(b, r)
+          val m = bandMatch(b, r)
           Seq(when(m, 1L).otherwise(0L).as(s"_m$i"),
             when(m && col("_ok"), 1L).otherwise(0L).as(s"_v$i"))
         }: _*)
@@ -526,22 +538,15 @@ object TextDedup {
     graft.plans.ConfScope.withConfs(df, tuningConfs) { dfc =>
       val sh = tuningSignatures(dfc, idCol, textCol, shingleN, numHashes)
       try {
-        val (b0, r0) = base
-        val banded = sh.select(
-          col("doc_id"), col("sig"),
-          explode(array((0 until b0).map { bd =>
-            struct(lit(bd).as("band"),
-              md5(concat_ws("_",
-                (0 until r0).map(rr => element_at(col("sig"), bd * r0 + rr + 1)): _*))
-                .as("bkey"))
-          }: _*)).as("bb"))
-          .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bkey"))
+        val banded = bandedKeys(sh, base._1, base._2, carrySig = true)
         // flags computed on the raw (multiplicity-bearing) match stream,
         // deterministic per pair, so distinct over (ids, flags) has pair
-        // cardinality; checkpointed because both count branches consume it
+        // cardinality; checkpointed because both count branches consume
+        // it. Every config's flag (base included) is the in-row slice
+        // equality, so an xxhash key collision contributes all-zero
+        // flags — present in the stream, absent from every count.
         val flagCols = configs.zipWithIndex.map { case ((b, r), i) =>
-          (if ((b, r) == base) lit(1L)
-           else when(bandMatch(b, r), 1L).otherwise(0L)).as(s"_f$i")
+          when(bandMatch(b, r), 1L).otherwise(0L).as(s"_f$i")
         }
         val flagged = banded
           .select(col("band"), col("bkey"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
