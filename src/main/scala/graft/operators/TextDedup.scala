@@ -91,10 +91,16 @@ object TextDedup {
       shingleN: Int = 2,
       threshold: Double = 0.8): (DataFrame, () => Unit) = {
     val (sh, candidates) = lshCandidates(df, idCol, textCol, numHashes, bands, shingleN)
-    val shOnly = sh.select(col("doc_id"), col("sh"))
+    val shOnly = sh.select(col("doc_id"), col("sh"), col("sig"))
     val pairs = candidates
-      .join(shOnly.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(shOnly.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(shOnly.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+        col("sig").as("sig_a")), Seq("id_a"))
+      .join(shOnly.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+        col("sig").as("sig_b")), Seq("id_b"))
+      // slice-equality re-check drops xxhash-collision impostors from
+      // the candidate stream (see lshCandidates) before the heavier
+      // array-intersection jaccard runs
+      .filter(bandMatch(bands, numHashes / bands))
       .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -103,6 +109,16 @@ object TextDedup {
 
   /** Shared LSH front half: the persisted (doc_id, sh, sig) frame and
     * the distinct banded candidate pairs (id_a < id_b, bare ids only).
+    *
+    * Round 18: the band bucket key is an 8-byte `xxhash64` over the
+    * band's raw signature slice — 3× narrower through the self-join
+    * exchange than the previous 32-char md5 string (guide §2.3).
+    * Slice-equal docs always share a key; a hash collision only ADDS
+    * a candidate pair, and every consumer re-checks true band
+    * equality in-row ([[bandMatch]] over the attached signatures)
+    * before its verify, so emitted results replay the md5-banded
+    * oracle exactly (up to the same ~2⁻¹²⁸ md5-collision caveat the
+    * tuning tables document).
     */
   private def lshCandidates(
       df: DataFrame,
@@ -124,21 +140,9 @@ object TextDedup {
       .withColumn("sig", GraftFunctions.minhashSig(col("sh"), numHashes))
       .persist()
 
-    // explode into (doc, band, bucket-key); the band key hashes the
-    // band's signature slice so the join key is one fixed-width string
-    val banded = sh.select(
-      col("doc_id"), col("sh"),
-      explode(array((0 until bands).map { b =>
-        struct(
-          lit(b).as("band"),
-          md5(concat_ws("_",
-            (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
-            .as("bkey"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bkey"))
-
     // candidate pairs on bare ids (distinct over two longs — cheap),
     // shingle sets joined back only for the surviving pairs
+    val banded = bandedKeys(sh, bands, rowsPerBand, carrySig = false)
     val a = banded.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
     val b = banded.select(col("band"), col("bkey"), col("doc_id").as("id_b"))
     val candidates = a.join(b, Seq("band", "bkey"))
@@ -173,6 +177,9 @@ object TextDedup {
         col("sig").as("sig_a")), Seq("id_a"))
       .join(both.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
         col("sig").as("sig_b")), Seq("id_b"))
+      // this probe emits one row per CANDIDATE, so xxhash-collision
+      // impostors must be dropped here (see lshCandidates)
+      .filter(bandMatch(bands, numHashes / bands))
       .withColumn("est_jaccard", round(
         aggregate(
           zip_with(col("sig_a"), col("sig_b"),
